@@ -1,0 +1,48 @@
+"""Container record I/O and model loading tests."""
+
+import io
+
+import numpy as np
+
+from whisper_tpu.formats import container, quants
+
+
+def test_tensor_record_roundtrip():
+    f = io.BytesIO()
+    a = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    b = np.random.default_rng(0).standard_normal((8, 64)).astype(np.float32)
+    container.write_tensor_record(f, "a", a, quants.GGML_TYPE_F32)
+    container.write_tensor_record(f, "b.q", b, quants.GGML_TYPE_Q5_0)
+    f.seek(0)
+    recs = list(container.read_tensor_records(f))
+    assert [r.name for r in recs] == ["a", "b.q"]
+    np.testing.assert_array_equal(recs[0].to_f32(), a)
+    assert recs[1].shape == (8, 64)
+    assert recs[1].ggml_type == quants.GGML_TYPE_Q5_0
+    ref = quants.dequantize(quants.quantize(b, quants.GGML_TYPE_Q5_0),
+                            quants.GGML_TYPE_Q5_0, b.size).reshape(8, 64)
+    np.testing.assert_array_equal(recs[1].to_f32(), ref)
+
+
+def test_load_mini_model(mini_model):
+    hp = mini_model.hparams
+    assert hp.n_vocab == 51864
+    assert hp.n_audio_state == 64
+    assert mini_model.filters.data.shape == (80, 201)
+    assert not mini_model.is_empty
+    enc = mini_model.params["enc"]
+    assert enc["blocks"]["q_w"].shape == (2, 64, 64)
+    assert enc["conv1_w"].shape == (64, 80, 3)
+    dec = mini_model.params["dec"]
+    assert dec["tok_embd"].shape == (51864, 64)
+    assert dec["blocks"]["mlp0_w"].shape == (2, 64, 256)
+
+
+def test_load_header_only_model():
+    from whisper_tpu.models.whisper.load import load_model
+
+    m = load_model("/root/reference/models/for-tests-ggml-tiny.en.bin")
+    assert m.is_empty
+    assert m.hparams.n_audio_layer == 4
+    assert m.hparams.model_name == "tiny"
+    assert len(m.vocab.id_to_token) == m.hparams.n_vocab

@@ -1,0 +1,253 @@
+"""Whisper encoder/decoder as pure JAX functions (TPU-first design).
+
+Functional re-design of the reference graph builders
+(src/whisper.cpp:1982-2842).  Differences from the C++ graphs are deliberate
+TPU idioms, not semantic changes:
+
+  * one `lax.scan` over stacked layer weights instead of L unrolled blocks
+    (single compiled body, small HLO, good for 32-layer large-v3);
+  * attention runs with the standard 1/sqrt(d_head) scale in one place; the
+    reference splits the scale as (d^-0.25 on Q) * (d^-0.25 on K) purely for
+    f16-range reasons (src/whisper.cpp:2556-2565, 2309) — mathematically
+    identical, and unnecessary with f32/bf16 accumulation on the MXU;
+  * the decoder KV cache is a dense [layer, beam, n_text_ctx, n_state] array
+    with `dynamic_update_slice` writes — beam reshuffling is a gather over the
+    beam axis (vs. the reference's per-cell seq_id bookkeeping,
+    src/whisper.cpp:692-1157) — everything stays static-shape for XLA;
+  * masks are additive f32, always over the full static cache; no dynamic
+    `n_kv` trimming (the reference pads to 256 for the same reason,
+    src/whisper.cpp:2061).
+
+All matmuls take `preferred_element_type=f32`; `dtype` selects the MXU input
+precision (bf16 on TPU, f32 for bit-accuracy tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .hparams import WhisperHParams
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    # ggml_gelu is the tanh approximation (ggml/src/ggml-cpu/ops.cpp GELU LUT)
+    return jax.nn.gelu(x, approximate=True)
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-5) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    normed = (x32 - mean) * lax.rsqrt(var + eps)
+    return normed * w + b
+
+
+def _mm(x: jax.Array, w: jax.Array, dtype) -> jax.Array:
+    """x @ w with f32 accumulation; inputs cast to `dtype` for the MXU."""
+    return jnp.matmul(x.astype(dtype), w.astype(dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    """(..., T, n_state) -> (..., n_head, T, d_head)"""
+    *lead, t, n_state = x.shape
+    x = x.reshape(*lead, t, n_head, n_state // n_head)
+    return jnp.swapaxes(x, -2, -3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(..., n_head, T, d_head) -> (..., T, n_state)"""
+    x = jnp.swapaxes(x, -2, -3)
+    *lead, t, h, d = x.shape
+    return x.reshape(*lead, t, h * d)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              mask: Optional[jax.Array], dtype) -> jax.Array:
+    """q:(...,H,Tq,d) k,v:(...,H,Tk,d) mask additive f32 (...,1,Tq,Tk) or None."""
+    d = q.shape[-1]
+    scale = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d))
+    scores = jnp.matmul(q.astype(dtype), jnp.swapaxes(k, -1, -2).astype(dtype),
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.matmul(probs.astype(dtype), v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def conv_stem(enc_params: Dict[str, Any], mel: jax.Array, dtype) -> jax.Array:
+    """2x conv1d + GELU (whisper_build_graph_conv, src/whisper.cpp:2009-2021).
+
+    mel: (n_mels, 2*n_ctx) -> (n_ctx, n_state)
+    """
+    x = mel[None, :, :]  # (N=1, C=n_mels, W)
+    w1 = enc_params["conv1_w"]  # (n_state, n_mels, 3)
+    x = lax.conv_general_dilated(
+        x.astype(dtype), w1.astype(dtype), window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32,
+    )
+    x = _gelu(x + enc_params["conv1_b"][None, :, None])
+    w2 = enc_params["conv2_w"]  # (n_state, n_state, 3)
+    x = lax.conv_general_dilated(
+        x.astype(dtype), w2.astype(dtype), window_strides=(2,), padding=[(1, 1)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32,
+    )
+    x = _gelu(x + enc_params["conv2_b"][None, :, None])
+    return x[0].T  # (n_ctx, n_state)
+
+
+def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
+                   eps: float, dtype) -> jax.Array:
+    # self-attention (pre-LN)
+    h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
+    q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
+    k = _mm(h, blk["k_w"], dtype)            # K has no bias
+    v = _mm(h, blk["v_w"], dtype) + blk["v_b"]
+    out = attention(_split_heads(q, n_head), _split_heads(k, n_head),
+                    _split_heads(v, n_head), None, dtype)
+    x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
+    # MLP (pre-LN)
+    h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
+    h = _gelu(_mm(h, blk["mlp0_w"], dtype) + blk["mlp0_b"])
+    x = x + _mm(h, blk["mlp1_w"], dtype) + blk["mlp1_b"]
+    return x
+
+
+def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
+           dtype=jnp.bfloat16, n_audio_ctx: Optional[int] = None) -> jax.Array:
+    """mel (n_mels, 2*n_ctx) -> encoder embeddings (n_ctx, n_state).
+
+    Mirrors whisper_build_graph_encoder (src/whisper.cpp:2044-2275); position
+    embedding uses the *first* n_ctx rows when audio_ctx is truncated
+    (src/whisper.cpp:2088-2095).
+    """
+    enc = params["enc"]
+    x = conv_stem(enc, mel, dtype)
+    n_ctx = x.shape[0]
+    x = x + enc["pos_embd"][:n_ctx]
+
+    def body(carry, blk):
+        return _encoder_block(carry, blk, hp.n_audio_head, hp.eps, dtype), None
+
+    x, _ = lax.scan(body, x, enc["blocks"])
+    x = layer_norm(x, enc["ln_post_w"], enc["ln_post_b"], hp.eps)
+    return x
+
+
+def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
+                     hp: WhisperHParams, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    """Precompute cross-attention K/V for every decoder layer
+    (whisper_build_graph_cross, src/whisper.cpp:2278-2352).
+
+    Returns (xk, xv) with shape (n_text_layer, n_head, n_audio_ctx, d_head).
+    K is *unscaled* here; the 1/sqrt(d) lives in `attention`.
+    """
+    blocks = params["dec"]["blocks"]
+
+    def body(_, blk):
+        k = _mm(enc_out, blk["xk_w"], dtype)               # no bias
+        v = _mm(enc_out, blk["xv_w"], dtype) + blk["xv_b"]
+        return None, (_split_heads(k, hp.n_text_head), _split_heads(v, hp.n_text_head))
+
+    _, (xk, xv) = lax.scan(body, None, blocks)
+    return xk, xv
+
+
+# ---------------------------------------------------------------------------
+# Decoder with static-shape beam KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Self-attention cache: k/v (n_layer, n_beam, n_text_ctx, n_state)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache":
+        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, hp.n_text_state)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def reorder(self, beam_idx: jax.Array) -> "KVCache":
+        """Beam-search reshuffle: gather along the beam axis (replaces the
+        reference's kv_seq_cp cell copies, src/whisper.cpp:7338-7353)."""
+        return KVCache(self.k[:, beam_idx], self.v[:, beam_idx])
+
+
+def decode_step(params: Dict[str, Any],
+                tokens: jax.Array,       # (n_beam, n_tok) int32
+                positions: jax.Array,    # (n_beam, n_tok) int32
+                kv_head: jax.Array,      # scalar int32: cache write offset
+                cache: KVCache,
+                xk: jax.Array, xv: jax.Array,  # cross KV
+                hp: WhisperHParams,
+                dtype=jnp.bfloat16) -> Tuple[jax.Array, KVCache]:
+    """One batched decoder forward over all live beams.
+
+    Mirrors whisper_build_graph_decoder (src/whisper.cpp:2464-2842): token+pos
+    embedding lookup, causal masked self-attention writing K/V into the cache
+    at `kv_head`, cross-attention against precomputed xk/xv, final LN, logits
+    against the token-embedding matrix for all rows.
+
+    Returns (logits (n_beam, n_tok, n_vocab) f32, updated cache).
+    """
+    dec = params["dec"]
+    n_beam, n_tok = tokens.shape
+    n_head = hp.n_text_head
+    n_ctx = hp.n_text_ctx
+    eps = hp.eps
+
+    x = dec["tok_embd"][tokens] + dec["pos_embd"][positions]  # (B, T, n_state)
+
+    # causal mask over the static cache: cell j visible to new token i iff
+    # j < kv_head + i + 1  (cells are written in position order per beam)
+    j = jnp.arange(n_ctx)[None, None, :]
+    i = jnp.arange(n_tok)[None, :, None]
+    visible = j < (kv_head + i + 1)
+    mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (1,1,T,n_ctx)
+
+    def body(x, layer):
+        blk, k_cache, v_cache, cxk, cxv = layer
+        # self-attention
+        h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
+        q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
+        k_new = _mm(h, blk["k_w"], dtype)
+        v_new = _mm(h, blk["v_w"], dtype) + blk["v_b"]
+        k_cache = lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, kv_head, 0))
+        v_cache = lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, kv_head, 0))
+        out = attention(
+            _split_heads(q, n_head),
+            _split_heads(k_cache, n_head),
+            _split_heads(v_cache, n_head),
+            mask, dtype)
+        x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
+        # cross-attention
+        h = layer_norm(x, blk["xattn_ln_w"], blk["xattn_ln_b"], eps)
+        q = _mm(h, blk["xq_w"], dtype) + blk["xq_b"]
+        out = attention(_split_heads(q, n_head), cxk, cxv, None, dtype)
+        x = x + _mm(_merge_heads(out), blk["xo_w"], dtype) + blk["xo_b"]
+        # MLP
+        h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
+        h = _gelu(_mm(h, blk["mlp0_w"], dtype) + blk["mlp0_b"])
+        x = x + _mm(h, blk["mlp1_w"], dtype) + blk["mlp1_b"]
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = lax.scan(body, x, (dec["blocks"], cache.k, cache.v, xk, xv))
+    x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
+    logits = _mm(x, dec["tok_embd"].T, dtype)  # (B, T, n_vocab)
+    return logits.astype(jnp.float32), KVCache(new_k, new_v)
