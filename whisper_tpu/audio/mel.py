@@ -64,17 +64,44 @@ def _log_mel_jax(padded: jax.Array, filters: jax.Array, window: jax.Array, n_len
     return ((mel + 4.0) / 4.0).T                     # (n_mel, n_len)
 
 
-class LogMel:
-    """Stateful wrapper holding the filterbank; mirrors whisper_pcm_to_mel."""
+def _log_mel_numpy(padded: np.ndarray, filters: np.ndarray, window: np.ndarray,
+                   n_len: int) -> np.ndarray:
+    """Host mel path: identical math, f64 mel dot like the reference's
+    double-accumulating worker loop (src/whisper.cpp:3148-3160)."""
+    idx = (np.arange(n_len)[:, None] * HOP_LENGTH + np.arange(N_FFT)[None, :])
+    frames = padded[idx].astype(np.float32) * window[None, :]
+    spec = np.fft.rfft(frames, n=N_FFT, axis=-1)
+    power = (spec.real.astype(np.float32) ** 2 +
+             spec.imag.astype(np.float32) ** 2)
+    mel = power.astype(np.float64) @ filters.T.astype(np.float64)
+    mel = np.log10(np.maximum(mel, 1e-10))
+    mmax = mel.max() - 8.0
+    mel = np.maximum(mel, mmax)
+    return (((mel + 4.0) / 4.0).T).astype(np.float32)
 
-    def __init__(self, filters: np.ndarray):
-        self.filters = jnp.asarray(filters, dtype=jnp.float32)  # (n_mel, 1+n_fft/2)
-        self.window = jnp.asarray(hann_window())
+
+class LogMel:
+    """Stateful wrapper holding the filterbank; mirrors whisper_pcm_to_mel.
+
+    backend="numpy" (default) matches the reference's CPU mel bit-for-bit in
+    semantics; backend="jax" runs the batched-rfft device path (used on TPU
+    with length bucketing)."""
+
+    def __init__(self, filters: np.ndarray, backend: str = "numpy"):
+        self.backend = backend
+        self.np_filters = np.asarray(filters, dtype=np.float32)
+        self.np_window = hann_window()
+        if backend == "jax":
+            self.filters = jnp.asarray(filters, dtype=jnp.float32)
+            self.window = jnp.asarray(self.np_window)
         self.n_mel = int(filters.shape[0])
 
     def __call__(self, samples: np.ndarray) -> Tuple[np.ndarray, int]:
         """Returns (mel[n_mel, n_len] float32 numpy, n_len_org)."""
         n_len, n_len_org = mel_frame_counts(len(samples))
-        padded = jnp.asarray(pad_audio(np.asarray(samples, dtype=np.float32)))
-        mel = _log_mel_jax(padded, self.filters, self.window, n_len)
-        return np.asarray(mel), n_len_org
+        padded = pad_audio(np.asarray(samples, dtype=np.float32))
+        if self.backend == "jax":
+            mel = _log_mel_jax(jnp.asarray(padded), self.filters, self.window,
+                               n_len)
+            return np.asarray(mel), n_len_org
+        return _log_mel_numpy(padded, self.np_filters, self.np_window, n_len), n_len_org

@@ -1,0 +1,333 @@
+"""On-device window decoding — the TPU-native token loop.
+
+The reference decodes one token per host round-trip, downloading logits every
+step (src/whisper.cpp:7221-7541).  On this TPU runtime a host sync costs
+~30 ms while one decode step costs <1 ms, so this module runs the *entire*
+per-window token loop inside a single jitted `lax.while_loop`: logit filters,
+sampling, timestamp/stop rules and the KV cache all live on device; the host
+gets one readback of token/stat buffers per (window × temperature) attempt.
+
+Rule parity: every filter of `whisper_process_logits`
+(src/whisper.cpp:6194-6469) and every state rule of the token loop
+(src/whisper.cpp:7357-7444) is reproduced with vectorized [beam] lanes.
+Static vocab-dependent suppressions are folded into mask vectors built once
+on host (`build_masks`), so flag changes don't recompile.
+
+This path covers the GREEDY strategy (single lane at t=0; `best_of`
+independent sampling lanes at t>0 — lanes never interact, which maps onto a
+[beam] batch axis with no gathers).  Beam search currently uses the host
+loop in `full.py`; a device-side beam reshuffle is planned.  Grammar
+decoding and logits_filter_callback also route to the host loop (they are
+host-side by nature).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models.whisper import model as M
+from ..models.whisper.hparams import CHUNK_SIZE, WhisperHParams
+from .logits import LogitFilterTables
+
+NEG_INF = jnp.float32(-jnp.inf)
+DELTA_MIN = 10
+
+
+def build_masks(tables: LogitFilterTables, params) -> Tuple[np.ndarray, np.ndarray]:
+    """(base_mask, initial_mask): additive {0,-inf} vectors folding all
+    static token suppressions (src/whisper.cpp:6233-6310)."""
+    v = tables.vocab
+    n = max(v.id_to_token) + 1
+    base = np.zeros(n, np.float32)
+    base[v.token_not] = -np.inf
+    base[v.token_sot] = -np.inf
+    base[v.token_nosp] = -np.inf
+    if not params.tdrz_enable:
+        base[v.token_solm] = -np.inf
+    base[v.token_translate] = -np.inf
+    base[v.token_transcribe] = -np.inf
+    base[v.token_prev] = -np.inf
+    base[tables.lang_ids] = -np.inf
+    if params.suppress_regex:
+        base[tables.regex_ids(params.suppress_regex)] = -np.inf
+    if params.suppress_nst:
+        base[tables.nst_ids] = -np.inf
+    if params.no_timestamps:
+        base[v.token_beg:] = -np.inf
+
+    initial = np.zeros(n, np.float32)
+    if params.suppress_blank:
+        initial[v.token_eot] = -np.inf
+        if tables.space_id is not None:
+            initial[tables.space_id] = -np.inf
+    if params.max_initial_ts > 0.0:
+        precision = float(CHUNK_SIZE) / tables.n_audio_ctx
+        tid0 = int(round(params.max_initial_ts / precision))
+        initial[v.token_beg + tid0 + 1:] = -np.inf
+    return base, initial
+
+
+class LoopState(NamedTuple):
+    i: jax.Array                 # step counter (scalar)
+    cache: M.KVCache
+    logits_row: jax.Array        # (B, V) raw logits feeding this step's filters
+    rng: jax.Array
+    last_id: jax.Array           # (B,)
+    penult_id: jax.Array
+    has_ts: jax.Array            # bool (B,)
+    seek_delta: jax.Array        # (B,) int32
+    result_len: jax.Array
+    failed: jax.Array
+    completed: jax.Array
+    sum_logprobs: jax.Array      # (B,)
+    tok_id: jax.Array            # output buffers (B, n_max)
+    tok_tid: jax.Array
+    tok_p: jax.Array
+    tok_plog: jax.Array
+    tok_pt: jax.Array
+    tok_ptsum: jax.Array
+    n_tok: jax.Array             # (B,)
+
+
+class WindowResult(NamedTuple):
+    tok_id: jax.Array
+    tok_tid: jax.Array
+    tok_p: jax.Array
+    tok_plog: jax.Array
+    tok_pt: jax.Array
+    tok_ptsum: jax.Array
+    n_tok: jax.Array
+    result_len: jax.Array
+    seek_delta: jax.Array
+    has_ts: jax.Array
+    failed: jax.Array
+    completed: jax.Array
+    sum_logprobs: jax.Array
+    prompt_probs: jax.Array      # (V,) softmax of raw prompt logits (no_speech)
+
+
+def _apply_filters(raw, st_i, last_id, penult_id, has_ts, seek_delta,
+                   base_mask, initial_mask, temperature, max_tokens,
+                   eot: int, beg: int, no_timestamps: bool,
+                   single_segment: bool):
+    """Vectorized whisper_process_logits over the beam axis.
+    raw: (B, V); returns (logits, logprobs, probs)."""
+    V = raw.shape[-1]
+    idx = jnp.arange(V)
+
+    logits = jnp.where(temperature > 0.0,
+                       raw / jnp.maximum(temperature, 1e-9), raw)
+    logits = logits + base_mask
+    is_initial = st_i == 0
+    logits = jnp.where(is_initial, logits + initial_mask, logits)
+
+    # max_tokens rule (PR 3798): force ts/EOT once the cap is reached
+    if not no_timestamps and not single_segment:
+        cap = (max_tokens > 0) & (st_i >= max_tokens)
+        logits = jnp.where(cap & (idx < eot), NEG_INF, logits)
+
+    # timestamp pair rules (per-beam)
+    last_was_ts = (st_i > 0) & (last_id >= beg)
+    penult_was_ts = (st_i < 2) | (penult_id >= beg)
+    ban_ts = (last_was_ts & penult_was_ts)[:, None] & (idx >= beg)[None, :]
+    ban_text = (last_was_ts & ~penult_was_ts)[:, None] & (idx < eot)[None, :]
+    logits = jnp.where(ban_ts | ban_text, NEG_INF, logits)
+
+    # monotonic timestamps (per-beam seek_delta)
+    tid0 = beg + seek_delta // 2
+    mono = has_ts[:, None] & (idx[None, :] >= beg) & (idx[None, :] < tid0[:, None])
+    logits = jnp.where(mono, NEG_INF, logits)
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    # sample-timestamp-iff rule: mask text when ts mass dominates
+    ts_lse = jax.nn.logsumexp(jnp.where(idx >= beg, logprobs, NEG_INF), axis=-1)
+    max_text = jnp.max(jnp.where(idx < beg, logprobs, NEG_INF), axis=-1)
+    force_ts = (ts_lse > max_text)[:, None] & (idx < beg)[None, :]
+    logits = jnp.where(force_ts, NEG_INF, logits)
+    logprobs = jnp.where(force_ts, NEG_INF, logprobs)
+
+    probs = jnp.where(jnp.isneginf(logits), 0.0, jnp.exp(logprobs))
+    return logits, logprobs, probs
+
+
+def _sample(logprobs, probs, temperature, rng, beg: int):
+    """whisper_sample_token: greedy at t=0, categorical at t>0.
+    Returns per-beam (id, p, plog, tid, pt, ptsum)."""
+    V = probs.shape[-1]
+    B = probs.shape[0]
+    idx = jnp.arange(V)
+
+    greedy_id = jnp.argmax(probs, axis=-1)
+    keys = jax.random.split(rng, B)
+    sampled_id = jax.vmap(lambda k, lp: jax.random.categorical(k, lp))(keys, logprobs)
+    tok = jnp.where(temperature < 1e-6, greedy_id, sampled_id).astype(jnp.int32)
+
+    p = jnp.take_along_axis(probs, tok[:, None], axis=-1)[:, 0]
+    plog = jnp.take_along_axis(logprobs, tok[:, None], axis=-1)[:, 0]
+
+    ts_probs = jnp.where(idx >= beg, probs, 0.0)
+    sum_ts = jnp.sum(ts_probs, axis=-1)
+    tid = jnp.argmax(ts_probs, axis=-1).astype(jnp.int32)
+    max_ts = jnp.take_along_axis(ts_probs, tid[:, None], axis=-1)[:, 0]
+    tid = jnp.where(sum_ts > 0, tid, beg)
+    pt = max_ts / (sum_ts + 1e-10)
+
+    is_ts_tok = tok >= beg
+    tid = jnp.where(is_ts_tok, tok, tid)
+    pt = jnp.where(is_ts_tok, p, pt)
+    return tok, p, plog, tid, pt, sum_ts
+
+
+def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
+                        compute_dtype, no_timestamps: bool,
+                        single_segment: bool, vocab_eot: int, vocab_beg: int,
+                        unroll_layers: bool = True):
+    """Build the jitted whole-window greedy/best-of decode function.
+    Static: hp dims, lane count, prompt bucket, timestamp-mode flags."""
+    n_max = hp.n_text_ctx // 2 - 4
+    eot, beg = vocab_eot, vocab_beg
+    cache_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+
+    @jax.jit
+    def decode_window(params, prompt, prompt_len, xk, xv, base_mask,
+                      initial_mask, temperature, seek, seek_end, max_tokens,
+                      rng) -> WindowResult:
+        B = n_beams
+
+        # ---- prompt decode (single lane), then tile KV across lanes ----
+        cache1 = M.KVCache.zeros(hp, 1, cache_dtype)
+        pos = jnp.clip(jnp.arange(prompt_bucket, dtype=jnp.int32), 0,
+                       hp.n_text_ctx - 1)[None, :]
+        logits_all, cache1 = M.decode_step(
+            params, prompt[None, :], pos, jnp.int32(0), cache1, xk, xv, hp,
+            dtype=compute_dtype, unroll=unroll_layers)
+        last_row = lax.dynamic_index_in_dim(
+            logits_all, prompt_len - 1, axis=1, keepdims=False)  # (1, V)
+        prompt_probs = jax.nn.softmax(last_row[0].astype(jnp.float32))
+
+        cache = M.KVCache(jnp.tile(cache1.k, (1, B, 1, 1)),
+                          jnp.tile(cache1.v, (1, B, 1, 1)))
+
+        st = LoopState(
+            i=jnp.int32(0), cache=cache,
+            logits_row=jnp.tile(last_row, (B, 1)), rng=rng,
+            last_id=jnp.full((B,), -1, jnp.int32),
+            penult_id=jnp.full((B,), -1, jnp.int32),
+            has_ts=jnp.zeros((B,), bool),
+            seek_delta=jnp.full((B,), 100 * CHUNK_SIZE, jnp.int32),
+            result_len=jnp.zeros((B,), jnp.int32),
+            failed=jnp.zeros((B,), bool),
+            completed=jnp.zeros((B,), bool),
+            sum_logprobs=jnp.zeros((B,), jnp.float32),
+            tok_id=jnp.zeros((B, n_max), jnp.int32),
+            tok_tid=jnp.zeros((B, n_max), jnp.int32),
+            tok_p=jnp.zeros((B, n_max), jnp.float32),
+            tok_plog=jnp.zeros((B, n_max), jnp.float32),
+            tok_pt=jnp.zeros((B, n_max), jnp.float32),
+            tok_ptsum=jnp.zeros((B, n_max), jnp.float32),
+            n_tok=jnp.zeros((B,), jnp.int32),
+        )
+
+        def cond(st: LoopState):
+            return (st.i < n_max) & ~jnp.all(st.completed | st.failed)
+
+        def body(st: LoopState) -> LoopState:
+            live = ~(st.completed | st.failed)
+            logits, logprobs, probs = _apply_filters(
+                st.logits_row, st.i, st.last_id, st.penult_id, st.has_ts,
+                st.seek_delta, base_mask, initial_mask, temperature,
+                max_tokens, eot, beg, no_timestamps, single_segment)
+
+            rng, sub = jax.random.split(st.rng)
+            tok, p, plog, tid, pt, ptsum = _sample(
+                logprobs, probs, temperature, sub, beg)
+
+            # write buffers for live lanes at column i
+            col = st.i
+
+            def put(buf, val):
+                return jnp.where(
+                    (jnp.arange(n_max)[None, :] == col) & live[:, None],
+                    val[:, None].astype(buf.dtype), buf)
+
+            tok_id = put(st.tok_id, tok)
+            tok_tid = put(st.tok_tid, tid)
+            tok_p = put(st.tok_p, p)
+            tok_plog = put(st.tok_plog, plog)
+            tok_pt = put(st.tok_pt, pt)
+            tok_ptsum = put(st.tok_ptsum, ptsum)
+            n_tok = jnp.where(live, st.i + 1, st.n_tok)
+            sum_logprobs = jnp.where(live, st.sum_logprobs + plog,
+                                     st.sum_logprobs)
+
+            # ---- state rules (src/whisper.cpp:7360-7443) ----
+            is_ts = live & (tok > beg)
+            sd_new = 2 * (tok - beg)
+            fail_seek = (is_ts & st.has_ts & (st.seek_delta > sd_new) &
+                         (st.result_len < st.i))
+            ok_ts = is_ts & ~fail_seek
+            seek_delta = jnp.where(ok_ts, sd_new, st.seek_delta)
+            result_len = jnp.where(ok_ts, st.i + 1, st.result_len)
+            has_ts = st.has_ts | ok_ts
+            failed = st.failed | fail_seek
+
+            still = live & ~fail_seek
+            end_audio = has_ts & (seek + seek_delta + DELTA_MIN >= seek_end)
+            complete_cond = still & (
+                (tok == eot) | ((max_tokens > 0) & (st.i >= max_tokens)) |
+                end_audio)
+            if not no_timestamps:
+                zero_len = complete_cond & (result_len == 0)
+                accept = zero_len & end_audio
+                result_len = jnp.where(accept, st.i + 1, result_len)
+                failed = failed | (zero_len & ~end_audio)
+                complete_cond = complete_cond & ~(zero_len & ~end_audio)
+            if single_segment or no_timestamps:
+                result_len = jnp.where(complete_cond, st.i + 1, result_len)
+                seek_delta = jnp.where(complete_cond, 100 * CHUNK_SIZE,
+                                       seek_delta)
+            completed = st.completed | complete_cond
+
+            # repetition-loop failure on the last step
+            rep = (st.i == n_max - 1) & still & ~complete_cond & (
+                (result_len == 0) | (seek_delta < 100 * CHUNK_SIZE // 2))
+            failed = failed | rep
+
+            # ---- next-token decode (batched over lanes) ----
+            n_past = prompt_len + st.i
+            step_pos = jnp.clip(n_past, 0, hp.n_text_ctx - 1) * jnp.ones(
+                (B, 1), jnp.int32)
+            logits_next, cache = M.decode_step(
+                params, tok[:, None], step_pos, n_past, st.cache, xk, xv, hp,
+                dtype=compute_dtype, unroll=unroll_layers)
+
+            return LoopState(
+                i=st.i + 1, cache=cache, logits_row=logits_next[:, 0],
+                rng=rng,
+                last_id=jnp.where(live, tok, st.last_id),
+                penult_id=jnp.where(live, st.last_id, st.penult_id),
+                has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
+                failed=failed, completed=completed,
+                sum_logprobs=sum_logprobs,
+                tok_id=tok_id, tok_tid=tok_tid, tok_p=tok_p,
+                tok_plog=tok_plog, tok_pt=tok_pt, tok_ptsum=tok_ptsum,
+                n_tok=n_tok)
+
+        final = lax.while_loop(cond, body, st)
+
+        return WindowResult(
+            tok_id=final.tok_id, tok_tid=final.tok_tid, tok_p=final.tok_p,
+            tok_plog=final.tok_plog, tok_pt=final.tok_pt,
+            tok_ptsum=final.tok_ptsum, n_tok=final.n_tok,
+            result_len=final.result_len, seek_delta=final.seek_delta,
+            has_ts=final.has_ts, failed=final.failed,
+            completed=final.completed, sum_logprobs=final.sum_logprobs,
+            prompt_probs=prompt_probs)
+
+    return decode_window

@@ -39,6 +39,28 @@ def _gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=True)
 
 
+def scan_layers(body, carry, xs, unroll: bool = True):
+    """Iterate `body` over the leading (layer) axis of the `xs` pytree.
+
+    unroll=True emits a Python loop (XLA sees L inlined blocks — faster at
+    runtime, especially on CPU where `lax.scan` bodies don't fuse); False uses
+    `lax.scan` (smaller HLO, faster compiles for very deep models)."""
+    if not unroll:
+        return lax.scan(body, carry, xs)
+    leaves = jax.tree.leaves(xs)
+    n = leaves[0].shape[0]
+    ys = []
+    for i in range(n):
+        xi = jax.tree.map(lambda a: a[i], xs)
+        carry, y = body(carry, xi)
+        ys.append(y)
+    if ys and ys[0] is not None:
+        stacked = jax.tree.map(lambda *a: jnp.stack(a), *ys)
+    else:
+        stacked = None
+    return carry, stacked
+
+
 def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-5) -> jax.Array:
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -127,7 +149,8 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
 
 
 def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
-           dtype=jnp.bfloat16, n_audio_ctx: Optional[int] = None) -> jax.Array:
+           dtype=jnp.bfloat16, n_audio_ctx: Optional[int] = None,
+           unroll: bool = True) -> jax.Array:
     """mel (n_mels, 2*n_ctx) -> encoder embeddings (n_ctx, n_state).
 
     Mirrors whisper_build_graph_encoder (src/whisper.cpp:2044-2275); position
@@ -142,13 +165,14 @@ def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
     def body(carry, blk):
         return _encoder_block(carry, blk, hp.n_audio_head, hp.eps, dtype), None
 
-    x, _ = lax.scan(body, x, enc["blocks"])
+    x, _ = scan_layers(body, x, enc["blocks"], unroll)
     x = layer_norm(x, enc["ln_post_w"], enc["ln_post_b"], hp.eps)
     return x
 
 
 def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
-                     hp: WhisperHParams, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+                     hp: WhisperHParams, dtype=jnp.bfloat16,
+                     unroll: bool = True) -> Tuple[jax.Array, jax.Array]:
     """Precompute cross-attention K/V for every decoder layer
     (whisper_build_graph_cross, src/whisper.cpp:2278-2352).
 
@@ -162,7 +186,7 @@ def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
         v = _mm(enc_out, blk["xv_w"], dtype) + blk["xv_b"]
         return None, (_split_heads(k, hp.n_text_head), _split_heads(v, hp.n_text_head))
 
-    _, (xk, xv) = lax.scan(body, None, blocks)
+    _, (xk, xv) = scan_layers(body, None, blocks, unroll)
     return xk, xv
 
 
@@ -194,7 +218,8 @@ def decode_step(params: Dict[str, Any],
                 cache: KVCache,
                 xk: jax.Array, xv: jax.Array,  # cross KV
                 hp: WhisperHParams,
-                dtype=jnp.bfloat16) -> Tuple[jax.Array, KVCache]:
+                dtype=jnp.bfloat16,
+                unroll: bool = True) -> Tuple[jax.Array, KVCache]:
     """One batched decoder forward over all live beams.
 
     Mirrors whisper_build_graph_decoder (src/whisper.cpp:2464-2842): token+pos
@@ -247,7 +272,8 @@ def decode_step(params: Dict[str, Any],
         x = x + _mm(h, blk["mlp1_w"], dtype) + blk["mlp1_b"]
         return x, (k_cache, v_cache)
 
-    x, (new_k, new_v) = lax.scan(body, x, (dec["blocks"], cache.k, cache.v, xk, xv))
+    x, (new_k, new_v) = scan_layers(
+        body, x, (dec["blocks"], cache.k, cache.v, xk, xv), unroll)
     x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
     logits = _mm(x, dec["tok_embd"].T, dtype)  # (B, T, n_vocab)
     return logits.astype(jnp.float32), KVCache(new_k, new_v)

@@ -1,0 +1,213 @@
+"""WhisperContext — the runtime around the jitted compute functions.
+
+Plays the role of whisper_context + whisper_state (src/whisper.cpp:824-900):
+owns device weights, shape-bucketed compiled functions, the mel spectrogram,
+the KV cache and phase timers.  Where the reference rebuilds a ggml graph per
+call and runs it through the backend scheduler, here each (batch, token-count)
+bucket is traced once by XLA and cached (SURVEY.md §1: the scheduler's role is
+played by XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import LogMel, mel_frame_counts
+from ..decoding.logits import LogitFilterTables
+from ..models.whisper import model as M
+from ..models.whisper.hparams import WhisperHParams
+from ..models.whisper.load import WhisperModel, load_model
+from .timings import Timings
+
+# token-count buckets for prompt decodes (steps are always 1); padding to the
+# bucket keeps the XLA compile cache small (SURVEY.md §7 hard part 6)
+TOKEN_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 448)
+
+
+def _bucket(n: int) -> int:
+    for b in TOKEN_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"too many tokens: {n}")
+
+
+class WhisperContext:
+    def __init__(self, model: WhisperModel, dtype=jnp.float32,
+                 compute_dtype=None):
+        self.model = model
+        self.hp = model.hparams
+        self.vocab = model.vocab
+        self.is_empty = model.is_empty
+        # compute_dtype: MXU input precision (bf16 on TPU default)
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
+        self.compute_dtype = compute_dtype
+        self.params = (
+            None if model.is_empty else jax.tree.map(
+                lambda a: jnp.asarray(a, dtype), model.params))
+        self.mel_fn = LogMel(model.filters.data)
+        self.timings = Timings()
+        self.filter_tables: Optional[LogitFilterTables] = None  # set per audio_ctx
+
+        self.mel: Optional[np.ndarray] = None       # (n_mel, n_len)
+        self.n_len_org: int = 0
+        self.lang_id: int = 0
+        self.no_speech_prob: float = 0.0
+
+        # encoder outputs for the current window
+        self.xk = None
+        self.xv = None
+
+        self._encode_jit: Dict[int, Any] = {}
+        self._decode_jit: Dict[Tuple[int, int], Any] = {}
+        self._window_jit: Dict[Tuple, Any] = {}
+
+    @staticmethod
+    def from_file(path: str, **kw) -> "WhisperContext":
+        return WhisperContext(load_model(path), **kw)
+
+    # -- mel -----------------------------------------------------------------
+
+    def pcm_to_mel(self, samples: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        self.mel, self.n_len_org = self.mel_fn(samples)
+        self.timings.t_mel_us += int((time.perf_counter() - t0) * 1e6)
+
+    def set_mel(self, mel: np.ndarray, n_len_org: Optional[int] = None) -> None:
+        self.mel = np.asarray(mel, dtype=np.float32)
+        self.n_len_org = n_len_org if n_len_org is not None else mel.shape[1]
+
+    @property
+    def n_len(self) -> int:
+        return 0 if self.mel is None else self.mel.shape[1]
+
+    # -- compiled functions ----------------------------------------------------
+
+    def _get_encode(self, n_audio_ctx: int):
+        fn = self._encode_jit.get(n_audio_ctx)
+        if fn is None:
+            hp, cd = self.hp, self.compute_dtype
+
+            @jax.jit
+            def encode_fn(params, mel_window):
+                enc = M.encode(params, mel_window, hp, dtype=cd,
+                               n_audio_ctx=n_audio_ctx)
+                xk, xv = M.compute_cross_kv(params, enc, hp, dtype=cd)
+                return enc, xk, xv
+
+            fn = self._encode_jit[n_audio_ctx] = encode_fn
+        return fn
+
+    def _get_decode(self, n_beam: int, n_tok: int):
+        key = (n_beam, n_tok)
+        fn = self._decode_jit.get(key)
+        if fn is None:
+            hp, cd = self.hp, self.compute_dtype
+
+            @jax.jit
+            def decode_fn(params, tokens, positions, kv_head, n_valid, cache,
+                          xk, xv):
+                logits, cache = M.decode_step(
+                    params, tokens, positions, kv_head, cache, xk, xv, hp,
+                    dtype=cd)
+                # logits for the last *valid* row only (reference downloads
+                # only rows flagged in batch.logits, src/whisper.cpp:2972)
+                last = jax.lax.dynamic_index_in_dim(
+                    logits, n_valid - 1, axis=1, keepdims=False)
+                return last, cache
+
+            fn = self._decode_jit[key] = decode_fn
+        return fn
+
+    # -- public compute ---------------------------------------------------------
+
+    def encode_window(self, seek: int, audio_ctx: int = 0) -> None:
+        """Encode 2*n_ctx mel frames starting at `seek`
+        (whisper_encode_internal, src/whisper.cpp:2364-2462)."""
+        assert self.mel is not None, "call pcm_to_mel first"
+        hp = self.hp
+        n_ctx = audio_ctx if audio_ctx > 0 else hp.n_audio_ctx
+        t0 = time.perf_counter()
+        window = np.zeros((hp.n_mels, 2 * n_ctx), np.float32)
+        i1 = min(seek + 2 * n_ctx, self.n_len)
+        if i1 > seek:
+            window[:, : i1 - seek] = self.mel[:, seek:i1]
+        _, self.xk, self.xv = self._get_encode(n_ctx)(
+            self.params, jnp.asarray(window))
+        self.xk.block_until_ready()
+        self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
+        self.timings.n_encode += 1
+        self.filter_tables = LogitFilterTables(self.vocab, n_ctx)
+
+    def new_cache(self, n_beam: int, dtype=jnp.float32) -> M.KVCache:
+        return M.KVCache.zeros(self.hp, n_beam, dtype)
+
+    def decode_window_device(self, prompt, n_beams: int, temperature: float,
+                             seek: int, seek_end: int, params,
+                             no_timestamps: bool, rng_seed: int):
+        """Run the whole-window on-device token loop (decoding/device_loop.py);
+        one host readback per call.  Returns a WindowResult of numpy arrays."""
+        from ..decoding import device_loop as DL
+
+        bt = _bucket(len(prompt))
+        key = (n_beams, bt, no_timestamps, params.single_segment)
+        fn = self._window_jit.get(key)
+        if fn is None:
+            fn = DL.make_window_decoder(
+                self.hp, n_beams, bt, self.compute_dtype, no_timestamps,
+                params.single_segment, self.vocab.token_eot,
+                self.vocab.token_beg)
+            self._window_jit[key] = fn
+        base_mask, initial_mask = DL.build_masks(self.filter_tables, params)
+        prompt_padded = np.zeros(bt, np.int32)
+        prompt_padded[: len(prompt)] = prompt
+        t0 = time.perf_counter()
+        res = fn(self.params, jnp.asarray(prompt_padded),
+                 jnp.int32(len(prompt)), self.xk, self.xv,
+                 jnp.asarray(base_mask), jnp.asarray(initial_mask),
+                 jnp.float32(temperature), jnp.int32(seek),
+                 jnp.int32(seek_end), jnp.int32(params.max_tokens),
+                 jax.random.PRNGKey(rng_seed))
+        res = jax.tree.map(np.asarray, res)
+        dt = int((time.perf_counter() - t0) * 1e6)
+        n_steps = int(res.n_tok.max()) if res.n_tok.size else 0
+        self.timings.t_decode_us += dt
+        self.timings.n_decode += n_steps
+        self.timings.n_prompt += len(prompt)
+        return res
+
+    def decode(self, tokens_2d: np.ndarray, n_past: int, cache: M.KVCache,
+               timing: str = "decode") -> Tuple[np.ndarray, M.KVCache]:
+        """Batched decode of (n_beam, n_tok) tokens at positions n_past..;
+        returns (last-row logits (n_beam, n_vocab) numpy, updated cache)."""
+        n_beam, n_tok = tokens_2d.shape
+        bt = _bucket(n_tok)
+        toks = np.zeros((n_beam, bt), np.int32)
+        toks[:, :n_tok] = tokens_2d
+        pos = np.clip(n_past + np.arange(bt, dtype=np.int32),
+                      0, self.hp.n_text_ctx - 1)[None, :].repeat(n_beam, 0)
+        t0 = time.perf_counter()
+        fn = self._get_decode(n_beam, bt)
+        logits, cache = fn(self.params, jnp.asarray(toks), jnp.asarray(pos),
+                           jnp.int32(n_past), jnp.int32(n_tok), cache,
+                           self.xk, self.xv)
+        out = np.asarray(logits)
+        dt = int((time.perf_counter() - t0) * 1e6)
+        if n_tok == 1 and n_beam == 1:
+            self.timings.t_decode_us += dt
+            self.timings.n_decode += 1
+        elif n_tok < 16:
+            self.timings.t_batchd_us += dt
+            self.timings.n_batchd += n_tok
+        else:
+            self.timings.t_prompt_us += dt
+            self.timings.n_prompt += n_tok
+        return out, cache
