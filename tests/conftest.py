@@ -7,10 +7,16 @@ import pathlib
 import subprocess
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# JAX_PLATFORMS; config.update after import wins (no backend initialized yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))

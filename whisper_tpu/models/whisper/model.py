@@ -235,7 +235,8 @@ def decode_step(params: Dict[str, Any],
     n_ctx = hp.n_text_ctx
     eps = hp.eps
 
-    x = dec["tok_embd"][tokens] + dec["pos_embd"][positions]  # (B, T, n_state)
+    # f32 residual stream (matches the carry dtype the block bodies return)
+    x = (dec["tok_embd"][tokens] + dec["pos_embd"][positions]).astype(jnp.float32)
 
     # causal mask over the static cache: cell j visible to new token i iff
     # j < kv_head + i + 1  (cells are written in position order per beam)
