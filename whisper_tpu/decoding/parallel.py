@@ -1,0 +1,88 @@
+"""Data-parallel transcription over audio chunks.
+
+Port of `whisper_full_parallel` (src/whisper.cpp:7811-7939): the audio is
+split into `n_processors` equal chunks, each transcribed with its own decode
+state against the shared model, and segments are merged with timestamp
+offset fix-up and a non-overlap clamp.
+
+On a single chip the chunks run sequentially (decode calls would serialize
+on the device anyway); on a multi-chip mesh the 'dp' axis runs chunks
+concurrently (see parallel/mesh.py) — the merge logic is identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import List
+
+import numpy as np
+
+from .full import Segment, full_with_state
+from .params import TranscribeParams
+
+SAMPLE_RATE = 16000
+
+
+def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
+                        n_processors: int) -> List[Segment]:
+    if n_processors <= 1:
+        from .full import transcribe
+
+        return transcribe(ctx, params, samples)
+
+    if params.vad:
+        from ..models.vad.pipeline import filter_speech
+
+        filtered = filter_speech(ctx, params, samples)
+        if filtered is None:
+            return []
+        samples, _ = filtered  # parallel path drops the time remap (reference
+        # whisper_full_parallel also remaps only via chunk offsets)
+
+    n_samples = len(samples)
+    offset_samples = (SAMPLE_RATE * params.offset_ms) // 1000
+    n_per = (n_samples - offset_samples) // n_processors
+
+    all_segments: List[Segment] = []
+    offset_t = params.offset_ms // 10
+
+    for i in range(n_processors):
+        if i == 0:
+            chunk = samples[: offset_samples + n_per]
+            p = replace_params(params)
+        else:
+            start = offset_samples + i * n_per
+            n_cur = n_samples - start if i == n_processors - 1 else n_per
+            chunk = samples[start: start + n_cur]
+            p = replace_params(params, clear_offset=True)
+
+        segs = full_with_state(ctx, p, chunk)
+        # fresh rolling context between chunks
+        ctx.prompt_past0, ctx.prompt_past1 = [], []
+
+        if i == 0:
+            all_segments.extend(segs)
+        else:
+            shift = 100 * (i * n_per) // SAMPLE_RATE + offset_t
+            for s in segs:
+                s.t0 += shift
+                s.t1 += shift
+                if all_segments:
+                    s.t0 = max(s.t0, all_segments[-1].t1)
+                all_segments.append(s)
+                if params.new_segment_callback:
+                    params.new_segment_callback(ctx, all_segments, 1)
+    return all_segments
+
+
+def replace_params(params: TranscribeParams, clear_offset: bool = False):
+    import copy
+
+    p = copy.copy(params)
+    p.vad = False  # already applied above
+    if clear_offset:
+        p.offset_ms = 0
+        p.print_progress = False
+        p.new_segment_callback = None
+        p.progress_callback = None
+    return p
