@@ -105,7 +105,9 @@ def read_tensor_records(f: BinaryIO) -> Iterator[TensorRecord]:
         n_dims = struct.unpack("<i", head)[0]
         name_len = read_i32(f)
         ggml_type = read_i32(f)
-        if not (0 < n_dims <= 4):
+        # n_dims == 0 is a scalar tensor (silero final_conv_bias);
+        # reference accepts 0 <= n_dims <= 4 (src/whisper.cpp:5034)
+        if not (0 <= n_dims <= 4):
             raise ValueError(f"bad tensor rank {n_dims}")
         ne = [read_i32(f) for _ in range(n_dims)]
         name = f.read(name_len).decode("utf-8")
