@@ -1,0 +1,190 @@
+"""Parakeet runtime context: pcm -> mel -> encode -> TDT decode -> segments.
+
+Mirrors the reference C API surface (include/parakeet.h): parakeet_full,
+parakeet_chunk (streaming with persistent LSTM state), segment/token
+accessors, timings.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import model as M
+from .decode import ParakeetTokenData, TdtDecoder, refine_timestamps_tdt
+from .hparams import HOP_LENGTH, ParakeetHParams
+from .load import ParakeetModel, load_parakeet_model
+from .mel import log_mel_spectrogram
+from .tokenizer import detokenize, piece_to_text, tokenize
+
+
+@dataclass
+class ParakeetSegment:
+    """parakeet_segment: t0/t1 in encoder-frame*subsampling ticks (10 ms)."""
+
+    t0: int
+    t1: int
+    text: str
+    tokens: List[ParakeetTokenData] = field(default_factory=list)
+
+
+@dataclass
+class FullParams:
+    """parakeet_full_params subset (include/parakeet.h:150-200)."""
+
+    n_threads: int = 4
+    audio_ctx: int = 0
+    no_context: bool = True
+    new_segment_callback: Any = None
+    new_token_callback: Any = None
+    progress_callback: Any = None
+
+
+class ParakeetContext:
+    def __init__(self, model: ParakeetModel, dtype=jnp.float32,
+                 exact_shapes: bool = True):
+        self.model = model
+        self.hp = model.hparams
+        self.vocab = model.vocab
+        self.dtype = dtype
+        # exact_shapes=True mirrors the reference's per-length dynamic graph
+        # (bit-parity); False pads mel time to power-of-two buckets so jit
+        # compiles are reused across utterances (production mode).
+        self.exact_shapes = exact_shapes
+        self.mel: Optional[np.ndarray] = None
+        self.n_len_org = 0
+        self.result_all: List[ParakeetSegment] = []
+        self.decoded_tokens: List[int] = []
+        self.decoded_token_data: List[ParakeetTokenData] = []
+        self.t_mel_us = self.t_encode_us = self.t_decode_us = 0
+        if not model.is_empty:
+            self.params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), model.params)
+            self.decoder = TdtDecoder(model, dtype)
+            self._encode_jit = jax.jit(
+                M.encode, static_argnames=("hp", "dtype"))
+        else:
+            self.params = None
+            self.decoder = None
+
+    @staticmethod
+    def from_file(path: str, **kw) -> "ParakeetContext":
+        return ParakeetContext(load_parakeet_model(path), **kw)
+
+    # -- API surface ---------------------------------------------------------
+
+    def pcm_to_mel(self, samples: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        self.mel = log_mel_spectrogram(samples, self.model.filters,
+                                       self.model.window, self.hp.n_fft)
+        self.n_len_org = self.mel.shape[0]
+        self.t_mel_us += int((time.perf_counter() - t0) * 1e6)
+
+    def set_mel(self, mel: np.ndarray) -> None:
+        self.mel = np.asarray(mel, np.float32)
+        self.n_len_org = self.mel.shape[0]
+
+    def reset_state(self) -> None:
+        self.decoded_tokens.clear()
+        self.decoded_token_data.clear()
+        if self.decoder is not None:
+            self.decoder.reset_state()
+
+    def n_len(self) -> int:
+        return 0 if self.mel is None else self.mel.shape[0]
+
+    def tokenize(self, text: str) -> List[int]:
+        return tokenize(self.vocab, text)
+
+    def token_to_str(self, token_id: int) -> str:
+        return self.vocab.id_to_token[token_id]
+
+    # -- main entry points ----------------------------------------------------
+
+    def full(self, samples: Optional[np.ndarray],
+             params: Optional[FullParams] = None) -> int:
+        """parakeet_full_with_state (src/parakeet.cpp:3570-3672)."""
+        params = params or FullParams()
+        self.result_all.clear()
+        if params.no_context:
+            self.reset_state()
+        return self.chunk(samples, params)
+
+    def chunk(self, samples: Optional[np.ndarray],
+              params: Optional[FullParams] = None) -> int:
+        """parakeet_chunk (src/parakeet.cpp:3683-3770): encode+decode the
+        current mel, appending to the persistent decode state."""
+        params = params or FullParams()
+        if samples is not None and len(samples) > 0:
+            self.pcm_to_mel(samples)
+        if self.mel is None:
+            return -1
+        if self.model.is_empty:
+            return 0  # header-only test model: full pipeline no-op
+
+        mel = self.mel
+        n_len_org = self.n_len_org
+        if not self.exact_shapes:
+            bucket = max(64, 1 << (mel.shape[0] - 1).bit_length())
+            pad = bucket - mel.shape[0]
+            if pad:
+                mel = np.pad(mel, ((0, pad), (0, 0)))
+
+        t0 = time.perf_counter()
+        enc = self._encode_jit(self.params, jnp.asarray(mel, self.dtype),
+                               n_len_org, hp=self.hp, dtype=self.dtype)
+        enc.block_until_ready()
+        self.t_encode_us += int((time.perf_counter() - t0) * 1e6)
+
+        n_frames = (n_len_org + self.hp.subsampling_factor - 1) \
+            // self.hp.subsampling_factor
+        n_frames = min(n_frames, enc.shape[0])
+
+        t0 = time.perf_counter()
+        new_tokens = self.decoder.decode(enc, n_frames)
+        self.t_decode_us += int((time.perf_counter() - t0) * 1e6)
+
+        if params.new_token_callback:
+            for td in new_tokens:
+                params.new_token_callback(self, td)
+
+        if new_tokens:
+            first = not self.decoded_tokens
+            text = ""
+            for k, td in enumerate(new_tokens):
+                text += piece_to_text(self.vocab.id_to_token[td.id],
+                                      is_first_piece=(first and k == 0))
+            self.decoded_tokens.extend(td.id for td in new_tokens)
+            self.decoded_token_data.extend(new_tokens)
+            refine_timestamps_tdt(self.vocab, new_tokens)
+            if text:
+                seg = ParakeetSegment(t0=0, t1=n_frames, text=text,
+                                      tokens=new_tokens)
+                self.result_all.append(seg)
+                if params.new_segment_callback:
+                    params.new_segment_callback(self, seg)
+        return 0
+
+    # -- accessors (parakeet_full_* analogues) --------------------------------
+
+    def n_segments(self) -> int:
+        return len(self.result_all)
+
+    def get_segment(self, i: int) -> ParakeetSegment:
+        return self.result_all[i]
+
+    def full_text(self) -> str:
+        return "".join(s.text for s in self.result_all)
+
+    def print_timings(self) -> str:
+        lines = [
+            f"parakeet:     mel time = {self.t_mel_us / 1000.0:8.2f} ms",
+            f"parakeet:  encode time = {self.t_encode_us / 1000.0:8.2f} ms",
+            f"parakeet:  decode time = {self.t_decode_us / 1000.0:8.2f} ms",
+        ]
+        return "\n".join(lines)

@@ -1,0 +1,173 @@
+"""TDT greedy transducer decode (reference: parakeet_decode,
+src/parakeet.cpp:2496-2640).
+
+TPU-first design: the reference launches one prediction graph + one joint
+graph per emitted symbol/frame with host round-trips for argmax.  Here the
+ENTIRE frame loop runs on-device inside one `lax.while_loop` — joint logits,
+greedy argmax over vocab+blank, duration lookup, conditional LSTM update and
+token emission are all traced ops; only the final packed result arrays cross
+back to the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import model as M
+from .hparams import ParakeetHParams
+from .tokenizer import is_punctuation_token, is_word_start_token
+
+
+@dataclass
+class ParakeetTokenData:
+    """parakeet_token_data (include/parakeet.h:120-137)."""
+
+    id: int
+    duration_idx: int
+    duration_value: int
+    frame_index: int
+    p: float
+    plog: float
+    t0: int
+    t1: int
+    is_word_start: bool = False
+
+
+@partial(jax.jit, static_argnames=("hp", "max_out", "dtype"))
+def tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
+                      h0: jax.Array, c0: jax.Array, hp: ParakeetHParams,
+                      max_out: int, dtype=jnp.float32):
+    """Run the full TDT loop on-device.
+
+    enc: [T_max, n_state]; n_frames: actual frame count (scalar).
+    Returns (tokens, frame_idx, dur_idx, dur_val, p, plog, n_out, h, c).
+    """
+    pred_p, joint_p = params["pred"], params["joint"]
+    blank_id = hp.blank_id
+    n_vocab_logits = blank_id + 1
+    durations = jnp.asarray(hp.tdt_durations, jnp.int32)
+
+    # initial predict on the blank token (src/parakeet.cpp:2525-2536)
+    pred_out, h, c = M.lstm_predict(pred_p, joint_p, jnp.int32(blank_id),
+                                    h0, c0, hp, dtype)
+
+    out_tok = jnp.zeros(max_out, jnp.int32)
+    out_frame = jnp.zeros(max_out, jnp.int32)
+    out_didx = jnp.zeros(max_out, jnp.int32)
+    out_dval = jnp.zeros(max_out, jnp.int32)
+    out_p = jnp.zeros(max_out, jnp.float32)
+    out_plog = jnp.zeros(max_out, jnp.float32)
+
+    state = (jnp.int32(0), jnp.int32(0), jnp.int32(0), pred_out, h, c,
+             out_tok, out_frame, out_didx, out_dval, out_p, out_plog)
+
+    def cond(s):
+        t, n_out = s[0], s[1]
+        return (t < n_frames) & (n_out < max_out)
+
+    def body(s):
+        t, n_out, emitted, pred_out, h, c, *bufs = s
+        out_tok, out_frame, out_didx, out_dval, out_p, out_plog = bufs
+
+        logits = M.joint_logits(joint_p, enc[t], pred_out, dtype)
+        tok_logits = logits[:n_vocab_logits].astype(jnp.float32)
+        dur_logits = logits[n_vocab_logits:].astype(jnp.float32)
+
+        best_tok = jnp.argmax(tok_logits).astype(jnp.int32)
+        max_logit = tok_logits[best_tok]
+        didx = jnp.argmax(dur_logits).astype(jnp.int32)
+        dur = durations[didx]
+
+        is_blank = best_tok == blank_id
+
+        # ---- blank branch: advance by max(dur, 1), reset emitted counter
+        def blank_case(_):
+            return (t + jnp.maximum(dur, 1), n_out, jnp.int32(0),
+                    pred_out, h, c,
+                    out_tok, out_frame, out_didx, out_dval, out_p, out_plog)
+
+        # ---- emit branch: store token data, advance predictor, then step t
+        def emit_case(_):
+            p = jnp.exp(max_logit - jax.scipy.special.logsumexp(tok_logits))
+            i = n_out
+            bufs2 = (out_tok.at[i].set(best_tok),
+                     out_frame.at[i].set(t),
+                     out_didx.at[i].set(didx),
+                     out_dval.at[i].set(dur),
+                     out_p.at[i].set(p),
+                     out_plog.at[i].set(max_logit))
+            pred2, h2, c2 = M.lstm_predict(pred_p, joint_p, best_tok, h, c,
+                                           hp, dtype)
+            adv = dur > 0
+            emitted2 = jnp.where(adv, 0, emitted + 1)
+            force = (~adv) & (emitted2 >= hp.n_max_tokens)
+            t2 = jnp.where(adv, t + dur, jnp.where(force, t + 1, t))
+            emitted2 = jnp.where(force, 0, emitted2)
+            return (t2, n_out + 1, emitted2, pred2, h2, c2) + bufs2
+
+        return jax.lax.cond(is_blank, blank_case, emit_case, None)
+
+    final = jax.lax.while_loop(cond, body, state)
+    t, n_out, _, pred_out, h, c, *bufs = final
+    return (*bufs, n_out, h, c)
+
+
+class TdtDecoder:
+    """Host wrapper: runs the device loop, unpacks parakeet_token_data."""
+
+    def __init__(self, model, dtype=jnp.float32):
+        self.model = model
+        self.hp = model.hparams
+        self.dtype = dtype
+        self.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), model.params)
+        D, L = self.hp.n_pred_dim, self.hp.n_pred_layers
+        self.h = jnp.zeros((L, D), dtype)
+        self.c = jnp.zeros((L, D), dtype)
+
+    def reset_state(self) -> None:
+        """parakeet_reset_state LSTM clear (src/parakeet.cpp:3552-3560)."""
+        self.h = jnp.zeros_like(self.h)
+        self.c = jnp.zeros_like(self.c)
+
+    def decode(self, enc: jax.Array, n_frames: int) -> List[ParakeetTokenData]:
+        hp = self.hp
+        max_out = int(min(n_frames * hp.n_max_tokens, 4 * n_frames + 64))
+        max_out = max(max_out, 16)
+        (tok, frame, didx, dval, p, plog, n_out, self.h, self.c) = \
+            tdt_greedy_decode(self.params, enc, jnp.int32(n_frames),
+                              self.h, self.c, hp, max_out, self.dtype)
+        n = int(n_out)
+        tok, frame = np.asarray(tok[:n]), np.asarray(frame[:n])
+        didx, dval = np.asarray(didx[:n]), np.asarray(dval[:n])
+        p, plog = np.asarray(p[:n]), np.asarray(plog[:n])
+
+        vocab = self.model.vocab
+        sub = hp.subsampling_factor
+        out = []
+        for i in range(n):
+            out.append(ParakeetTokenData(
+                id=int(tok[i]), duration_idx=int(didx[i]),
+                duration_value=int(dval[i]), frame_index=int(frame[i]),
+                p=float(p[i]), plog=float(plog[i]),
+                t0=int(frame[i]) * sub, t1=(int(frame[i]) + int(dval[i])) * sub,
+                is_word_start=is_word_start_token(vocab, int(tok[i]))))
+        return out
+
+
+def refine_timestamps_tdt(vocab, tokens: List[ParakeetTokenData]) -> None:
+    """Collapse punctuation-token durations (src/parakeet.cpp:2449-2471)."""
+    last_t1 = -1
+    for td in tokens:
+        if is_punctuation_token(vocab, td.id):
+            if last_t1 >= 0:
+                td.t0 = last_t1
+                td.t1 = last_t1
+        else:
+            last_t1 = td.t1
