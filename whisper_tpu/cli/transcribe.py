@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-bo", "--best-of", type=int, default=5)
     p.add_argument("-bs", "--beam-size", type=int, default=5)
     p.add_argument("-ac", "--audio-ctx", type=int, default=0)
+    p.add_argument("-dtw", "--dtw", default="",
+                   help="compute token-level timestamps via DTW on the given "
+                        "model's alignment heads (e.g. tiny.en, base, "
+                        "large.v3); 'auto' infers from the model")
     p.add_argument("-wt", "--word-thold", type=float, default=0.01)
     p.add_argument("-et", "--entropy-thold", type=float, default=2.40)
     p.add_argument("-lpt", "--logprob-thold", type=float, default=-1.0)
@@ -121,6 +125,11 @@ def run(argv: Optional[List[str]] = None) -> int:
     if not args.no_prints:
         print(f"whisper_tpu: loading model from '{args.model}'", file=sys.stderr)
     ctx = wt.WhisperContext.from_file(args.model)
+    if args.dtw:
+        if args.dtw.startswith("top:"):
+            ctx.enable_dtw(n_top_most=int(args.dtw[4:]))
+        else:
+            ctx.enable_dtw(args.dtw)
     if args.detect_language:
         args.language = "auto"
     if (args.language not in ("auto",) and

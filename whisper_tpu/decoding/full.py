@@ -536,6 +536,8 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
         if not is_no_speech:
             prompt_past1 = prompt_past1 + [t.id for t in tokens_cur[:result_len]]
 
+        n_segments_before_window = len(result_all)
+
         if tokens_cur and not ctx.is_empty and not is_no_speech:
             i0 = 0
             t0 = seek + 2 * (tokens_cur[0].tid - vocab.token_beg)
@@ -576,6 +578,17 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
                               tokens_cur[i0:], speaker_turn_next)
                 result_all.append(seg)
                 _post_segment(ctx, params, result_all, seek)
+
+        # [EXPERIMENTAL] DTW token-level timestamps for this window's
+        # segments (src/whisper.cpp:7749-7762)
+        n_seg_new = len(result_all) - n_segments_before_window
+        if getattr(ctx, "dtw_token_timestamps", False) and n_seg_new:
+            from .dtw import compute_token_level_timestamps_dtw
+
+            n_frames = min(CHUNK_SIZE * 100, seek_delta, seek_end - seek)
+            compute_token_level_timestamps_dtw(
+                ctx, params, result_all, len(result_all) - n_seg_new,
+                n_seg_new, seek, n_frames, medfilt_width=7)
 
         # single-timestamp ending: skip the whole chunk (PR 2629)
         max_tokens_ts_ending = (params.max_tokens > 0 and not params.single_segment

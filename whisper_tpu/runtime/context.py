@@ -66,9 +66,30 @@ class WhisperContext:
         self.xk = None
         self.xv = None
 
+        # [EXPERIMENTAL] DTW token-level timestamps
+        # (whisper_context_params.dtw_*, include/whisper.h:116-129)
+        self.dtw_token_timestamps = False
+        self.dtw_aheads: Optional[list] = None
+
         self._encode_jit: Dict[int, Any] = {}
         self._decode_jit: Dict[Tuple[int, int], Any] = {}
         self._window_jit: Dict[Tuple, Any] = {}
+
+    def enable_dtw(self, preset: str = "auto", n_top_most: int = 0,
+                   custom=None) -> None:
+        """Select alignment heads and enable DTW timestamps
+        (aheads_masks_init, src/whisper.cpp:1160-1283)."""
+        from ..decoding.dtw import resolve_aheads
+
+        if preset == "auto":
+            preset = self.hp.model_name
+            if not self.vocab.is_multilingual:
+                preset += ".en"
+        # the reference CLI spells these with dots (cli.cpp:190-213)
+        preset = preset.replace("large.v", "large-v").replace(
+            "large-v3.turbo", "large-v3-turbo")
+        self.dtw_aheads = resolve_aheads(self.hp, preset, n_top_most, custom)
+        self.dtw_token_timestamps = True
 
     @staticmethod
     def from_file(path: str, **kw) -> "WhisperContext":
