@@ -88,7 +88,12 @@ def _alignment_weights_all(params, tokens, positions, xk, xv,
     n_head = hp.n_text_head
     eps = hp.eps
 
-    x = (dec["tok_embd"][tokens] + dec["pos_embd"][positions]
+    from ..ops.qmm import QWeight, embed_lookup
+
+    tok_embd = dec["tok_embd"]
+    emb = (embed_lookup(tok_embd, tokens) if isinstance(tok_embd, QWeight)
+           else tok_embd[tokens])
+    x = (emb + dec["pos_embd"][positions]
          ).astype(jnp.float32)[None]  # (1, T, S)
 
     i = jnp.arange(n_tok)

@@ -210,6 +210,38 @@ def build_param_pytree(tensors: Dict[str, np.ndarray], hp: WhisperHParams) -> Di
     }
 
 
+# hot decode-loop weights eligible for the packed fused-kernel path; the
+# cross-attention K/V projections run once per window in compute_cross_kv
+# (compute-bound at T=1500) and stay dense
+PACKED_DEC_KEYS = {
+    "q_w": "attn.query.weight", "k_w": "attn.key.weight",
+    "v_w": "attn.value.weight", "o_w": "attn.out.weight",
+    "xq_w": "cross_attn.query.weight", "xo_w": "cross_attn.out.weight",
+    "mlp0_w": "mlp.0.weight", "mlp1_w": "mlp.2.weight",
+}
+
+
+def build_qweight_overlay(qplanes: Dict[str, "quants.QTensor"],
+                          hp: WhisperHParams) -> Dict[str, Any]:
+    """Stacked packed planes for the decoder's hot weights + logits head.
+
+    Returns {"blocks": {key: (codes [L,R,K], scales [L,R,K//32])},
+             "tok_embd": (codes, scales)} — only for weights whose packed
+    planes exist (symmetric formats); missing entries keep the dense leaf.
+    """
+    out: Dict[str, Any] = {"blocks": {}}
+    for key, fname in PACKED_DEC_KEYS.items():
+        names = [f"decoder.blocks.{i}.{fname}" for i in range(hp.n_text_layer)]
+        if all(n in qplanes and qplanes[n].mins is None for n in names):
+            out["blocks"][key] = (
+                np.stack([qplanes[n].codes for n in names]),
+                np.stack([qplanes[n].scales for n in names]))
+    te = qplanes.get("decoder.token_embedding.weight")
+    if te is not None and te.mins is None:
+        out["tok_embd"] = (te.codes, te.scales)
+    return out
+
+
 def load_model(path: str, dtype: Any = np.float32) -> WhisperModel:
     """Read a legacy ggml whisper file.  Quantized tensors are dequantized to
     `dtype` (dense path); the packed planes are additionally preserved in

@@ -69,8 +69,17 @@ def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-5) -> j
     return normed * w + b
 
 
-def _mm(x: jax.Array, w: jax.Array, dtype) -> jax.Array:
-    """x @ w with f32 accumulation; inputs cast to `dtype` for the MXU."""
+def _mm(x: jax.Array, w, dtype) -> jax.Array:
+    """x @ w with f32 accumulation; inputs cast to `dtype` for the MXU.
+
+    `w` may be a packed QWeight (stored in (out, in) file orientation) —
+    then this computes x @ W^T through the fused dequant-matmul Pallas
+    kernel, reading 1.125 B/elem of weights from HBM instead of bf16's 2.
+    """
+    from ...ops.qmm import QWeight, qmm_auto
+
+    if isinstance(w, QWeight):
+        return qmm_auto(x, w, dtype)
     return jnp.matmul(x.astype(dtype), w.astype(dtype),
                       preferred_element_type=jnp.float32)
 
@@ -235,8 +244,13 @@ def decode_step(params: Dict[str, Any],
     n_ctx = hp.n_text_ctx
     eps = hp.eps
 
+    from ...ops.qmm import QWeight, embed_lookup
+
+    tok_embd = dec["tok_embd"]
+    emb = (embed_lookup(tok_embd, tokens) if isinstance(tok_embd, QWeight)
+           else tok_embd[tokens])
     # f32 residual stream (matches the carry dtype the block bodies return)
-    x = (dec["tok_embd"][tokens] + dec["pos_embd"][positions]).astype(jnp.float32)
+    x = (emb + dec["pos_embd"][positions]).astype(jnp.float32)
 
     # causal mask over the static cache: cell j visible to new token i iff
     # j < kv_head + i + 1  (cells are written in position order per beam)
@@ -276,5 +290,8 @@ def decode_step(params: Dict[str, Any],
     x, (new_k, new_v) = scan_layers(
         body, x, (dec["blocks"], cache.k, cache.v, xk, xv), unroll)
     x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
-    logits = _mm(x, dec["tok_embd"].T, dtype)  # (B, T, n_vocab)
+    if isinstance(tok_embd, QWeight):
+        logits = _mm(x, tok_embd, dtype)       # fused x @ W^T
+    else:
+        logits = _mm(x, tok_embd.T, dtype)     # (B, T, n_vocab)
     return logits.astype(jnp.float32), KVCache(new_k, new_v)

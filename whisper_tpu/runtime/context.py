@@ -40,7 +40,7 @@ def _bucket(n: int) -> int:
 
 class WhisperContext:
     def __init__(self, model: WhisperModel, dtype=jnp.float32,
-                 compute_dtype=None):
+                 compute_dtype=None, use_packed_weights=None):
         self.model = model
         self.hp = model.hparams
         self.vocab = model.vocab
@@ -53,6 +53,29 @@ class WhisperContext:
         self.params = (
             None if model.is_empty else jax.tree.map(
                 lambda a: jnp.asarray(a, dtype), model.params))
+
+        # packed fused-kernel path for quantized files: the decode-loop
+        # weights stay block-quantized in HBM and are dequantized in VMEM by
+        # the Pallas qmm kernel (see ops/qmm.py).  Default: on when the file
+        # is quantized and we're on a real TPU.
+        if use_packed_weights is None:
+            use_packed_weights = (model.qparams is not None and
+                                  jax.default_backend() == "tpu")
+        self.use_packed_weights = bool(use_packed_weights and model.qparams)
+        if self.use_packed_weights:
+            from ..models.whisper.load import build_qweight_overlay
+            from ..ops.qmm import QWeight
+
+            overlay = build_qweight_overlay(model.qparams, self.hp)
+            for key, (codes, scales) in overlay["blocks"].items():
+                self.params["dec"]["blocks"][key] = QWeight(
+                    jnp.asarray(codes, jnp.int8),
+                    jnp.asarray(scales, jnp.float32))
+            if "tok_embd" in overlay:
+                codes, scales = overlay["tok_embd"]
+                self.params["dec"]["tok_embd"] = QWeight(
+                    jnp.asarray(codes, jnp.int8),
+                    jnp.asarray(scales, jnp.float32))
         self.mel_fn = LogMel(model.filters.data)
         self.timings = Timings()
         self.filter_tables: Optional[LogitFilterTables] = None  # set per audio_ctx
