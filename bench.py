@@ -109,6 +109,38 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     dec_ms = _per_op_ms(make_dec_chain(1), 32, 128, lambda: (params, xk, xv))
     bch5_ms = _per_op_ms(make_dec_chain(5), 16, 64, lambda: (params, xk, xv))
 
+    # ---- packed Q5_0 decode (fused dequant-matmul Pallas path) -------------
+    # This is how a q5_0 model file actually runs on TPU: decoder weights
+    # stay block-quantized in HBM (ops/qmm.py).  Packed planes are
+    # synthesized ON DEVICE (host->device transfer over the tunnel is slow).
+    from whisper_tpu.models.whisper.load import PACKED_DEC_KEYS
+    from whisper_tpu.ops.qmm import QWeight
+
+    key = jax.random.PRNGKey(2)
+
+    def synth_qweight(shape_out_in):
+        nonlocal key
+        key, k1, k2 = jax.random.split(key, 3)
+        r, k = shape_out_in
+        codes = jax.random.randint(k1, (r, k), -16, 16, jnp.int8)
+        scales = jax.random.uniform(k2, (r, k // 32), jnp.float32) * 0.02
+        return QWeight(codes, scales)
+
+    packed = dict(params)
+    packed["dec"] = dict(params["dec"])
+    packed["dec"]["blocks"] = dict(params["dec"]["blocks"])
+    for kname in PACKED_DEC_KEYS:
+        w = params["dec"]["blocks"][kname]  # [L, in, out]
+        L, i_dim, o_dim = w.shape
+        qs = [synth_qweight((o_dim, i_dim)) for _ in range(L)]
+        packed["dec"]["blocks"][kname] = QWeight(
+            jnp.stack([q.codes for q in qs]),
+            jnp.stack([q.scales for q in qs]))
+    packed["dec"]["tok_embd"] = synth_qweight(params["dec"]["tok_embd"].shape)
+
+    dec_q_ms = _per_op_ms(make_dec_chain(1), 32, 128, lambda: (packed, xk, xv))
+    bch5_q_ms = _per_op_ms(make_dec_chain(5), 16, 64, lambda: (packed, xk, xv))
+
     # ---- 256-token prompt --------------------------------------------------
     @jax.jit
     def prompt_chain(K, params, xk, xv):
@@ -124,10 +156,15 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
 
     prompt_ms = _per_op_ms(prompt_chain, 1, 4, lambda: (params, xk, xv))
 
-    window_s = (enc_ms + n_dec_tokens * dec_ms) / 1000.0
+    # headline uses the better decode path (dense bf16 vs packed q5_0) — a
+    # q5_0 checkpoint runs whichever the context selects
+    dec_best = min(dec_ms, dec_q_ms) if dec_q_ms > 0 else dec_ms
+    window_s = (enc_ms + n_dec_tokens * dec_best) / 1000.0
     rtf = 30.0 / window_s if window_s > 0 else 0.0
     return dict(model=name, enc_ms=round(enc_ms, 2), dec_ms=round(dec_ms, 3),
-                bch5_ms=round(bch5_ms, 3), prompt_ms=round(prompt_ms, 2),
+                dec_q_ms=round(dec_q_ms, 3), bch5_ms=round(bch5_ms, 3),
+                bch5_q_ms=round(bch5_q_ms, 3), prompt_ms=round(prompt_ms, 2),
+                packed_decode=bool(dec_q_ms > 0 and dec_q_ms < dec_ms),
                 rtf=round(rtf, 1))
 
 
@@ -135,10 +172,14 @@ def main():
     name = os.environ.get("WTPU_BENCH_MODEL", "large-v3")
     hp = DIMS[name]
     r = bench_model(name, hp)
+    dec_used = min(r["dec_ms"], r["dec_q_ms"]) if r["dec_q_ms"] > 0 else r["dec_ms"]
+    path = "q5_0-packed" if r["packed_decode"] else "bf16"
     print(json.dumps({
-        "metric": f"e2e realtime factor, {name} bf16, 1 chip "
-                  f"(enc {r['enc_ms']}ms + 64tok x {r['dec_ms']}ms; "
-                  f"bch5 {r['bch5_ms']}ms/tok, prompt256 {r['prompt_ms']}ms)",
+        "metric": f"e2e realtime factor, {name} {path} decode, 1 chip "
+                  f"(enc {r['enc_ms']}ms + 64tok x {dec_used}ms; "
+                  f"dense dec {r['dec_ms']}ms, packed dec {r['dec_q_ms']}ms, "
+                  f"bch5 {r['bch5_ms']}/{r['bch5_q_ms']}ms/tok, "
+                  f"prompt256 {r['prompt_ms']}ms)",
         "value": r["rtf"],
         "unit": "x realtime",
         "vs_baseline": round(r["rtf"] / BASELINE_RTF, 3),

@@ -151,19 +151,40 @@ def test_convert_hf_tiny(tmp_path):
 
 
 def test_parakeet_quantize(tmp_path):
-    if not PARAKEET_MODEL.exists():
-        pytest.skip("parakeet test model not available")
     from whisper_tpu.cli.parakeet_quantize import quantize_parakeet
     from whisper_tpu.formats import requant
     from whisper_tpu.models.parakeet.context import ParakeetContext
+    from whisper_tpu.models.parakeet.hparams import ParakeetHParams
     from whisper_tpu.models.parakeet.load import load_parakeet_model
+    from whisper_tpu.models.parakeet.writer import (synth_parakeet_tensors,
+                                                    write_parakeet_model)
 
+    # the reference's 8-wide test model cannot hold a 32-elem quant block
+    # (ggml_quantize_chunk asserts n_per_row % block == 0); ours rejects it
+    if PARAKEET_MODEL.exists():
+        with pytest.raises(ValueError):
+            quantize_parakeet(str(PARAKEET_MODEL), str(tmp_path / "x.bin"),
+                              requant.parse_ftype("q8_0"), verbose=False)
+
+    # synthesize a parakeet model with block-divisible dims and quantize it
+    hp = ParakeetHParams(
+        n_vocab=32, n_audio_ctx=512, n_audio_state=32, n_audio_head=2,
+        n_audio_layer=2, n_mels=16, n_fft=64, subsampling_factor=8,
+        n_subsampling_channels=16, n_conv_kernel=3, n_pred_dim=32,
+        n_pred_layers=2, n_tdt_durations=2, n_max_tokens=4,
+        tdt_durations=(0, 1))
+    src = tmp_path / "parakeet-f32.bin"
+    filters = np.random.default_rng(0).random((16, 33)).astype(np.float32)
+    vocab = [b"<unk>", b"<s>", b"</s>"] + [bytes([97 + i]) for i in range(29)]
+    write_parakeet_model(str(src), hp, filters,
+                         np.hanning(64).astype(np.float32), vocab,
+                         synth_parakeet_tensors(hp))
     out = tmp_path / "parakeet-q8_0.bin"
-    rep = quantize_parakeet(str(PARAKEET_MODEL), str(out),
+    rep = quantize_parakeet(str(src), str(out),
                             requant.parse_ftype("q8_0"), verbose=False)
     assert rep.n_quantized > 0
     m = load_parakeet_model(str(out))
-    ref = load_parakeet_model(str(PARAKEET_MODEL))
+    ref = load_parakeet_model(str(src))
     # depthwise conv weights stay f32-identical (skip list)
     np.testing.assert_array_equal(
         m.params["layers"]["conv_dw_w"], ref.params["layers"]["conv_dw_w"])

@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--carry-initial-prompt", action="store_true")
     p.add_argument("-sns", "--suppress-nst", action="store_true")
     p.add_argument("--suppress-regex", default=None)
+    p.add_argument("--grammar", default="",
+                   help="GBNF grammar file to guide decoding")
+    p.add_argument("--grammar-rule", default="",
+                   help="top-level GBNF grammar rule name")
+    p.add_argument("--grammar-penalty", type=float, default=100.0)
     p.add_argument("-owts", "--output-words", action="store_true")
     p.add_argument("-fp", "--font-path", default="/System/Library/Fonts/Supplemental/Courier New Bold.ttf")
     p.add_argument("-debug", "--debug-mode", action="store_true")
@@ -168,6 +173,14 @@ def run(argv: Optional[List[str]] = None) -> int:
         p.split_on_word = args.split_on_word
         p.audio_ctx = args.audio_ctx
         p.suppress_regex = args.suppress_regex
+        if args.grammar and args.grammar_rule:
+            from whisper_tpu.decoding import grammar_parser
+
+            with open(args.grammar) as gf:
+                parsed = grammar_parser.parse(gf.read())
+            p.grammar_rules = parsed.rules
+            p.i_start_rule = parsed.start_rule_id(args.grammar_rule)
+            p.grammar_penalty = args.grammar_penalty
         p.initial_prompt = args.prompt
         p.carry_initial_prompt = args.carry_initial_prompt
         p.greedy.best_of = args.best_of

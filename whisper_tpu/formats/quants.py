@@ -313,12 +313,19 @@ def dequantize_q8_0(buf: bytes, n: int) -> np.ndarray:
 # dispatch (ggml_quantize_chunk analogue, ggml/src/ggml.c:7919)
 # --------------------------------------------------------------------------
 
+from . import kquants as _kq  # noqa: E402 — K-quant super-block codecs
+
 _QUANTIZERS: Dict[int, Callable[[np.ndarray], bytes]] = {
     GGML_TYPE_Q4_0: quantize_q4_0,
     GGML_TYPE_Q4_1: quantize_q4_1,
     GGML_TYPE_Q5_0: quantize_q5_0,
     GGML_TYPE_Q5_1: quantize_q5_1,
     GGML_TYPE_Q8_0: quantize_q8_0,
+    GGML_TYPE_Q2_K: _kq.quantize_q2_k,
+    GGML_TYPE_Q3_K: _kq.quantize_q3_k,
+    GGML_TYPE_Q4_K: _kq.quantize_q4_k,
+    GGML_TYPE_Q5_K: _kq.quantize_q5_k,
+    GGML_TYPE_Q6_K: _kq.quantize_q6_k,
 }
 
 _DEQUANTIZERS: Dict[int, Callable[[bytes, int], np.ndarray]] = {
@@ -327,6 +334,11 @@ _DEQUANTIZERS: Dict[int, Callable[[bytes, int], np.ndarray]] = {
     GGML_TYPE_Q5_0: dequantize_q5_0,
     GGML_TYPE_Q5_1: dequantize_q5_1,
     GGML_TYPE_Q8_0: dequantize_q8_0,
+    GGML_TYPE_Q2_K: _kq.dequantize_q2_k,
+    GGML_TYPE_Q3_K: _kq.dequantize_q3_k,
+    GGML_TYPE_Q4_K: _kq.dequantize_q4_k,
+    GGML_TYPE_Q5_K: _kq.dequantize_q5_k,
+    GGML_TYPE_Q6_K: _kq.dequantize_q6_k,
 }
 
 

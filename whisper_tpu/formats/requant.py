@@ -98,6 +98,13 @@ def quantize_tensor_stream(
                 raise ValueError(
                     f"unsupported source type {quants.type_name(rec.ggml_type)} "
                     f"for tensor '{rec.name}'")
+            blck = quants.SPECS[qtype].block_elems
+            if rec.shape[-1] % blck != 0:
+                # rows must hold whole blocks (ggml_quantize_chunk asserts
+                # n_per_row % block_size == 0)
+                raise ValueError(
+                    f"tensor '{rec.name}' row size {rec.shape[-1]} is not "
+                    f"divisible by {quants.type_name(qtype)} block size {blck}")
             data = rec.to_f32()
             raw = quants.quantize(data, qtype)
             container.write_tensor_record(

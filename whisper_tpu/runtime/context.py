@@ -56,11 +56,12 @@ class WhisperContext:
 
         # packed fused-kernel path for quantized files: the decode-loop
         # weights stay block-quantized in HBM and are dequantized in VMEM by
-        # the Pallas qmm kernel (see ops/qmm.py).  Default: on when the file
-        # is quantized and we're on a real TPU.
+        # the Pallas qmm kernel (see ops/qmm.py).  Opt-in: on v5e the dense
+        # bf16 decode is currently faster (bench.py measures both), so this
+        # trades ~44% decode-weight HBM *capacity* for speed only when the
+        # kernel wins on the target chip.
         if use_packed_weights is None:
-            use_packed_weights = (model.qparams is not None and
-                                  jax.default_backend() == "tpu")
+            use_packed_weights = False
         self.use_packed_weights = bool(use_packed_weights and model.qparams)
         if self.use_packed_weights:
             from ..models.whisper.load import build_qweight_overlay
