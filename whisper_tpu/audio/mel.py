@@ -104,4 +104,11 @@ class LogMel:
             mel = _log_mel_jax(jnp.asarray(padded), self.filters, self.window,
                                n_len)
             return np.asarray(mel), n_len_org
+        if self.backend == "native":
+            from .. import native
+
+            mel = native.log_mel(padded, self.np_filters, N_FFT, HOP_LENGTH,
+                                 n_len)
+            if mel is not None:
+                return mel, n_len_org
         return _log_mel_numpy(padded, self.np_filters, self.np_window, n_len), n_len_org
