@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""LibriSpeech-style WER evaluation harness.
+
+Mirror of tests/librispeech/eval.mk + eval.py (reference): transcribe every
+audio file in a dataset directory with the whisper_tpu CLI and score WER
+against the transcript files.  Works with the standard LibriSpeech layout
+(*.trans.txt files next to .flac/.wav) or a simple `<utt-id> <text>` TSV.
+
+Usage:
+  python tools/eval_librispeech.py -m MODEL -d LibriSpeech/test-clean [-n 100]
+
+No network access is assumed; point -d at an existing dataset checkout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from whisper_tpu.evals.wer import normalize_english, wer
+
+
+def find_utterances(root: Path):
+    """Yield (utt_id, audio_path, reference_text)."""
+    for trans in sorted(root.rglob("*.trans.txt")):
+        for line in trans.read_text().splitlines():
+            if not line.strip():
+                continue
+            utt, text = line.split(" ", 1)
+            for ext in (".flac", ".wav", ".mp3"):
+                audio = trans.parent / (utt + ext)
+                if audio.exists():
+                    yield utt, audio, text
+                    break
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-d", "--dataset", required=True)
+    ap.add_argument("-n", "--max-utterances", type=int, default=0)
+    ap.add_argument("-bo", "--best-of", type=int, default=1)
+    ap.add_argument("-o", "--output", default=None,
+                    help="write per-utterance hypotheses to this file")
+    args = ap.parse_args(argv)
+
+    from whisper_tpu.audio.io import load_audio
+    from whisper_tpu.decoding.full import transcribe
+    from whisper_tpu.decoding.params import TranscribeParams
+    from whisper_tpu.runtime.context import WhisperContext
+
+    ctx = WhisperContext.from_file(args.model)
+    utts = list(find_utterances(Path(args.dataset)))
+    if not utts:
+        print(f"error: no utterances found under {args.dataset}",
+              file=sys.stderr)
+        return 1
+    if args.max_utterances:
+        utts = utts[: args.max_utterances]
+
+    refs, hyps = [], []
+    out_f = open(args.output, "w") if args.output else None
+    t0 = time.perf_counter()
+    audio_s = 0.0
+    for k, (utt, audio, ref) in enumerate(utts):
+        samples, _ = load_audio(str(audio))
+        audio_s += len(samples) / 16000.0
+        params = TranscribeParams(language="en", print_progress=False,
+                                  no_timestamps=True)
+        params.greedy.best_of = args.best_of
+        segs = transcribe(ctx, params, samples)
+        hyp = "".join(s.text for s in segs).strip()
+        refs.append(ref)
+        hyps.append(hyp)
+        if out_f:
+            out_f.write(f"{utt}\t{hyp}\n")
+        if (k + 1) % 20 == 0:
+            print(f"[{k + 1}/{len(utts)}] running WER "
+                  f"{100 * wer(refs, hyps):.2f}%", file=sys.stderr)
+    if out_f:
+        out_f.close()
+
+    wall = time.perf_counter() - t0
+    w = wer(refs, hyps)
+    print(f"utterances: {len(utts)}")
+    print(f"audio: {audio_s:.1f} s, wall: {wall:.1f} s "
+          f"({audio_s / max(wall, 1e-9):.1f}x realtime)")
+    print(f"WER: {100 * w:.2f}%")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
