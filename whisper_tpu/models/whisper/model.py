@@ -147,8 +147,13 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
     q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
     k = _mm(h, blk["k_w"], dtype)            # K has no bias
     v = _mm(h, blk["v_w"], dtype) + blk["v_b"]
-    out = attention(_split_heads(q, n_head), _split_heads(k, n_head),
-                    _split_heads(v, n_head), None, dtype)
+    qh, kh, vh = (_split_heads(t, n_head) for t in (q, k, v))
+    from ...ops.attention import flash_self_attention, use_flash
+
+    if use_flash(qh.shape[-2]):
+        out = flash_self_attention(qh, kh, vh)
+    else:
+        out = attention(qh, kh, vh, None, dtype)
     x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
     # MLP (pre-LN)
     h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
