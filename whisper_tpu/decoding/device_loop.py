@@ -187,14 +187,20 @@ def _sample(logprobs, probs, temperature, rng, beg: int):
 def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                         compute_dtype, no_timestamps: bool,
                         single_segment: bool, vocab_eot: int, vocab_beg: int,
-                        unroll_layers: bool = True):
+                        unroll_layers: bool = True, vmap_windows: bool = False):
     """Build the jitted whole-window greedy/best-of decode function.
-    Static: hp dims, lane count, prompt bucket, timestamp-mode flags."""
+    Static: hp dims, lane count, prompt bucket, timestamp-mode flags.
+
+    With vmap_windows=True the returned function takes a leading window axis
+    on (prompt, prompt_len, xk, xv, temperature, seek, seek_end, rng) and
+    decodes all windows in ONE device call — the continuous-batching path
+    (runtime/batching.py): weight reads amortize across windows, which is
+    where the decode throughput is on TPU.
+    """
     n_max = hp.n_text_ctx // 2 - 4
     eot, beg = vocab_eot, vocab_beg
     cache_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
 
-    @jax.jit
     def decode_window(params, prompt, prompt_len, xk, xv, base_mask,
                       initial_mask, temperature, seek, seek_end, max_tokens,
                       rng) -> WindowResult:
@@ -330,4 +336,8 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             completed=final.completed, sum_logprobs=final.sum_logprobs,
             prompt_probs=prompt_probs)
 
-    return decode_window
+    if vmap_windows:
+        return jax.jit(jax.vmap(
+            decode_window,
+            in_axes=(None, 0, 0, 0, 0, None, None, 0, 0, 0, None, 0)))
+    return jax.jit(decode_window)

@@ -13,7 +13,7 @@ concurrently (see parallel/mesh.py) — the merge logic is identical.
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -24,7 +24,8 @@ SAMPLE_RATE = 16000
 
 
 def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
-                        n_processors: int) -> List[Segment]:
+                        n_processors: int,
+                        batched: Optional[bool] = None) -> List[Segment]:
     if n_processors <= 1:
         from .full import transcribe
 
@@ -38,6 +39,24 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
             return []
         samples, _ = filtered  # parallel path drops the time remap (reference
         # whisper_full_parallel also remaps only via chunk offsets)
+
+    # lockstep continuous batching: one vmapped device call decodes all
+    # chunks' windows together (runtime/batching.py) whenever the on-device
+    # loop covers the requested decoding features
+    from .params import SamplingStrategy
+
+    eligible = (not ctx.is_empty
+                and params.strategy == SamplingStrategy.GREEDY
+                and params.grammar_rules is None
+                and params.logits_filter_callback is None
+                and not params.detect_language
+                and (params.language or "en") != "auto")
+    if batched is None:
+        batched = eligible
+    if batched and eligible:
+        from ..runtime.batching import transcribe_batched
+
+        return transcribe_batched(ctx, params, samples, n_processors)
 
     n_samples = len(samples)
     offset_samples = (SAMPLE_RATE * params.offset_ms) // 1000

@@ -99,6 +99,9 @@ class WhisperContext:
         self._decode_jit: Dict[Tuple[int, int], Any] = {}
         self._window_jit: Dict[Tuple, Any] = {}
 
+        # lockstep window batcher (runtime/batching.py), set per stream
+        self.batcher = None
+
     def enable_dtw(self, preset: str = "auto", n_top_most: int = 0,
                    custom=None) -> None:
         """Select alignment heads and enable DTW timestamps
@@ -199,35 +202,62 @@ class WhisperContext:
                              seek: int, seek_end: int, params,
                              no_timestamps: bool, rng_seed: int):
         """Run the whole-window on-device token loop (decoding/device_loop.py);
-        one host readback per call.  Returns a WindowResult of numpy arrays."""
+        one host readback per call.  Returns a WindowResult of numpy arrays.
+
+        When a WindowBatcher is attached (runtime/batching.py), the request
+        joins the current lockstep batch instead of executing immediately.
+        """
         from ..decoding import device_loop as DL
 
         bt = _bucket(len(prompt))
         key = (n_beams, bt, no_timestamps, params.single_segment)
-        fn = self._window_jit.get(key)
-        if fn is None:
-            fn = DL.make_window_decoder(
-                self.hp, n_beams, bt, self.compute_dtype, no_timestamps,
-                params.single_segment, self.vocab.token_eot,
-                self.vocab.token_beg)
-            self._window_jit[key] = fn
         base_mask, initial_mask = DL.build_masks(self.filter_tables, params)
         prompt_padded = np.zeros(bt, np.int32)
         prompt_padded[: len(prompt)] = prompt
+        args = (jnp.asarray(prompt_padded), jnp.int32(len(prompt)),
+                self.xk, self.xv, jnp.asarray(base_mask),
+                jnp.asarray(initial_mask), jnp.float32(temperature),
+                jnp.int32(seek), jnp.int32(seek_end),
+                jnp.int32(params.max_tokens), jax.random.PRNGKey(rng_seed))
         t0 = time.perf_counter()
-        res = fn(self.params, jnp.asarray(prompt_padded),
-                 jnp.int32(len(prompt)), self.xk, self.xv,
-                 jnp.asarray(base_mask), jnp.asarray(initial_mask),
-                 jnp.float32(temperature), jnp.int32(seek),
-                 jnp.int32(seek_end), jnp.int32(params.max_tokens),
-                 jax.random.PRNGKey(rng_seed))
-        res = jax.tree.map(np.asarray, res)
+        if self.batcher is not None:
+            res = self.batcher.submit(key, args)
+        else:
+            res = self._decode_window_exec(key, *args)
         dt = int((time.perf_counter() - t0) * 1e6)
         n_steps = int(res.n_tok.max()) if res.n_tok.size else 0
         self.timings.t_decode_us += dt
         self.timings.n_decode += n_steps
         self.timings.n_prompt += len(prompt)
         return res
+
+    def _decode_window_exec(self, key, *args):
+        """Execute one (unbatched) window decode for `key`."""
+        from ..decoding import device_loop as DL
+
+        fn = self._window_jit.get(key)
+        if fn is None:
+            n_beams, bt, no_timestamps, single_segment = key
+            fn = DL.make_window_decoder(
+                self.hp, n_beams, bt, self.compute_dtype, no_timestamps,
+                single_segment, self.vocab.token_eot, self.vocab.token_beg)
+            self._window_jit[key] = fn
+        return jax.tree.map(np.asarray, fn(self.params, *args))
+
+    def clone_state(self) -> "WhisperContext":
+        """A shallow clone sharing weights and jit caches but with its own
+        per-stream mutable state (mel, encoder outputs, rolling prompt,
+        timings) — one per parallel transcription chunk."""
+        import copy
+
+        sub = copy.copy(self)
+        sub.timings = Timings()
+        sub.mel = None
+        sub.n_len_org = 0
+        sub.xk = sub.xv = None
+        sub.batcher = None
+        sub.prompt_past0, sub.prompt_past1 = [], []
+        return sub
 
     def decode(self, tokens_2d: np.ndarray, n_past: int, cache: M.KVCache,
                timing: str = "decode") -> Tuple[np.ndarray, M.KVCache]:
