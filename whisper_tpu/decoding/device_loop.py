@@ -187,7 +187,8 @@ def _sample(logprobs, probs, temperature, rng, beg: int):
 def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                         compute_dtype, no_timestamps: bool,
                         single_segment: bool, vocab_eot: int, vocab_beg: int,
-                        unroll_layers: bool = True, vmap_windows: bool = False):
+                        unroll_layers: bool = True, vmap_windows: bool = False,
+                        kv_itype: str = "f16"):
     """Build the jitted whole-window greedy/best-of decode function.
     Static: hp dims, lane count, prompt bucket, timestamp-mode flags.
 
@@ -207,7 +208,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         B = n_beams
 
         # ---- prompt decode (single lane), then tile KV across lanes ----
-        cache1 = M.KVCache.zeros(hp, 1, cache_dtype)
+        cache1 = M.new_cache(hp, 1, cache_dtype, itype=kv_itype)
         pos = jnp.clip(jnp.arange(prompt_bucket, dtype=jnp.int32), 0,
                        hp.n_text_ctx - 1)[None, :]
         logits_all, cache1 = M.decode_step(
@@ -217,8 +218,8 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             logits_all, prompt_len - 1, axis=1, keepdims=False)  # (1, V)
         prompt_probs = jax.nn.softmax(last_row[0].astype(jnp.float32))
 
-        cache = M.KVCache(jnp.tile(cache1.k, (1, B, 1, 1)),
-                          jnp.tile(cache1.v, (1, B, 1, 1)))
+        cache = jax.tree.map(
+            lambda a: jnp.tile(a, (1, B) + (1,) * (a.ndim - 2)), cache1)
 
         st = LoopState(
             i=jnp.int32(0), cache=cache,

@@ -225,6 +225,52 @@ class KVCache(NamedTuple):
         return KVCache(self.k[:, beam_idx], self.v[:, beam_idx])
 
 
+class KVCache8(NamedTuple):
+    """INT8 self-attention cache (the reference's quantized-`itype` kv_self).
+
+    Rows quantize per position: code = round(127 x / amax), scale = amax/127
+    with shapes codes (L, B, T, S) int8, scales (L, B, T) f32.  Attention
+    stays exact-factorable — scores = (q @ codes^T) * scale_j and
+    out = (probs * scale_j) @ codes — so nothing is dequantized to a dense
+    f16 cache; HBM cache traffic and memory halve.
+    """
+
+    k: jax.Array        # int8 codes
+    v: jax.Array        # int8 codes
+    k_scale: jax.Array  # (L, B, T) f32
+    v_scale: jax.Array
+
+    @staticmethod
+    def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache8":
+        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, hp.n_text_state)
+        sshape = shape[:-1]
+        return KVCache8(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                        jnp.zeros(sshape, jnp.float32),
+                        jnp.zeros(sshape, jnp.float32))
+
+    def reorder(self, beam_idx: jax.Array) -> "KVCache8":
+        return KVCache8(self.k[:, beam_idx], self.v[:, beam_idx],
+                        self.k_scale[:, beam_idx], self.v_scale[:, beam_idx])
+
+
+def _quantize_rows(x: jax.Array):
+    """(B, T, S) -> (codes int8, scale (B, T) f32); per-position symmetric."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1, scale), 0.0)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]),
+                     -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
+def new_cache(hp: WhisperHParams, n_beam: int, dtype=jnp.float32,
+              itype: str = "f16"):
+    """kv_self allocation; itype 'f16' (dense, `dtype` storage) or 'q8'."""
+    if itype == "q8":
+        return KVCache8.zeros(hp, n_beam, dtype)
+    return KVCache.zeros(hp, n_beam, dtype)
+
+
 def decode_step(params: Dict[str, Any],
                 tokens: jax.Array,       # (n_beam, n_tok) int32
                 positions: jax.Array,    # (n_beam, n_tok) int32
@@ -264,10 +310,9 @@ def decode_step(params: Dict[str, Any],
     visible = j < (kv_head + i + 1)
     mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (1,1,T,n_ctx)
 
-    def body(x, layer):
-        blk, k_cache, v_cache, cxk, cxv = layer
-        # self-attention
-        h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
+    is_q8 = isinstance(cache, KVCache8)
+
+    def _self_attend_dense(h, blk, k_cache, v_cache):
         q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
         k_new = _mm(h, blk["k_w"], dtype)
         v_new = _mm(h, blk["v_w"], dtype) + blk["v_b"]
@@ -280,6 +325,47 @@ def decode_step(params: Dict[str, Any],
             _split_heads(k_cache, n_head),
             _split_heads(v_cache, n_head),
             mask, dtype)
+        return out, (k_cache, v_cache)
+
+    def _self_attend_q8(h, blk, kc, ks, vc, vs):
+        # int8 KV cache: per-position scales factor out of both matmuls,
+        # so the attention is exact against the quantized rows
+        q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
+        k_new = _mm(h, blk["k_w"], dtype)
+        v_new = _mm(h, blk["v_w"], dtype) + blk["v_b"]
+        kq, ksn = _quantize_rows(k_new)
+        vq, vsn = _quantize_rows(v_new)
+        kc = lax.dynamic_update_slice(kc, kq, (0, kv_head, 0))
+        vc = lax.dynamic_update_slice(vc, vq, (0, kv_head, 0))
+        ks = lax.dynamic_update_slice(ks, ksn, (0, kv_head))
+        vs = lax.dynamic_update_slice(vs, vsn, (0, kv_head))
+
+        qh = _split_heads(q, n_head)                     # (B,H,T,d)
+        kh = _split_heads(kc.astype(dtype), n_head)      # (B,H,Tc,d)
+        vh = _split_heads(vc.astype(dtype), n_head)
+        d = qh.shape[-1]
+        scores = jnp.matmul(qh.astype(dtype), jnp.swapaxes(kh, -1, -2),
+                            preferred_element_type=jnp.float32)
+        scores = scores * ks[:, None, None, :] / jnp.sqrt(jnp.float32(d))
+        scores = scores + mask
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = probs * vs[:, None, None, :]
+        out = jnp.matmul(probs.astype(dtype), vh,
+                         preferred_element_type=jnp.float32)
+        return out, (kc, ks, vc, vs)
+
+    def body(x, layer):
+        if is_q8:
+            blk, kc, ks, vc, vs, cxk, cxv = layer
+        else:
+            blk, k_cache, v_cache, cxk, cxv = layer
+        # self-attention
+        h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
+        if is_q8:
+            out, new_cache_leaves = _self_attend_q8(h, blk, kc, ks, vc, vs)
+        else:
+            out, new_cache_leaves = _self_attend_dense(h, blk, k_cache,
+                                                       v_cache)
         x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
         # cross-attention
         h = layer_norm(x, blk["xattn_ln_w"], blk["xattn_ln_b"], eps)
@@ -290,13 +376,22 @@ def decode_step(params: Dict[str, Any],
         h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
         h = _gelu(_mm(h, blk["mlp0_w"], dtype) + blk["mlp0_b"])
         x = x + _mm(h, blk["mlp1_w"], dtype) + blk["mlp1_b"]
-        return x, (k_cache, v_cache)
+        return x, new_cache_leaves
 
-    x, (new_k, new_v) = scan_layers(
-        body, x, (dec["blocks"], cache.k, cache.v, xk, xv), unroll)
+    if is_q8:
+        xs = (dec["blocks"], cache.k, cache.k_scale, cache.v, cache.v_scale,
+              xk, xv)
+    else:
+        xs = (dec["blocks"], cache.k, cache.v, xk, xv)
+    x, new_leaves = scan_layers(body, x, xs, unroll)
     x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
     if isinstance(tok_embd, QWeight):
         logits = _mm(x, tok_embd, dtype)       # fused x @ W^T
     else:
         logits = _mm(x, tok_embd.T, dtype)     # (B, T, n_vocab)
-    return logits.astype(jnp.float32), KVCache(new_k, new_v)
+    if is_q8:
+        kc, ks, vc, vs = new_leaves
+        new_cache = KVCache8(kc, vc, ks, vs)
+    else:
+        new_cache = KVCache(*new_leaves)
+    return logits.astype(jnp.float32), new_cache

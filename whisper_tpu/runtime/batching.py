@@ -109,7 +109,8 @@ class WindowBatcher:
             (n_beams, bt, no_ts, single_seg) = key
             fn = DL.make_window_decoder(
                 ctx.hp, n_beams, bt, ctx.compute_dtype, no_ts, single_seg,
-                ctx.vocab.token_eot, ctx.vocab.token_beg, vmap_windows=True)
+                ctx.vocab.token_eot, ctx.vocab.token_beg, vmap_windows=True,
+                kv_itype=ctx.kv_itype)
             ctx._window_jit[vkey] = fn
 
         # args per request: (prompt_padded, prompt_len, xk, xv, base_mask,

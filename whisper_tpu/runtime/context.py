@@ -40,7 +40,8 @@ def _bucket(n: int) -> int:
 
 class WhisperContext:
     def __init__(self, model: WhisperModel, dtype=jnp.float32,
-                 compute_dtype=None, use_packed_weights=None):
+                 compute_dtype=None, use_packed_weights=None,
+                 kv_itype: str = "f16"):
         self.model = model
         self.hp = model.hparams
         self.vocab = model.vocab
@@ -50,6 +51,9 @@ class WhisperContext:
             compute_dtype = (
                 jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
         self.compute_dtype = compute_dtype
+        # kv_self storage: 'f16' (dense, compute dtype) or 'q8' (int8 codes
+        # with per-position scales — the reference's quantized itype cache)
+        self.kv_itype = kv_itype
         self.params = (
             None if model.is_empty else jax.tree.map(
                 lambda a: jnp.asarray(a, dtype), model.params))
@@ -195,8 +199,8 @@ class WhisperContext:
         self.timings.n_encode += 1
         self.filter_tables = LogitFilterTables(self.vocab, n_ctx)
 
-    def new_cache(self, n_beam: int, dtype=jnp.float32) -> M.KVCache:
-        return M.KVCache.zeros(self.hp, n_beam, dtype)
+    def new_cache(self, n_beam: int, dtype=jnp.float32):
+        return M.new_cache(self.hp, n_beam, dtype, itype=self.kv_itype)
 
     def decode_window_device(self, prompt, n_beams: int, temperature: float,
                              seek: int, seek_end: int, params,
@@ -240,7 +244,8 @@ class WhisperContext:
             n_beams, bt, no_timestamps, single_segment = key
             fn = DL.make_window_decoder(
                 self.hp, n_beams, bt, self.compute_dtype, no_timestamps,
-                single_segment, self.vocab.token_eot, self.vocab.token_beg)
+                single_segment, self.vocab.token_eot, self.vocab.token_beg,
+                kv_itype=self.kv_itype)
             self._window_jit[key] = fn
         return jax.tree.map(np.asarray, fn(self.params, *args))
 
