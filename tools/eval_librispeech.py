@@ -44,16 +44,36 @@ def main(argv=None) -> int:
     ap.add_argument("-d", "--dataset", required=True)
     ap.add_argument("-n", "--max-utterances", type=int, default=0)
     ap.add_argument("-bo", "--best-of", type=int, default=1)
+    ap.add_argument("--parakeet", action="store_true",
+                    help="evaluate a Parakeet-TDT model "
+                         "(tests/librispeech-parakeet analogue)")
     ap.add_argument("-o", "--output", default=None,
                     help="write per-utterance hypotheses to this file")
     args = ap.parse_args(argv)
 
     from whisper_tpu.audio.io import load_audio
-    from whisper_tpu.decoding.full import transcribe
-    from whisper_tpu.decoding.params import TranscribeParams
-    from whisper_tpu.runtime.context import WhisperContext
 
-    ctx = WhisperContext.from_file(args.model)
+    if args.parakeet:
+        from whisper_tpu.models.parakeet.context import ParakeetContext
+
+        pctx = ParakeetContext.from_file(args.model)
+
+        def run_one(samples):
+            pctx.full(samples)
+            return pctx.full_text()
+    else:
+        from whisper_tpu.decoding.full import transcribe
+        from whisper_tpu.decoding.params import TranscribeParams
+        from whisper_tpu.runtime.context import WhisperContext
+
+        ctx = WhisperContext.from_file(args.model)
+
+        def run_one(samples):
+            params = TranscribeParams(language="en", print_progress=False,
+                                      no_timestamps=True)
+            params.greedy.best_of = args.best_of
+            segs = transcribe(ctx, params, samples)
+            return "".join(s.text for s in segs).strip()
     utts = list(find_utterances(Path(args.dataset)))
     if not utts:
         print(f"error: no utterances found under {args.dataset}",
@@ -69,11 +89,7 @@ def main(argv=None) -> int:
     for k, (utt, audio, ref) in enumerate(utts):
         samples, _ = load_audio(str(audio))
         audio_s += len(samples) / 16000.0
-        params = TranscribeParams(language="en", print_progress=False,
-                                  no_timestamps=True)
-        params.greedy.best_of = args.best_of
-        segs = transcribe(ctx, params, samples)
-        hyp = "".join(s.text for s in segs).strip()
+        hyp = run_one(samples)
         refs.append(ref)
         hyps.append(hyp)
         if out_f:

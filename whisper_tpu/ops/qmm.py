@@ -98,10 +98,16 @@ def qmm(x: jax.Array, codes: jax.Array, scales: jax.Array,
     assert K == Kc and K % QK == 0, (x.shape, codes.shape)
 
     block_t = min(block_t, _round_up(T, 8))
-    # keep the per-tile VMEM footprint (codes + dequantized weights +
-    # expansion matrix + scales_full) around <= ~12 MB
-    while block_r > 128 and block_r * K * 5 + (K // QK) * K * 2 > 12 * 2**20:
+
+    # keep the per-tile VMEM footprint under ~12 MB: x tile + codes +
+    # dequantized weights + expanded scales + expansion matrix + out tile
+    def vmem(bt, br):
+        return (bt * K * 4 + br * K * 5 + (K // QK) * K * 2 + bt * br * 4)
+
+    while block_r > 128 and vmem(block_t, block_r) > 12 * 2**20:
         block_r //= 2
+    while block_t > 8 and vmem(block_t, block_r) > 12 * 2**20:
+        block_t //= 2
 
     Tp, Rp = _round_up(T, block_t), _round_up(R, block_r)
     if Tp != T:
