@@ -110,6 +110,66 @@ def write_lrc(segments, f) -> None:
         f.write(f"[{mi:02d}:{ss:02d}.{hund:02d}]{s.text.lstrip(' ')}\n")
 
 
+def write_wts(segments, f, vocab, fname_inp: str, t_sec: float,
+              font_path: str, diarize=False, stereo=None) -> None:
+    """Karaoke ffmpeg script (output_wts, examples/cli/cli.cpp:816-937):
+    a bash script rendering the audio into a video with the current token
+    highlighted.  Requires token-level timestamps (-owts implies them)."""
+    def esc(s: str) -> str:
+        return s.replace("'", "’").replace('"', '\\"')
+
+    f.write("#!/bin/bash\n\n")
+    f.write(f"ffmpeg -i {fname_inp} -f lavfi -i "
+            f"color=size=1200x120:duration={t_sec}:rate=25:color=black "
+            f"-vf \"")
+    for i, seg in enumerate(segments):
+        toks = [t for t in seg.tokens]
+        if i > 0:
+            f.write(",")
+        f.write(f"drawtext=fontfile='{font_path}':fontsize=24:fontcolor=gray:"
+                f"x=(w-text_w)/2:y=h/2:text='':enable='between(t,"
+                f"{seg.t0 / 100.0},{seg.t0 / 100.0})'")
+        speaker = ""
+        if diarize and stereo is not None:
+            speaker = estimate_diarization_speaker(stereo, seg.t0, seg.t1)
+        first = True
+        for j, tok in enumerate(toks):
+            if tok.id >= vocab.token_eot:
+                continue
+            txt_bg = speaker + "> "
+            txt_fg = speaker + "> "
+            txt_ul = ("\\ " * len(speaker)) + "\\ \\ "
+            for k, tok2 in enumerate(toks):
+                if tok2.id >= vocab.token_eot:
+                    continue
+                txt = vocab.token_str(tok2.id)
+                txt_bg += txt
+                if k == j:
+                    txt_fg += txt
+                    txt_ul += "_" * len(txt)
+                    txt_fg += "|"
+                else:
+                    txt_fg += "\\ " * len(txt)
+                    txt_ul += "\\ " * len(txt)
+            if first:
+                f.write(f",drawtext=fontfile='{font_path}':fontsize=24:"
+                        f"fontcolor=gray:x=(w-text_w)/2:y=h/2:"
+                        f"text='{esc(txt_bg)}':enable='between(t,"
+                        f"{seg.t0 / 100.0},{seg.t1 / 100.0})'")
+                first = False
+            f.write(f",drawtext=fontfile='{font_path}':fontsize=24:"
+                    f"fontcolor=lightgreen:x=(w-text_w)/2+8:y=h/2:"
+                    f"text='{esc(txt_fg)}':enable='between(t,"
+                    f"{tok.t0 / 100.0},{tok.t1 / 100.0})'")
+            f.write(f",drawtext=fontfile='{font_path}':fontsize=24:"
+                    f"fontcolor=lightgreen:x=(w-text_w)/2+8:y=h/2+16:"
+                    f"text='{esc(txt_ul)}':enable='between(t,"
+                    f"{tok.t0 / 100.0},{tok.t1 / 100.0})'")
+    f.write(f"\" -c:v libx264 -pix_fmt yuv420p -y {fname_inp}.mp4\n")
+    f.write(f"\n\necho \"Your video has been saved to {fname_inp}.mp4\"\n")
+    f.write(f"\necho \"  ffplay {fname_inp}.mp4\"\n\n")
+
+
 def write_score(segments, f, vocab) -> None:
     for s in segments:
         for t in s.tokens:

@@ -243,6 +243,14 @@ def run(argv: Optional[List[str]] = None) -> int:
         if args.output_lrc:
             with open(base + ".lrc", "w") as f:
                 OW.write_lrc(segments, f)
+        if args.output_words:
+            import os
+
+            with open(base + ".wts", "w") as f:
+                OW.write_wts(segments, f, ctx.vocab, fname,
+                             len(mono) / 16000.0, args.font_path,
+                             args.diarize, stereo)
+            os.chmod(base + ".wts", 0o755)
         if args.output_json or args.output_json_full:
             with open(base + ".json", "w") as f:
                 OW.write_json(segments, f, ctx, p, language,
