@@ -77,6 +77,7 @@ class LoopState(NamedTuple):
     cache: M.KVCache
     logits_row: jax.Array        # (B, V) raw logits feeding this step's filters
     rng: jax.Array
+    seq_hash: jax.Array          # (B, 2) uint32 rolling sequence hashes (beam)
     last_id: jax.Array           # (B,)
     penult_id: jax.Array
     has_ts: jax.Array            # bool (B,)
@@ -156,6 +157,23 @@ def _apply_filters(raw, st_i, last_id, penult_id, has_ts, seek_delta,
     return logits, logprobs, probs
 
 
+def _token_stats(probs, tok, p, beg: int):
+    """Timestamp stats (tid, pt, ptsum) for chosen tokens; rows of `probs`
+    already correspond to each beam's (parent's) filtered distribution."""
+    V = probs.shape[-1]
+    idx = jnp.arange(V)
+    ts_probs = jnp.where(idx >= beg, probs, 0.0)
+    sum_ts = jnp.sum(ts_probs, axis=-1)
+    tid = jnp.argmax(ts_probs, axis=-1).astype(jnp.int32)
+    max_ts = jnp.take_along_axis(ts_probs, tid[:, None], axis=-1)[:, 0]
+    tid = jnp.where(sum_ts > 0, tid, beg)
+    pt = max_ts / (sum_ts + 1e-10)
+    is_ts_tok = tok >= beg
+    tid = jnp.where(is_ts_tok, tok, tid)
+    pt = jnp.where(is_ts_tok, p, pt)
+    return tid, pt, sum_ts
+
+
 def _sample(logprobs, probs, temperature, rng, beg: int):
     """whisper_sample_token: greedy at t=0, categorical at t>0.
     Returns per-beam (id, p, plog, tid, pt, ptsum)."""
@@ -184,11 +202,70 @@ def _sample(logprobs, probs, temperature, rng, beg: int):
     return tok, p, plog, tid, pt, sum_ts
 
 
+def _beam_select(logprobs, probs, st: LoopState, beg: int):
+    """Device-side beam step (reference: src/whisper.cpp:7303-7354 + host
+    loop in full.py).
+
+    Each live beam proposes its top-B tokens; candidates rank by cumulative
+    sequence logprob (stable tie-break = flattened (beam, k) order, matching
+    the host sort key (-score, decoder_idx)); consecutive duplicate
+    *sequences* (tracked by rolling hashes) are skipped when i > 0, exactly
+    like the host's sequences_equal dedup.  The reference draws candidates
+    stochastically from the (near-one-hot) filtered distribution; here the
+    top-k is deterministic — equivalent on peaked distributions.
+
+    Returns (src parent per beam, tok, score, new hashes (B, 2)).
+    """
+    B = logprobs.shape[0]
+    live = ~(st.completed | st.failed)
+
+    vals, ids = lax.top_k(logprobs, B)                     # (B, B)
+    cand_score = st.sum_logprobs[:, None] + vals
+    cand_score = jnp.where(live[:, None], cand_score, NEG_INF)
+    mul1, mul2 = jnp.uint32(1000003), jnp.uint32(2654435761)
+    h1 = st.seq_hash[:, 0:1] * mul1 + ids.astype(jnp.uint32) + 1
+    h2 = st.seq_hash[:, 1:2] * mul2 + ids.astype(jnp.uint32) + 1
+
+    NC = B * B
+    flat_score = cand_score.reshape(NC)
+    flat_tok = ids.reshape(NC)
+    flat_parent = jnp.repeat(jnp.arange(B, dtype=jnp.int32), B)
+    flat_h1 = h1.reshape(NC)
+    flat_h2 = h2.reshape(NC)
+
+    order = jnp.argsort(-flat_score, stable=True)
+    s_score = flat_score[order]
+    s_h1, s_h2 = flat_h1[order], flat_h2[order]
+
+    # consecutive-duplicate mask in sorted order (disabled at i == 0)
+    dup = jnp.concatenate([
+        jnp.zeros(1, bool),
+        (s_h1[1:] == s_h1[:-1]) & (s_h2[1:] == s_h2[:-1])]) & (st.i > 0)
+    elig = ~dup & (s_score > NEG_INF)
+    rank = jnp.cumsum(elig.astype(jnp.int32)) - 1          # rank of eligible
+    total = jnp.maximum(elig.astype(jnp.int32).sum(), 1)
+
+    # m-th live beam takes the m-th eligible candidate
+    m = jnp.cumsum(live.astype(jnp.int32)) - 1
+    m = jnp.minimum(jnp.where(live, m, 0), total - 1)
+    # k_j = index in sorted order whose eligible-rank == m_j
+    hit = (rank[None, :] == m[:, None]) & elig[None, :]    # (B, NC)
+    k_sel = jnp.argmax(hit, axis=1)
+
+    pick = order[k_sel]
+    src = jnp.where(live, flat_parent[pick], jnp.arange(B, dtype=jnp.int32))
+    tok = flat_tok[pick]
+    score = flat_score[pick]
+    new_hash = jnp.stack([flat_h1[pick], flat_h2[pick]], axis=1)
+    new_hash = jnp.where(live[:, None], new_hash, st.seq_hash)
+    return src, tok, score, new_hash
+
+
 def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                         compute_dtype, no_timestamps: bool,
                         single_segment: bool, vocab_eot: int, vocab_beg: int,
                         unroll_layers: bool = True, vmap_windows: bool = False,
-                        kv_itype: str = "f16"):
+                        kv_itype: str = "f16", strategy: str = "greedy"):
     """Build the jitted whole-window greedy/best-of decode function.
     Static: hp dims, lane count, prompt bucket, timestamp-mode flags.
 
@@ -224,6 +301,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         st = LoopState(
             i=jnp.int32(0), cache=cache,
             logits_row=jnp.tile(last_row, (B, 1)), rng=rng,
+            seq_hash=jnp.zeros((B, 2), jnp.uint32),
             last_id=jnp.full((B,), -1, jnp.int32),
             penult_id=jnp.full((B,), -1, jnp.int32),
             has_ts=jnp.zeros((B,), bool),
@@ -252,8 +330,33 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 max_tokens, eot, beg, no_timestamps, single_segment)
 
             rng, sub = jax.random.split(st.rng)
-            tok, p, plog, tid, pt, ptsum = _sample(
-                logprobs, probs, temperature, sub, beg)
+            if strategy == "beam":
+                # beam step: candidates, dedup, selection, parent gather
+                src, tok, score, seq_hash = _beam_select(logprobs, probs,
+                                                         st, beg)
+                cache_prev = jax.tree.map(lambda a: a[:, src], st.cache)
+                probs_g = probs[src]
+                logprobs_g = logprobs[src]
+                p = jnp.take_along_axis(probs_g, tok[:, None], axis=-1)[:, 0]
+                plog = jnp.take_along_axis(logprobs_g, tok[:, None],
+                                           axis=-1)[:, 0]
+                tid, pt, ptsum = _token_stats(probs_g, tok, p, beg)
+                st = st._replace(
+                    cache=cache_prev,
+                    last_id=st.last_id[src], penult_id=st.penult_id[src],
+                    has_ts=st.has_ts[src], seek_delta=st.seek_delta[src],
+                    result_len=st.result_len[src], n_tok=st.n_tok[src],
+                    sum_logprobs=jnp.where(live, score, st.sum_logprobs),
+                    tok_id=st.tok_id[src], tok_tid=st.tok_tid[src],
+                    tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
+                    tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
+                    seq_hash=seq_hash)
+                sum_logprobs = st.sum_logprobs  # score already cumulative
+            else:
+                tok, p, plog, tid, pt, ptsum = _sample(
+                    logprobs, probs, temperature, sub, beg)
+                sum_logprobs = jnp.where(live, st.sum_logprobs + plog,
+                                         st.sum_logprobs)
 
             # write buffers for live lanes at column i
             col = st.i
@@ -270,8 +373,6 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             tok_pt = put(st.tok_pt, pt)
             tok_ptsum = put(st.tok_ptsum, ptsum)
             n_tok = jnp.where(live, st.i + 1, st.n_tok)
-            sum_logprobs = jnp.where(live, st.sum_logprobs + plog,
-                                     st.sum_logprobs)
 
             # ---- state rules (src/whisper.cpp:7360-7443) ----
             is_ts = live & (tok > beg)
@@ -316,7 +417,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
 
             return LoopState(
                 i=st.i + 1, cache=cache, logits_row=logits_next[:, 0],
-                rng=rng,
+                rng=rng, seq_hash=st.seq_hash,
                 last_id=jnp.where(live, tok, st.last_id),
                 penult_id=jnp.where(live, st.last_id, st.penult_id),
                 has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,

@@ -225,10 +225,12 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
     params_no_ts = no_timestamps
 
     # device-loop eligibility: the whole token loop runs on-device unless a
-    # host-side feature (grammar, logits callback, beam search) is requested
-    use_device_loop = (
+    # host-side feature (grammar, logits callback) is requested.  Beam search
+    # runs on device at t=0 (deterministic top-k; the reference's stochastic
+    # candidate draws from the near-one-hot filtered distribution are
+    # equivalent there); t>0 beam attempts keep the host sampling loop.
+    device_loop_ok = (
         not ctx.is_empty
-        and params.strategy == SamplingStrategy.GREEDY
         and params.grammar_rules is None
         and params.logits_filter_callback is None)
 
@@ -302,10 +304,17 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 
             no_speech_prob = 0.0
 
+            use_device_loop = device_loop_ok and (
+                params.strategy == SamplingStrategy.GREEDY or t_cur == 0.0)
+            dl_strategy = ("beam" if (params.strategy ==
+                                      SamplingStrategy.BEAM_SEARCH and
+                                      t_cur == 0.0) else "greedy")
+
             if use_device_loop:
                 res = ctx.decode_window_device(
                     prompt, n_decoders_cur, t_cur, seek, seek_end, params,
-                    params_no_ts, rng_seed=seek * 31 + it)
+                    params_no_ts, rng_seed=seek * 31 + it,
+                    strategy=dl_strategy)
                 ctx.no_speech_prob = float(res.prompt_probs[vocab.token_nosp])
                 for j in range(n_decoders_cur):
                     d = decoders[j]

@@ -106,11 +106,11 @@ class WindowBatcher:
         vkey = (key, "vmap")
         fn = ctx._window_jit.get(vkey)
         if fn is None:
-            (n_beams, bt, no_ts, single_seg) = key
+            (n_beams, bt, no_ts, single_seg, strategy) = key
             fn = DL.make_window_decoder(
                 ctx.hp, n_beams, bt, ctx.compute_dtype, no_ts, single_seg,
                 ctx.vocab.token_eot, ctx.vocab.token_beg, vmap_windows=True,
-                kv_itype=ctx.kv_itype)
+                kv_itype=ctx.kv_itype, strategy=strategy)
             ctx._window_jit[vkey] = fn
 
         # args per request: (prompt_padded, prompt_len, xk, xv, base_mask,

@@ -204,7 +204,8 @@ class WhisperContext:
 
     def decode_window_device(self, prompt, n_beams: int, temperature: float,
                              seek: int, seek_end: int, params,
-                             no_timestamps: bool, rng_seed: int):
+                             no_timestamps: bool, rng_seed: int,
+                             strategy: str = "greedy"):
         """Run the whole-window on-device token loop (decoding/device_loop.py);
         one host readback per call.  Returns a WindowResult of numpy arrays.
 
@@ -214,7 +215,7 @@ class WhisperContext:
         from ..decoding import device_loop as DL
 
         bt = _bucket(len(prompt))
-        key = (n_beams, bt, no_timestamps, params.single_segment)
+        key = (n_beams, bt, no_timestamps, params.single_segment, strategy)
         base_mask, initial_mask = DL.build_masks(self.filter_tables, params)
         prompt_padded = np.zeros(bt, np.int32)
         prompt_padded[: len(prompt)] = prompt
@@ -241,11 +242,11 @@ class WhisperContext:
 
         fn = self._window_jit.get(key)
         if fn is None:
-            n_beams, bt, no_timestamps, single_segment = key
+            n_beams, bt, no_timestamps, single_segment, strategy = key
             fn = DL.make_window_decoder(
                 self.hp, n_beams, bt, self.compute_dtype, no_timestamps,
                 single_segment, self.vocab.token_eot, self.vocab.token_beg,
-                kv_itype=self.kv_itype)
+                kv_itype=self.kv_itype, strategy=strategy)
             self._window_jit[key] = fn
         return jax.tree.map(np.asarray, fn(self.params, *args))
 
