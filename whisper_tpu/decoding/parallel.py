@@ -45,8 +45,9 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
     # loop covers the requested decoding features
     from .params import SamplingStrategy
 
+    # greedy always; beam search batches its t=0 attempts on device and
+    # only fallback (t>0) attempts run solo in their worker
     eligible = (not ctx.is_empty
-                and params.strategy == SamplingStrategy.GREEDY
                 and params.grammar_rules is None
                 and params.logits_filter_callback is None
                 and not params.detect_language
