@@ -15,10 +15,12 @@ on host (`build_masks`), so flag changes don't recompile.
 
 This path covers the GREEDY strategy (single lane at t=0; `best_of`
 independent sampling lanes at t>0 — lanes never interact, which maps onto a
-[beam] batch axis with no gathers).  Beam search currently uses the host
-loop in `full.py`; a device-side beam reshuffle is planned.  Grammar
-decoding and logits_filter_callback also route to the host loop (they are
-host-side by nature).
+[beam] batch axis with no gathers) and BEAM SEARCH at t=0 (deterministic
+top-k candidates, cumulative-logprob ranking with the host path's stable
+tie-break and rolling-hash sequence dedup, parent gathers for the KV cache
+and token buffers).  t>0 beam fallback attempts, grammar decoding and
+logits_filter_callback route to the host loop (they are host-side by
+nature).
 """
 
 from __future__ import annotations
@@ -264,7 +266,7 @@ def _beam_select(logprobs, probs, st: LoopState, beg: int):
 def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                         compute_dtype, no_timestamps: bool,
                         single_segment: bool, vocab_eot: int, vocab_beg: int,
-                        unroll_layers: bool = True, vmap_windows: bool = False,
+                        unroll_layers: bool = False, vmap_windows: bool = False,
                         kv_itype: str = "f16", strategy: str = "greedy"):
     """Build the jitted whole-window greedy/best-of decode function.
     Static: hp dims, lane count, prompt bucket, timestamp-mode flags.
