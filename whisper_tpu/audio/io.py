@@ -10,7 +10,6 @@ averaging; the original stereo pair is also returned for diarization).
 from __future__ import annotations
 
 import shutil
-import struct
 import subprocess
 import wave
 from typing import Optional, Tuple

@@ -13,7 +13,6 @@ Usage: python -m whisper_tpu.cli.parakeet_quantize in.bin out.bin q5_0
 from __future__ import annotations
 
 import argparse
-import struct
 import sys
 from typing import BinaryIO
 

@@ -16,9 +16,7 @@ whisper_mutex (server.cpp:1219).
 from __future__ import annotations
 
 import argparse
-import io
 import json
-import math
 import os
 import re
 import sys

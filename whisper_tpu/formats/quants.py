@@ -22,7 +22,6 @@ scales), so a quantize round-trip here is byte-identical with the reference's
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 

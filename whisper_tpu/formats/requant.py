@@ -17,11 +17,8 @@ Rules (matching the reference exactly):
 from __future__ import annotations
 
 import re
-import struct
 from dataclasses import dataclass, field
 from typing import BinaryIO, List, Sequence
-
-import numpy as np
 
 from . import container, quants
 

@@ -15,9 +15,7 @@ launch per prob computation instead of n_chunks launches.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
-from functools import partial
 from typing import BinaryIO, Dict, List, Optional, Tuple
 
 import jax

@@ -20,7 +20,6 @@ TPU-first re-design of the weight store:
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass, field
 from typing import Any, BinaryIO, Dict, List, Optional, Tuple
 

@@ -24,7 +24,6 @@ precision (bf16 on TPU, f32 for bit-accuracy tests).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

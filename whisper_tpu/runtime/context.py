@@ -10,7 +10,6 @@ played by XLA).
 
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
