@@ -266,7 +266,7 @@ def _beam_select(logprobs, probs, st: LoopState, beg: int):
 def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                         compute_dtype, no_timestamps: bool,
                         single_segment: bool, vocab_eot: int, vocab_beg: int,
-                        unroll_layers: bool = False, vmap_windows: bool = False,
+                        unroll_layers: bool = True, vmap_windows: bool = False,
                         kv_itype: str = "f16", strategy: str = "greedy"):
     """Build the jitted whole-window greedy/best-of decode function.
     Static: hp dims, lane count, prompt bucket, timestamp-mode flags.

@@ -278,7 +278,7 @@ def decode_step(params: Dict[str, Any],
                 xk: jax.Array, xv: jax.Array,  # cross KV
                 hp: WhisperHParams,
                 dtype=jnp.bfloat16,
-                unroll: bool = False) -> Tuple[jax.Array, KVCache]:
+                unroll: bool = True) -> Tuple[jax.Array, KVCache]:
     """One batched decoder forward over all live beams.
 
     Mirrors whisper_build_graph_decoder (src/whisper.cpp:2464-2842): token+pos
