@@ -184,3 +184,44 @@ def test_mel_matches_reference_oracle(jfk_samples, tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path), timeout=300)
     assert r.returncode == 0, r.stderr[-500:]
     assert r.stdout.strip().splitlines()[-1] == ORACLE_JFK
+
+
+def test_full_batch_matches_sequential(jfk_samples):
+    """Batched serving (vmapped encoder + vmapped TDT loop) matches a
+    sequential run at the same padded mel shape, utterance by utterance."""
+    if not TEST_MODEL.exists():
+        pytest.skip("parakeet test model not available")
+    ctx = ParakeetContext.from_file(str(TEST_MODEL))
+    utts = [jfk_samples, jfk_samples[: len(jfk_samples) // 2],
+            jfk_samples[: len(jfk_samples) // 3]]
+    results = ctx.full_batch(utts)
+    assert len(results) == 3
+    # jfk through the batched path still matches the reference oracle
+    assert similarity(results[0][0].text, ORACLE_JFK) >= 0.95
+
+    # sequential oracle at the identical padded shape (padding frames shift
+    # conv-boundary numerics, so shapes must match for exact comparison)
+    mels = [log_mel_spectrogram(s, ctx.model.filters, ctx.model.window,
+                                ctx.hp.n_fft) for s in utts]
+    bucket = max(64, 1 << (max(m.shape[0] for m in mels) - 1).bit_length())
+    seq = ParakeetContext.from_file(str(TEST_MODEL))
+    for i, m in enumerate(mels):
+        n_org = m.shape[0]
+        seq.reset_state()
+        seq.result_all.clear()
+        seq.set_mel(np.pad(m, ((0, bucket - n_org), (0, 0))))
+        seq.n_len_org = n_org
+        assert seq.chunk(None) == 0
+        assert seq.full_text() == "".join(s.text for s in results[i])
+        seq_toks = [td.id for s in seq.result_all for td in s.tokens]
+        bat_toks = [td.id for s in results[i] for td in s.tokens]
+        assert seq_toks == bat_toks
+
+
+def test_full_batch_empty_and_state():
+    if not TEST_MODEL.exists():
+        pytest.skip("parakeet test model not available")
+    ctx = ParakeetContext.from_file(str(TEST_MODEL))
+    assert ctx.full_batch([]) == []
+    # batched path must not disturb the streaming decode state
+    assert ctx.decoded_tokens == []

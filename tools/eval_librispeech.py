@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     ap.add_argument("--parakeet", action="store_true",
                     help="evaluate a Parakeet-TDT model "
                          "(tests/librispeech-parakeet analogue)")
+    ap.add_argument("-B", "--batch-size", type=int, default=1,
+                    help="parakeet only: transcribe B utterances per "
+                         "batched device call (vmapped encoder + TDT loop)")
     ap.add_argument("-o", "--output", default=None,
                     help="write per-utterance hypotheses to this file")
     args = ap.parse_args(argv)
@@ -86,15 +89,26 @@ def main(argv=None) -> int:
     out_f = open(args.output, "w") if args.output else None
     t0 = time.perf_counter()
     audio_s = 0.0
-    for k, (utt, audio, ref) in enumerate(utts):
-        samples, _ = load_audio(str(audio))
-        audio_s += len(samples) / 16000.0
-        hyp = run_one(samples)
-        refs.append(ref)
-        hyps.append(hyp)
-        if out_f:
-            out_f.write(f"{utt}\t{hyp}\n")
-        if (k + 1) % 20 == 0:
+    B = max(1, args.batch_size) if args.parakeet else 1
+    for k0 in range(0, len(utts), B):
+        group = utts[k0:k0 + B]
+        sample_list = []
+        for utt, audio, ref in group:
+            samples, _ = load_audio(str(audio))
+            audio_s += len(samples) / 16000.0
+            sample_list.append(samples)
+        if B > 1:
+            texts = ["".join(s.text for s in segs)
+                     for segs in pctx.full_batch(sample_list)]
+        else:
+            texts = [run_one(s) for s in sample_list]
+        for (utt, audio, ref), hyp in zip(group, texts):
+            refs.append(ref)
+            hyps.append(hyp)
+            if out_f:
+                out_f.write(f"{utt}\t{hyp}\n")
+        k = k0 + len(group) - 1
+        if (k + 1) % 20 < len(group):
             print(f"[{k + 1}/{len(utts)}] running WER "
                   f"{100 * wer(refs, hyps):.2f}%", file=sys.stderr)
     if out_f:

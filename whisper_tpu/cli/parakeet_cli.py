@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     ap.add_argument("-otxt", "--output-txt", action="store_true")
     ap.add_argument("-of", "--output-file", default="")
     ap.add_argument("-np", "--no-prints", action="store_true")
+    ap.add_argument("--batch", action="store_true",
+                    help="transcribe all input files in one batched device "
+                         "call (vmapped encoder + TDT loop)")
     ap.add_argument("files_pos", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -37,6 +40,27 @@ def main(argv=None) -> int:
         print(f"error: failed to load Parakeet model from '{args.model}': {e}",
               file=sys.stderr)
         return 3
+
+    if args.batch and len(files) > 1:
+        all_samples = [load_audio(f)[0] for f in files]
+        results = ctx.full_batch(all_samples,
+                                 FullParams(n_threads=args.threads))
+        for fname, segs in zip(files, results):
+            text = "".join(s.text for s in segs)
+            print(text)
+            if args.print_segments and not args.no_prints:
+                for i, seg in enumerate(segs):
+                    print(f"segment {i}: [{seg.t0} -> {seg.t1}] {seg.text}",
+                          file=sys.stderr)
+            if args.output_txt:
+                out = fname + ".txt"
+                with open(out, "w") as fo:
+                    fo.write(text + "\n")
+                if not args.no_prints:
+                    print(f"saving output to '{out}'", file=sys.stderr)
+        if not args.no_prints:
+            print(ctx.print_timings(), file=sys.stderr)
+        return 0
 
     for fname in files:
         samples, _ = load_audio(fname)

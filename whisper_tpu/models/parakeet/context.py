@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import model as M
-from .decode import ParakeetTokenData, TdtDecoder, refine_timestamps_tdt
+from .decode import (ParakeetTokenData, TdtDecoder, refine_timestamps_tdt,
+                     tdt_greedy_decode_batch, unpack_token_data)
 from .hparams import HOP_LENGTH, ParakeetHParams
 from .load import ParakeetModel, load_parakeet_model
 from .mel import log_mel_spectrogram
@@ -169,6 +170,91 @@ class ParakeetContext:
                 if params.new_segment_callback:
                     params.new_segment_callback(self, seg)
         return 0
+
+    def full_batch(self, samples_list: List[np.ndarray],
+                   params: Optional[FullParams] = None
+                   ) -> List[List[ParakeetSegment]]:
+        """Batched serving: transcribe independent utterances in lockstep.
+
+        The reference serves one utterance at a time (parakeet_full,
+        src/parakeet.cpp:3570); on TPU the encoder and the whole TDT loop
+        vmap over the utterance axis, so B utterances cost ~one utterance of
+        weight reads — the multi-utterance analogue of the whisper window
+        batcher (runtime/batching.py).  Each utterance gets fresh LSTM state
+        (no cross-utterance context); results match sequential full() per
+        utterance exactly (greedy decode is deterministic).
+
+        Returns one segment list per utterance; does NOT touch the
+        context's persistent decode state.
+        """
+        params = params or FullParams()
+        if not samples_list:
+            return []
+        if self.model.is_empty:
+            return [[] for _ in samples_list]
+        hp = self.hp
+
+        # mels on host, padded to a shared power-of-two time bucket so the
+        # batched jit is reused across batches
+        t0 = time.perf_counter()
+        mels = [log_mel_spectrogram(s, self.model.filters, self.model.window,
+                                    hp.n_fft) for s in samples_list]
+        self.t_mel_us += int((time.perf_counter() - t0) * 1e6)
+        n_lens = np.array([m.shape[0] for m in mels], np.int32)
+        bucket = max(64, 1 << (int(n_lens.max()) - 1).bit_length())
+        mel_b = np.zeros((len(mels), bucket, hp.n_mels), np.float32)
+        for i, m in enumerate(mels):
+            mel_b[i, :m.shape[0]] = m
+
+        if not hasattr(self, "_encode_batch_jit"):
+            def _enc_batch(p, mels_, lens_):
+                return jax.vmap(
+                    lambda m, n: M.encode(p, m, n, hp=hp, dtype=self.dtype)
+                )(mels_, lens_)
+            self._encode_batch_jit = jax.jit(_enc_batch)
+
+        t0 = time.perf_counter()
+        enc_b = self._encode_batch_jit(self.params,
+                                       jnp.asarray(mel_b, self.dtype),
+                                       jnp.asarray(n_lens))
+        enc_b.block_until_ready()
+        self.t_encode_us += int((time.perf_counter() - t0) * 1e6)
+
+        sub = hp.subsampling_factor
+        n_frames = np.minimum((n_lens + sub - 1) // sub, enc_b.shape[1])
+        nf_max = int(n_frames.max())
+        max_out = max(16, int(min(nf_max * hp.n_max_tokens,
+                                  4 * nf_max + 64)))
+        B = len(mels)
+        D, L = hp.n_pred_dim, hp.n_pred_layers
+        h0 = jnp.zeros((B, L, D), self.dtype)
+        c0 = jnp.zeros((B, L, D), self.dtype)
+
+        t0 = time.perf_counter()
+        (tok, frame, didx, dval, p, plog, n_out, _, _) = \
+            tdt_greedy_decode_batch(self.decoder.params, enc_b,
+                                    jnp.asarray(n_frames), h0, c0,
+                                    hp, max_out, self.dtype)
+        n_out = np.asarray(n_out)
+        self.t_decode_us += int((time.perf_counter() - t0) * 1e6)
+
+        results: List[List[ParakeetSegment]] = []
+        for b in range(B):
+            toks = unpack_token_data(self.vocab, sub, tok[b], frame[b],
+                                     didx[b], dval[b], p[b], plog[b],
+                                     int(n_out[b]))
+            segs: List[ParakeetSegment] = []
+            if toks:
+                text = ""
+                for k, td in enumerate(toks):
+                    text += piece_to_text(self.vocab.id_to_token[td.id],
+                                          is_first_piece=(k == 0))
+                refine_timestamps_tdt(self.vocab, toks)
+                if text:
+                    segs.append(ParakeetSegment(t0=0, t1=int(n_frames[b]),
+                                                text=text, tokens=toks))
+            results.append(segs)
+        return results
 
     # -- accessors (parakeet_full_* analogues) --------------------------------
 

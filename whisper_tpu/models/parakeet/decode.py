@@ -39,10 +39,9 @@ class ParakeetTokenData:
     is_word_start: bool = False
 
 
-@partial(jax.jit, static_argnames=("hp", "max_out", "dtype"))
-def tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
-                      h0: jax.Array, c0: jax.Array, hp: ParakeetHParams,
-                      max_out: int, dtype=jnp.float32):
+def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
+                       h0: jax.Array, c0: jax.Array, hp: ParakeetHParams,
+                       max_out: int, dtype=jnp.float32):
     """Run the full TDT loop on-device.
 
     enc: [T_max, n_state]; n_frames: actual frame count (scalar).
@@ -118,6 +117,41 @@ def tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
     return (*bufs, n_out, h, c)
 
 
+tdt_greedy_decode = partial(jax.jit, static_argnames=("hp", "max_out", "dtype"))(
+    _tdt_greedy_decode)
+
+
+@partial(jax.jit, static_argnames=("hp", "max_out", "dtype"))
+def tdt_greedy_decode_batch(params, enc_b, n_frames_b, h0_b, c0_b,
+                            hp: ParakeetHParams, max_out: int,
+                            dtype=jnp.float32):
+    """Batched TDT decode: the whole greedy loop vmapped over utterances —
+    the joint/prediction matmuls batch on the MXU and the per-utterance
+    while_loops run in lockstep (continuous batching for the transducer)."""
+    return jax.vmap(
+        lambda e, n, h, c: _tdt_greedy_decode(params, e, n, h, c, hp,
+                                              max_out, dtype)
+    )(enc_b, n_frames_b, h0_b, c0_b)
+
+
+def unpack_token_data(vocab, sub: int, tok, frame, didx, dval, p, plog,
+                      n: int) -> List[ParakeetTokenData]:
+    """Host-side unpack of the device loop's packed result arrays into
+    parakeet_token_data records (include/parakeet.h:120-137)."""
+    tok, frame = np.asarray(tok[:n]), np.asarray(frame[:n])
+    didx, dval = np.asarray(didx[:n]), np.asarray(dval[:n])
+    p, plog = np.asarray(p[:n]), np.asarray(plog[:n])
+    out = []
+    for i in range(n):
+        out.append(ParakeetTokenData(
+            id=int(tok[i]), duration_idx=int(didx[i]),
+            duration_value=int(dval[i]), frame_index=int(frame[i]),
+            p=float(p[i]), plog=float(plog[i]),
+            t0=int(frame[i]) * sub, t1=(int(frame[i]) + int(dval[i])) * sub,
+            is_word_start=is_word_start_token(vocab, int(tok[i]))))
+    return out
+
+
 class TdtDecoder:
     """Host wrapper: runs the device loop, unpacks parakeet_token_data."""
 
@@ -143,22 +177,8 @@ class TdtDecoder:
         (tok, frame, didx, dval, p, plog, n_out, self.h, self.c) = \
             tdt_greedy_decode(self.params, enc, jnp.int32(n_frames),
                               self.h, self.c, hp, max_out, self.dtype)
-        n = int(n_out)
-        tok, frame = np.asarray(tok[:n]), np.asarray(frame[:n])
-        didx, dval = np.asarray(didx[:n]), np.asarray(dval[:n])
-        p, plog = np.asarray(p[:n]), np.asarray(plog[:n])
-
-        vocab = self.model.vocab
-        sub = hp.subsampling_factor
-        out = []
-        for i in range(n):
-            out.append(ParakeetTokenData(
-                id=int(tok[i]), duration_idx=int(didx[i]),
-                duration_value=int(dval[i]), frame_index=int(frame[i]),
-                p=float(p[i]), plog=float(plog[i]),
-                t0=int(frame[i]) * sub, t1=(int(frame[i]) + int(dval[i])) * sub,
-                is_word_start=is_word_start_token(vocab, int(tok[i]))))
-        return out
+        return unpack_token_data(self.model.vocab, hp.subsampling_factor,
+                                 tok, frame, didx, dval, p, plog, int(n_out))
 
 
 def refine_timestamps_tdt(vocab, tokens: List[ParakeetTokenData]) -> None:
