@@ -143,39 +143,32 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
 
     # ---- batched serving: W windows decoded in lockstep --------------------
     # Continuous batching (runtime/batching.py) amortizes the decoder weight
-    # reads across windows; each window keeps its own cross-KV and cache.
-    # Standalone sweeps show throughput keeps rising with W (W=16: 261x,
-    # W=24: 284x rt/chip), but this bench also holds the packed-weight
-    # copies, so W=8 is what fits; production serving without the bench's
-    # extra residents can run larger batches.
+    # reads across windows.  Windows ride decode_step's beam axis NATIVELY
+    # (device_loop.decode_windows_native) — per-window cross-KV, one shared
+    # in-place KV cache (L, W, C, 2S) — which keeps the per-layer cache
+    # update a single non-copying dynamic_update_slice.
     W = 8
 
     @jax.jit
     def batched_chain(K, params, xkb, xvb):
         def body(i, carry):
             cache, tok = carry
-            pos = jnp.clip(i, 0, hp.n_text_ctx - 1) * jnp.ones((W, 1, 1),
+            pos = jnp.clip(i, 0, hp.n_text_ctx - 1) * jnp.ones((W, 1),
                                                                jnp.int32)
-
-            def one(tok_w, pos_w, cache_w, xk_w, xv_w):
-                return M.decode_step(params, tok_w, pos_w, i, cache_w,
-                                     xk_w, xv_w, hp, dtype=dtype)
-
-            logits, cache = jax.vmap(one)(tok, pos, cache, xkb, xvb)
+            logits, cache = M.decode_step(params, tok, pos, i, cache,
+                                          xkb, xvb, hp, dtype=dtype)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return cache, tok
 
-        cache0 = jax.vmap(lambda _: M.KVCache.zeros(hp, 1, dtype))(
-            jnp.arange(W))
+        cache0 = M.KVCache.zeros(hp, W, dtype)
         cache, tok = jax.lax.fori_loop(
-            0, K, body, (cache0, jnp.zeros((W, 1, 1), jnp.int32)))
+            0, K, body, (cache0, jnp.zeros((W, 1), jnp.int32)))
         return tok.sum()
 
-    xkb = jnp.broadcast_to(xk[None], (W,) + xk.shape)
-    xvb = jnp.broadcast_to(xv[None], (W,) + xv.shape)
-    # materialize per-window copies so HBM traffic is honest
-    xkb = xkb + 0.0
-    xvb = xvb + 0.0
+    # per-window cross-KV (L, W, H, Tc, d), materialized so HBM traffic is
+    # honest
+    xkb = jnp.broadcast_to(xk[:, None], (xk.shape[0], W) + xk.shape[1:]) + 0.0
+    xvb = jnp.broadcast_to(xv[:, None], (xv.shape[0], W) + xv.shape[1:]) + 0.0
     dec_b_ms = _per_op_ms(batched_chain, 16, 64, lambda: (params, xkb, xvb))
     dec_b_per_window_ms = dec_b_ms / W
 

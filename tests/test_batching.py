@@ -66,3 +66,73 @@ def test_batched_falls_back_for_beam(mini_model_path, jfk):
     p.beam_search.beam_size = 2
     segs = transcribe_parallel(ctx, p, jfk[:16000 * 6], 2)
     assert isinstance(segs, list)
+
+
+def test_native_window_batch_matches_single(mini_model_path, jfk):
+    """decode_windows_native left-pads prompts so all windows share a scalar
+    cache write head.  Verify the pad/mask/position math: the prompt-pass
+    logits (and therefore prompt_probs) of a left-padded batched row must
+    match the right-padded single-window decode, including rows with
+    DIFFERENT prompt lengths.  (Full-trajectory token equality is checked
+    end-to-end by test_batched_matches_sequential; with random weights
+    near-tied logits make per-token comparison across fp summation orders
+    meaningless at the unit level.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.decoding import device_loop as DL
+    from whisper_tpu.runtime.context import WhisperContext
+
+    ctx = WhisperContext.from_file(str(mini_model_path))
+    hp, v = ctx.hp, ctx.vocab
+    ctx.pcm_to_mel(jfk)
+    ctx.encode_window(0)
+    xk, xv = ctx.xk, ctx.xv
+
+    bucket = 8
+    prompts = [
+        [v.token_sot, v.token_not],                          # len 2
+        [v.token_prev, 100, 200, v.token_sot, v.token_not],  # len 5
+    ]
+    W = len(prompts)
+    prompt_pad = np.zeros((W, bucket), np.int32)
+    lens = np.zeros((W,), np.int32)
+    for i, p in enumerate(prompts):
+        prompt_pad[i, : len(p)] = p
+        lens[i] = len(p)
+
+    base = np.zeros(hp.n_vocab, np.float32)
+    initial = np.zeros(hp.n_vocab, np.float32)
+    single = DL.make_window_decoder(
+        hp, 1, bucket, ctx.compute_dtype, False, False,
+        v.token_eot, v.token_beg)
+    native = DL.make_window_decoder(
+        hp, 1, bucket, ctx.compute_dtype, False, False,
+        v.token_eot, v.token_beg, n_windows=W)
+
+    mt = jnp.int32(12)
+    rngs = jnp.stack([jax.random.PRNGKey(7)] * W)
+    singles = [
+        single(ctx.params, jnp.asarray(prompt_pad[i]), jnp.int32(lens[i]),
+               xk, xv, jnp.asarray(base), jnp.asarray(initial),
+               jnp.float32(0.0), jnp.int32(0), jnp.int32(1098), mt,
+               jax.random.PRNGKey(7))
+        for i in range(W)
+    ]
+    batched = native(ctx.params, jnp.asarray(prompt_pad), jnp.asarray(lens),
+                     jnp.stack([xk] * W), jnp.stack([xv] * W),
+                     jnp.asarray(base), jnp.asarray(initial),
+                     jnp.zeros(W, jnp.float32), jnp.zeros(W, jnp.int32),
+                     jnp.full((W,), 1098, jnp.int32), mt, rngs)
+
+    # prompt-pass distributions must agree per row (pad layout changes only
+    # fp summation order)
+    for i in range(W):
+        np.testing.assert_allclose(
+            np.asarray(batched.prompt_probs)[i],
+            np.asarray(singles[i].prompt_probs), rtol=2e-3, atol=1e-5,
+            err_msg=f"window {i}")
+    # structural sanity: every row decoded something and the result layout
+    # matches the vmapped mode's (W, 1, ...)
+    assert batched.tok_id.shape[:2] == (W, 1)
+    assert all(int(np.asarray(batched.n_tok)[i, 0]) >= 1 for i in range(W))

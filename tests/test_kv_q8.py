@@ -34,8 +34,9 @@ def test_q8_cache_decode_close_to_dense(mini_model_path):
             cache, ctx.xk, ctx.xv, hp, dtype=jnp.float32)
         outs[itype] = np.asarray(logits, np.float32)
         if itype == "q8":
-            assert cache2.k.dtype == np.int8
-            assert cache2.k_scale.shape == (hp.n_text_layer, 1, hp.n_text_ctx)
+            assert cache2.kv.dtype == np.int8
+            assert cache2.scale.shape == (hp.n_text_layer, 1,
+                                          hp.n_text_ctx, 2)
 
     rel = (np.abs(outs["q8"] - outs["f16"]).max()
            / (np.abs(outs["f16"]).max() + 1e-9))
@@ -77,5 +78,5 @@ def test_q8_beam_reorder(mini_model_path):
     cache = M.KVCache8.zeros(ctx.hp, 3, jnp.float32)
     idx = jnp.asarray([2, 0, 1])
     re = cache.reorder(idx)
-    assert re.k.shape == cache.k.shape
-    assert re.k_scale.shape == cache.k_scale.shape
+    assert re.kv.shape == cache.kv.shape
+    assert re.scale.shape == cache.scale.shape

@@ -26,13 +26,13 @@ def test_packed_overlay_built(q5_model):
     m = load_model(str(q5_model))
     assert m.qparams
     overlay = build_qweight_overlay(m.qparams, m.hparams)
-    assert set(overlay["blocks"]) == {"q_w", "k_w", "v_w", "o_w", "xq_w",
+    assert set(overlay["blocks"]) == {"qkv_w", "o_w", "xq_w",
                                       "xo_w", "mlp0_w", "mlp1_w"}
     assert "tok_embd" in overlay
-    codes, scales = overlay["blocks"]["q_w"]
+    codes, scales = overlay["blocks"]["qkv_w"]
     S = m.hparams.n_text_state
-    assert codes.shape == (m.hparams.n_text_layer, S, S)
-    assert scales.shape == (m.hparams.n_text_layer, S, S // 32)
+    assert codes.shape == (m.hparams.n_text_layer, 3 * S, S)
+    assert scales.shape == (m.hparams.n_text_layer, 3 * S, S // 32)
 
 
 def test_packed_transcription_matches_dense(q5_model):
@@ -50,7 +50,7 @@ def test_packed_transcription_matches_dense(q5_model):
         ctx = WhisperContext.from_file(str(q5_model),
                                        use_packed_weights=packed)
         if packed:
-            assert isinstance(ctx.params["dec"]["blocks"]["q_w"], QWeight)
+            assert isinstance(ctx.params["dec"]["blocks"]["qkv_w"], QWeight)
             assert isinstance(ctx.params["dec"]["tok_embd"], QWeight)
         params = TranscribeParams(language="en", print_progress=False,
                                   temperature_inc=0.0)

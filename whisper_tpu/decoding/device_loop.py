@@ -119,12 +119,12 @@ def _apply_filters(raw, st_i, last_id, penult_id, has_ts, seek_delta,
                    eot: int, beg: int, no_timestamps: bool,
                    single_segment: bool):
     """Vectorized whisper_process_logits over the beam axis.
-    raw: (B, V); returns (logits, logprobs, probs)."""
+    raw: (B, V); temperature: per-row (B,); returns (logits, logprobs, probs)."""
     V = raw.shape[-1]
     idx = jnp.arange(V)
 
-    logits = jnp.where(temperature > 0.0,
-                       raw / jnp.maximum(temperature, 1e-9), raw)
+    logits = jnp.where((temperature > 0.0)[:, None],
+                       raw / jnp.maximum(temperature, 1e-9)[:, None], raw)
     logits = logits + base_mask
     is_initial = st_i == 0
     logits = jnp.where(is_initial, logits + initial_mask, logits)
@@ -267,15 +267,26 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                         compute_dtype, no_timestamps: bool,
                         single_segment: bool, vocab_eot: int, vocab_beg: int,
                         unroll_layers: bool = True, vmap_windows: bool = False,
-                        kv_itype: str = "f16", strategy: str = "greedy"):
+                        kv_itype: str = "f16", strategy: str = "greedy",
+                        n_windows: int = 1):
     """Build the jitted whole-window greedy/best-of decode function.
     Static: hp dims, lane count, prompt bucket, timestamp-mode flags.
 
-    With vmap_windows=True the returned function takes a leading window axis
-    on (prompt, prompt_len, xk, xv, temperature, seek, seek_end, rng) and
-    decodes all windows in ONE device call — the continuous-batching path
-    (runtime/batching.py): weight reads amortize across windows, which is
-    where the decode throughput is on TPU.
+    Two batched-serving modes (runtime/batching.py):
+    * vmap_windows=True — jax.vmap over a leading window axis on (prompt,
+      prompt_len, xk, xv, temperature, seek, seek_end, rng).  Works for any
+      strategy, but vmap batches the KV cache with the window axis leading,
+      which scatters the per-layer cache writes across huge strides.
+    * n_windows=W>1 (greedy, n_beams==1 only) — NATIVE window batching: the
+      W windows ride decode_step's beam axis directly (cache layout
+      (L, W, C, 2S) — the fast one), with per-row prompts LEFT-padded to the
+      bucket so the cache write head stays a single scalar, per-row positions
+      and an additive pad mask keeping the math identical to the one-window
+      decode.  Same argument/result structure as the vmapped mode.
+
+    Weight reads amortize across windows either way — that is where decode
+    throughput goes on TPU — but the native mode also keeps the cache
+    updates in-place, a further ~1.4x step-time win measured at W=8.
     """
     n_max = hp.n_text_ctx // 2 - 4
     eot, beg = vocab_eot, vocab_beg
@@ -285,6 +296,8 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                       initial_mask, temperature, seek, seek_end, max_tokens,
                       rng) -> WindowResult:
         B = n_beams
+        temp_vec = jnp.broadcast_to(
+            jnp.asarray(temperature, jnp.float32), (B,))
 
         # ---- prompt decode (single lane), then tile KV across lanes ----
         cache1 = M.new_cache(hp, 1, cache_dtype, itype=kv_itype)
@@ -328,7 +341,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             live = ~(st.completed | st.failed)
             logits, logprobs, probs = _apply_filters(
                 st.logits_row, st.i, st.last_id, st.penult_id, st.has_ts,
-                st.seek_delta, base_mask, initial_mask, temperature,
+                st.seek_delta, base_mask, initial_mask, temp_vec,
                 max_tokens, eot, beg, no_timestamps, single_segment)
 
             rng, sub = jax.random.split(st.rng)
@@ -356,7 +369,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 sum_logprobs = st.sum_logprobs  # score already cumulative
             else:
                 tok, p, plog, tid, pt, ptsum = _sample(
-                    logprobs, probs, temperature, sub, beg)
+                    logprobs, probs, temp_vec, sub, beg)
                 sum_logprobs = jnp.where(live, st.sum_logprobs + plog,
                                          st.sum_logprobs)
 
@@ -440,6 +453,178 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             completed=final.completed, sum_logprobs=final.sum_logprobs,
             prompt_probs=prompt_probs)
 
+    def decode_windows_native(params, prompts, prompt_lens, xks, xvs,
+                              base_mask, initial_mask, temperatures, seeks,
+                              seek_ends, max_tokens, rngs) -> WindowResult:
+        """W windows decoded as the beam axis of one state machine.
+
+        Args are stacked exactly like the vmapped mode: prompts (W, bucket)
+        right-padded, prompt_lens (W,), xks/xvs (W, L, H, Tc, d),
+        temperatures/seeks/seek_ends (W,), rngs (W, 2); base/initial masks
+        and max_tokens shared.  Result leaves gain the same (W, 1, ...)
+        layout the vmapped mode produces.
+        """
+        B = n_windows
+
+        # left-pad prompts so every row's last prompt cell is bucket-1:
+        # cell c holds token c - shift_w (cells c < shift_w are pad, masked)
+        shift = prompt_bucket - prompt_lens                       # (W,)
+        cells = jnp.arange(prompt_bucket, dtype=jnp.int32)[None, :]
+        src_idx = jnp.clip(cells - shift[:, None], 0, prompt_bucket - 1)
+        prompt_lp = jnp.take_along_axis(prompts, src_idx, axis=1)
+        pos = jnp.clip(cells - shift[:, None], 0, hp.n_text_ctx - 1)
+        # pad cells are never overwritten (the loop writes at bucket + i),
+        # so one static additive mask hides them for the whole window
+        ctx_cells = jnp.arange(hp.n_text_ctx)
+        is_pad = ctx_cells[None, :] < shift[:, None]              # (W, C)
+        attn_mask = jnp.where(is_pad, NEG_INF,
+                              0.0).astype(jnp.float32)[:, None, None, :]
+        # prompt pass: a pad-cell QUERY would otherwise see an all-masked row
+        # (softmax -> NaN poisoning the cache); let each pad query see itself
+        # — its output is unused garbage but stays finite
+        diag = (ctx_cells[:prompt_bucket, None] == ctx_cells[None, :])
+        attn_mask_prompt = jnp.where(
+            is_pad[:, None, :] & ~diag[None], NEG_INF,
+            0.0).astype(jnp.float32)[:, None]         # (W, 1, bucket, C)
+
+        xk = jnp.swapaxes(xks, 0, 1)   # (L, W, H, Tc, d): per-row cross KV
+        xv = jnp.swapaxes(xvs, 0, 1)
+
+        cache = M.new_cache(hp, B, cache_dtype, itype=kv_itype)
+        logits_all, cache = M.decode_step(
+            params, prompt_lp, pos, jnp.int32(0), cache, xk, xv, hp,
+            dtype=compute_dtype, unroll=unroll_layers,
+            attn_mask=attn_mask_prompt)
+        last_row = logits_all[:, prompt_bucket - 1]               # (W, V)
+        prompt_probs = jax.nn.softmax(last_row.astype(jnp.float32), axis=-1)
+
+        temp_vec = temperatures.astype(jnp.float32)
+
+        st = LoopState(
+            i=jnp.int32(0), cache=cache,
+            logits_row=last_row, rng=rngs[0],
+            seq_hash=jnp.zeros((B, 2), jnp.uint32),
+            last_id=jnp.full((B,), -1, jnp.int32),
+            penult_id=jnp.full((B,), -1, jnp.int32),
+            has_ts=jnp.zeros((B,), bool),
+            seek_delta=jnp.full((B,), 100 * CHUNK_SIZE, jnp.int32),
+            result_len=jnp.zeros((B,), jnp.int32),
+            failed=jnp.zeros((B,), bool),
+            completed=jnp.zeros((B,), bool),
+            sum_logprobs=jnp.zeros((B,), jnp.float32),
+            tok_id=jnp.zeros((B, n_max), jnp.int32),
+            tok_tid=jnp.zeros((B, n_max), jnp.int32),
+            tok_p=jnp.zeros((B, n_max), jnp.float32),
+            tok_plog=jnp.zeros((B, n_max), jnp.float32),
+            tok_pt=jnp.zeros((B, n_max), jnp.float32),
+            tok_ptsum=jnp.zeros((B, n_max), jnp.float32),
+            n_tok=jnp.zeros((B,), jnp.int32),
+        )
+
+        def cond(st: LoopState):
+            return (st.i < n_max) & ~jnp.all(st.completed | st.failed)
+
+        def body(st: LoopState) -> LoopState:
+            live = ~(st.completed | st.failed)
+            logits, logprobs, probs = _apply_filters(
+                st.logits_row, st.i, st.last_id, st.penult_id, st.has_ts,
+                st.seek_delta, base_mask, initial_mask, temp_vec,
+                max_tokens, eot, beg, no_timestamps, single_segment)
+            rng, sub = jax.random.split(st.rng)
+            tok, p, plog, tid, pt, ptsum = _sample(
+                logprobs, probs, temp_vec, sub, beg)
+            sum_logprobs = jnp.where(live, st.sum_logprobs + plog,
+                                     st.sum_logprobs)
+
+            col = st.i
+
+            def put(buf, val):
+                return jnp.where(
+                    (jnp.arange(n_max)[None, :] == col) & live[:, None],
+                    val[:, None].astype(buf.dtype), buf)
+
+            tok_id = put(st.tok_id, tok)
+            tok_tid = put(st.tok_tid, tid)
+            tok_p = put(st.tok_p, p)
+            tok_plog = put(st.tok_plog, plog)
+            tok_pt = put(st.tok_pt, pt)
+            tok_ptsum = put(st.tok_ptsum, ptsum)
+            n_tok = jnp.where(live, st.i + 1, st.n_tok)
+
+            # ---- state rules (src/whisper.cpp:7360-7443), per-row seeks ----
+            is_ts = live & (tok > beg)
+            sd_new = 2 * (tok - beg)
+            fail_seek = (is_ts & st.has_ts & (st.seek_delta > sd_new) &
+                         (st.result_len < st.i))
+            ok_ts = is_ts & ~fail_seek
+            seek_delta = jnp.where(ok_ts, sd_new, st.seek_delta)
+            result_len = jnp.where(ok_ts, st.i + 1, st.result_len)
+            has_ts = st.has_ts | ok_ts
+            failed = st.failed | fail_seek
+
+            still = live & ~fail_seek
+            end_audio = has_ts & (seeks + seek_delta + DELTA_MIN >= seek_ends)
+            complete_cond = still & (
+                (tok == eot) | ((max_tokens > 0) & (st.i >= max_tokens)) |
+                end_audio)
+            if not no_timestamps:
+                zero_len = complete_cond & (result_len == 0)
+                accept = zero_len & end_audio
+                result_len = jnp.where(accept, st.i + 1, result_len)
+                failed = failed | (zero_len & ~end_audio)
+                complete_cond = complete_cond & ~(zero_len & ~end_audio)
+            if single_segment or no_timestamps:
+                result_len = jnp.where(complete_cond, st.i + 1, result_len)
+                seek_delta = jnp.where(complete_cond, 100 * CHUNK_SIZE,
+                                       seek_delta)
+            completed = st.completed | complete_cond
+
+            rep = (st.i == n_max - 1) & still & ~complete_cond & (
+                (result_len == 0) | (seek_delta < 100 * CHUNK_SIZE // 2))
+            failed = failed | rep
+
+            # ---- next-token decode: shared write head (left-pad invariant),
+            # per-row true positions ----
+            step_pos = jnp.clip(prompt_lens + st.i, 0,
+                                hp.n_text_ctx - 1)[:, None]
+            logits_next, cache = M.decode_step(
+                params, tok[:, None], step_pos, prompt_bucket + st.i,
+                st.cache, xk, xv, hp, dtype=compute_dtype,
+                unroll=unroll_layers, attn_mask=attn_mask)
+
+            return LoopState(
+                i=st.i + 1, cache=cache, logits_row=logits_next[:, 0],
+                rng=rng, seq_hash=st.seq_hash,
+                last_id=jnp.where(live, tok, st.last_id),
+                penult_id=jnp.where(live, st.last_id, st.penult_id),
+                has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
+                failed=failed, completed=completed,
+                sum_logprobs=sum_logprobs,
+                tok_id=tok_id, tok_tid=tok_tid, tok_p=tok_p,
+                tok_plog=tok_plog, tok_pt=tok_pt, tok_ptsum=tok_ptsum,
+                n_tok=n_tok)
+
+        final = lax.while_loop(cond, body, st)
+
+        def per_window(a):  # (W, ...) -> (W, 1, ...) matching vmapped layout
+            return a[:, None]
+
+        return WindowResult(
+            tok_id=per_window(final.tok_id), tok_tid=per_window(final.tok_tid),
+            tok_p=per_window(final.tok_p), tok_plog=per_window(final.tok_plog),
+            tok_pt=per_window(final.tok_pt),
+            tok_ptsum=per_window(final.tok_ptsum),
+            n_tok=per_window(final.n_tok),
+            result_len=per_window(final.result_len),
+            seek_delta=per_window(final.seek_delta),
+            has_ts=per_window(final.has_ts), failed=per_window(final.failed),
+            completed=per_window(final.completed),
+            sum_logprobs=per_window(final.sum_logprobs),
+            prompt_probs=prompt_probs)
+
+    if n_windows > 1:
+        assert strategy == "greedy" and n_beams == 1, (strategy, n_beams)
+        return jax.jit(decode_windows_native)
     if vmap_windows:
         return jax.jit(jax.vmap(
             decode_window,

@@ -100,12 +100,15 @@ def _alignment_weights_all(params, tokens, positions, xk, xv,
     mask = jnp.where(i[None, :] <= i[:, None], 0.0, -jnp.inf
                      ).astype(jnp.float32)[None, None]  # (1,1,T,T)
 
+    n_state = hp.n_text_state
+
     def body(x, layer):
         blk, cxk, cxv = layer
         h = M.layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
-        q = M._mm(h, blk["q_w"], dtype) + blk["q_b"]
-        k = M._mm(h, blk["k_w"], dtype)
-        v = M._mm(h, blk["v_w"], dtype) + blk["v_b"]
+        qkv = M._mm(h, blk["qkv_w"], dtype) + blk["qkv_b"]
+        q = qkv[..., :n_state]
+        k = qkv[..., n_state:2 * n_state]
+        v = qkv[..., 2 * n_state:]
         out = M.attention(M._split_heads(q, n_head), M._split_heads(k, n_head),
                           M._split_heads(v, n_head), mask, dtype)
         x = x + M._mm(M._merge_heads(out), blk["o_w"], dtype) + blk["o_b"]

@@ -95,10 +95,9 @@ def _tile_cache(cache, n_beam: int):
 
     from ..models.whisper.model import KVCache
 
-    if cache.k.shape[1] == n_beam:
+    if cache.kv.shape[1] == n_beam:
         return cache
-    reps = (1, n_beam, 1, 1)
-    return KVCache(jnp.tile(cache.k[:, :1], reps), jnp.tile(cache.v[:, :1], reps))
+    return KVCache(jnp.tile(cache.kv[:, :1], (1, n_beam, 1, 1)))
 
 
 def transcribe(ctx: WhisperContext, params: TranscribeParams,

@@ -162,14 +162,20 @@ def build_param_pytree(tensors: Dict[str, np.ndarray], hp: WhisperHParams) -> Di
         "mlp1_w": _stack(tensors, "encoder.blocks.%d.mlp.2.weight", hp.n_audio_layer, True),
         "mlp1_b": _stack(tensors, "encoder.blocks.%d.mlp.2.bias", hp.n_audio_layer),
     }
+    # decoder q/k/v fuse into ONE (in, 3*out) matmul at load time: the decode
+    # step is op-latency-bound on TPU, and the fused projection also emits
+    # K/V adjacent so the cache update is a single dynamic_update_slice
+    # (model.py decode_step).  Concatenating output columns is bit-exact.
+    dq = _stack(tensors, "decoder.blocks.%d.attn.query.weight", hp.n_text_layer, True)
+    dk = _stack(tensors, "decoder.blocks.%d.attn.key.weight", hp.n_text_layer, True)
+    dv = _stack(tensors, "decoder.blocks.%d.attn.value.weight", hp.n_text_layer, True)
+    dq_b = _stack(tensors, "decoder.blocks.%d.attn.query.bias", hp.n_text_layer)
+    dv_b = _stack(tensors, "decoder.blocks.%d.attn.value.bias", hp.n_text_layer)
     dec_blocks = {
         "attn_ln_w": _stack(tensors, "decoder.blocks.%d.attn_ln.weight", hp.n_text_layer),
         "attn_ln_b": _stack(tensors, "decoder.blocks.%d.attn_ln.bias", hp.n_text_layer),
-        "q_w": _stack(tensors, "decoder.blocks.%d.attn.query.weight", hp.n_text_layer, True),
-        "q_b": _stack(tensors, "decoder.blocks.%d.attn.query.bias", hp.n_text_layer),
-        "k_w": _stack(tensors, "decoder.blocks.%d.attn.key.weight", hp.n_text_layer, True),
-        "v_w": _stack(tensors, "decoder.blocks.%d.attn.value.weight", hp.n_text_layer, True),
-        "v_b": _stack(tensors, "decoder.blocks.%d.attn.value.bias", hp.n_text_layer),
+        "qkv_w": np.concatenate([dq, dk, dv], axis=-1),
+        "qkv_b": np.concatenate([dq_b, np.zeros_like(dq_b), dv_b], axis=-1),
         "o_w": _stack(tensors, "decoder.blocks.%d.attn.out.weight", hp.n_text_layer, True),
         "o_b": _stack(tensors, "decoder.blocks.%d.attn.out.bias", hp.n_text_layer),
         "xattn_ln_w": _stack(tensors, "decoder.blocks.%d.cross_attn_ln.weight", hp.n_text_layer),
@@ -211,12 +217,14 @@ def build_param_pytree(tensors: Dict[str, np.ndarray], hp: WhisperHParams) -> Di
 
 # hot decode-loop weights eligible for the packed fused-kernel path; the
 # cross-attention K/V projections run once per window in compute_cross_kv
-# (compute-bound at T=1500) and stay dense
+# (compute-bound at T=1500) and stay dense.  "qkv_w" packs the three
+# self-attention projections stacked along the output-row axis, mirroring
+# the dense load-time fusion (planes are (out, in), so rows concatenate).
 PACKED_DEC_KEYS = {
-    "q_w": "attn.query.weight", "k_w": "attn.key.weight",
-    "v_w": "attn.value.weight", "o_w": "attn.out.weight",
-    "xq_w": "cross_attn.query.weight", "xo_w": "cross_attn.out.weight",
-    "mlp0_w": "mlp.0.weight", "mlp1_w": "mlp.2.weight",
+    "qkv_w": ("attn.query.weight", "attn.key.weight", "attn.value.weight"),
+    "o_w": ("attn.out.weight",),
+    "xq_w": ("cross_attn.query.weight",), "xo_w": ("cross_attn.out.weight",),
+    "mlp0_w": ("mlp.0.weight",), "mlp1_w": ("mlp.2.weight",),
 }
 
 
@@ -229,12 +237,16 @@ def build_qweight_overlay(qplanes: Dict[str, "quants.QTensor"],
     planes exist (symmetric formats); missing entries keep the dense leaf.
     """
     out: Dict[str, Any] = {"blocks": {}}
-    for key, fname in PACKED_DEC_KEYS.items():
-        names = [f"decoder.blocks.{i}.{fname}" for i in range(hp.n_text_layer)]
-        if all(n in qplanes and qplanes[n].mins is None for n in names):
+    for key, fnames in PACKED_DEC_KEYS.items():
+        names = [[f"decoder.blocks.{i}.{f}" for f in fnames]
+                 for i in range(hp.n_text_layer)]
+        if all(n in qplanes and qplanes[n].mins is None
+               for row in names for n in row):
             out["blocks"][key] = (
-                np.stack([qplanes[n].codes for n in names]),
-                np.stack([qplanes[n].scales for n in names]))
+                np.stack([np.concatenate([qplanes[n].codes for n in row])
+                          for row in names]),
+                np.stack([np.concatenate([qplanes[n].scales for n in row])
+                          for row in names]))
     te = qplanes.get("decoder.token_embedding.weight")
     if te is not None and te.mins is None:
         out["tok_embd"] = (te.codes, te.scales)

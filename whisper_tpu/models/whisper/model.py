@@ -208,48 +208,51 @@ def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
 # ---------------------------------------------------------------------------
 
 class KVCache(NamedTuple):
-    """Self-attention cache: k/v (n_layer, n_beam, n_text_ctx, n_state)."""
+    """Self-attention cache: one combined buffer
+    kv (n_layer, n_beam, n_text_ctx, 2*n_state) with K in [..., :n_state]
+    and V in [..., n_state:].
 
-    k: jax.Array
-    v: jax.Array
+    K and V share a buffer because the fused QKV projection emits them
+    adjacent (qkv[..., n_state:]), so the per-step cache update is a SINGLE
+    in-place `dynamic_update_slice` of one column per layer — the decode
+    step is op-latency-bound on TPU and halving the update count (and
+    avoiding a concat) is a measured win over separate k/v buffers."""
+
+    kv: jax.Array
 
     @staticmethod
     def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache":
-        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, hp.n_text_state)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2 * hp.n_text_state)
+        return KVCache(jnp.zeros(shape, dtype))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache":
         """Beam-search reshuffle: gather along the beam axis (replaces the
         reference's kv_seq_cp cell copies, src/whisper.cpp:7338-7353)."""
-        return KVCache(self.k[:, beam_idx], self.v[:, beam_idx])
+        return KVCache(self.kv[:, beam_idx])
 
 
 class KVCache8(NamedTuple):
     """INT8 self-attention cache (the reference's quantized-`itype` kv_self).
 
     Rows quantize per position: code = round(127 x / amax), scale = amax/127
-    with shapes codes (L, B, T, S) int8, scales (L, B, T) f32.  Attention
+    with K/V codes sharing one buffer kv (L, B, T, 2*S) int8 (K first) and
+    per-position scales (L, B, T, 2) f32 ([..., 0]=K, [..., 1]=V).  Attention
     stays exact-factorable — scores = (q @ codes^T) * scale_j and
     out = (probs * scale_j) @ codes — so nothing is dequantized to a dense
     f16 cache; HBM cache traffic and memory halve.
     """
 
-    k: jax.Array        # int8 codes
-    v: jax.Array        # int8 codes
-    k_scale: jax.Array  # (L, B, T) f32
-    v_scale: jax.Array
+    kv: jax.Array      # int8 codes, K then V on the last axis
+    scale: jax.Array   # (L, B, T, 2) f32
 
     @staticmethod
     def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache8":
-        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, hp.n_text_state)
-        sshape = shape[:-1]
-        return KVCache8(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-                        jnp.zeros(sshape, jnp.float32),
-                        jnp.zeros(sshape, jnp.float32))
+        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2 * hp.n_text_state)
+        return KVCache8(jnp.zeros(shape, jnp.int8),
+                        jnp.zeros(shape[:-1] + (2,), jnp.float32))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache8":
-        return KVCache8(self.k[:, beam_idx], self.v[:, beam_idx],
-                        self.k_scale[:, beam_idx], self.v_scale[:, beam_idx])
+        return KVCache8(self.kv[:, beam_idx], self.scale[:, beam_idx])
 
 
 def _quantize_rows(x: jax.Array):
@@ -278,7 +281,8 @@ def decode_step(params: Dict[str, Any],
                 xk: jax.Array, xv: jax.Array,  # cross KV
                 hp: WhisperHParams,
                 dtype=jnp.bfloat16,
-                unroll: bool = True) -> Tuple[jax.Array, KVCache]:
+                unroll: bool = True,
+                attn_mask=None) -> Tuple[jax.Array, KVCache]:
     """One batched decoder forward over all live beams.
 
     Mirrors whisper_build_graph_decoder (src/whisper.cpp:2464-2842): token+pos
@@ -286,12 +290,23 @@ def decode_step(params: Dict[str, Any],
     at `kv_head`, cross-attention against precomputed xk/xv, final LN, logits
     against the token-embedding matrix for all rows.
 
+    TPU-native structure: the decode step is op-LATENCY-bound, not
+    bandwidth-bound, so the layer loop minimizes op count — q/k/v run as ONE
+    fused matmul against the load-time-concatenated `qkv_w`, K and V land in
+    the cache with ONE `dynamic_update_slice` per layer (K/V share a buffer;
+    the fused projection already emits them adjacent), and the stacked cache
+    threads through the unrolled loop so XLA aliases the updates in place
+    instead of restacking per-layer leaves (which silently copied the whole
+    multi-GB cache every step).
+
     Returns (logits (n_beam, n_tok, n_vocab) f32, updated cache).
     """
     dec = params["dec"]
     n_beam, n_tok = tokens.shape
     n_head = hp.n_text_head
     n_ctx = hp.n_text_ctx
+    n_state = hp.n_text_state
+    n_layer = hp.n_text_layer
     eps = hp.eps
 
     from ...ops.qmm import QWeight, embed_lookup
@@ -308,63 +323,51 @@ def decode_step(params: Dict[str, Any],
     i = jnp.arange(n_tok)[None, :, None]
     visible = j < (kv_head + i + 1)
     mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (1,1,T,n_ctx)
+    if attn_mask is not None:
+        # extra per-row additive mask (B,1,1,n_ctx): e.g. left-pad cells of a
+        # natively window-batched prompt (decoding/device_loop.py)
+        mask = mask + attn_mask
 
     is_q8 = isinstance(cache, KVCache8)
 
-    def _self_attend_dense(h, blk, k_cache, v_cache):
-        q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
-        k_new = _mm(h, blk["k_w"], dtype)
-        v_new = _mm(h, blk["v_w"], dtype) + blk["v_b"]
-        k_cache = lax.dynamic_update_slice(
-            k_cache, k_new.astype(k_cache.dtype), (0, kv_head, 0))
-        v_cache = lax.dynamic_update_slice(
-            v_cache, v_new.astype(v_cache.dtype), (0, kv_head, 0))
-        out = attention(
-            _split_heads(q, n_head),
-            _split_heads(k_cache, n_head),
-            _split_heads(v_cache, n_head),
-            mask, dtype)
-        return out, (k_cache, v_cache)
-
-    def _self_attend_q8(h, blk, kc, ks, vc, vs):
-        # int8 KV cache: per-position scales factor out of both matmuls,
-        # so the attention is exact against the quantized rows
-        q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
-        k_new = _mm(h, blk["k_w"], dtype)
-        v_new = _mm(h, blk["v_w"], dtype) + blk["v_b"]
-        kq, ksn = _quantize_rows(k_new)
-        vq, vsn = _quantize_rows(v_new)
-        kc = lax.dynamic_update_slice(kc, kq, (0, kv_head, 0))
-        vc = lax.dynamic_update_slice(vc, vq, (0, kv_head, 0))
-        ks = lax.dynamic_update_slice(ks, ksn, (0, kv_head))
-        vs = lax.dynamic_update_slice(vs, vsn, (0, kv_head))
-
-        qh = _split_heads(q, n_head)                     # (B,H,T,d)
-        kh = _split_heads(kc.astype(dtype), n_head)      # (B,H,Tc,d)
-        vh = _split_heads(vc.astype(dtype), n_head)
-        d = qh.shape[-1]
-        scores = jnp.matmul(qh.astype(dtype), jnp.swapaxes(kh, -1, -2),
-                            preferred_element_type=jnp.float32)
-        scores = scores * ks[:, None, None, :] / jnp.sqrt(jnp.float32(d))
-        scores = scores + mask
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = probs * vs[:, None, None, :]
-        out = jnp.matmul(probs.astype(dtype), vh,
-                         preferred_element_type=jnp.float32)
-        return out, (kc, ks, vc, vs)
-
-    def body(x, layer):
-        if is_q8:
-            blk, kc, ks, vc, vs, cxk, cxv = layer
-        else:
-            blk, k_cache, v_cache, cxk, cxv = layer
-        # self-attention
+    def layer_body(x, kvf, sf, blk, cxk, cxv, l):
+        # self-attention; qkv fused: q = [..., :S], k/v = [..., S:] (adjacent
+        # so the cache column writes without a concat)
         h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
+        qkv = _mm(h, blk["qkv_w"], dtype) + blk["qkv_b"]
+        q = qkv[..., :n_state]
+        qh = _split_heads(q, n_head)
         if is_q8:
-            out, new_cache_leaves = _self_attend_q8(h, blk, kc, ks, vc, vs)
+            # int8 KV cache: per-position scales factor out of both matmuls,
+            # so the attention is exact against the quantized rows
+            kq, ksn = _quantize_rows(qkv[..., n_state:2 * n_state])
+            vq, vsn = _quantize_rows(qkv[..., 2 * n_state:])
+            kvf = lax.dynamic_update_slice(
+                kvf, jnp.concatenate([kq, vq], axis=-1)[None],
+                (l, 0, kv_head, 0))
+            sf = lax.dynamic_update_slice(
+                sf, jnp.stack([ksn, vsn], axis=-1)[None], (l, 0, kv_head, 0))
+            kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
+            s_l = lax.dynamic_index_in_dim(sf, l, 0, keepdims=False)
+            kh = _split_heads(kv_l[..., :n_state].astype(dtype), n_head)
+            vh = _split_heads(kv_l[..., n_state:].astype(dtype), n_head)
+            d = qh.shape[-1]
+            scores = jnp.matmul(qh.astype(dtype), jnp.swapaxes(kh, -1, -2),
+                                preferred_element_type=jnp.float32)
+            scores = (scores * s_l[:, None, None, :, 0]
+                      / jnp.sqrt(jnp.float32(d)) + mask)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = probs * s_l[:, None, None, :, 1]
+            out = jnp.matmul(probs.astype(dtype), vh,
+                             preferred_element_type=jnp.float32)
         else:
-            out, new_cache_leaves = _self_attend_dense(h, blk, k_cache,
-                                                       v_cache)
+            kvf = lax.dynamic_update_slice(
+                kvf, qkv[..., n_state:].astype(kvf.dtype)[None],
+                (l, 0, kv_head, 0))
+            kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
+            out = attention(qh, _split_heads(kv_l[..., :n_state], n_head),
+                            _split_heads(kv_l[..., n_state:], n_head),
+                            mask, dtype)
         x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
         # cross-attention
         h = layer_norm(x, blk["xattn_ln_w"], blk["xattn_ln_b"], eps)
@@ -375,22 +378,26 @@ def decode_step(params: Dict[str, Any],
         h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
         h = _gelu(_mm(h, blk["mlp0_w"], dtype) + blk["mlp0_b"])
         x = x + _mm(h, blk["mlp1_w"], dtype) + blk["mlp1_b"]
-        return x, new_cache_leaves
+        return x, kvf, sf
 
-    if is_q8:
-        xs = (dec["blocks"], cache.k, cache.k_scale, cache.v, cache.v_scale,
-              xk, xv)
+    kvf = cache.kv
+    sf = cache.scale if is_q8 else jnp.zeros((), jnp.float32)
+    if unroll:
+        for l in range(n_layer):
+            blk = jax.tree_util.tree_map(lambda a: a[l], dec["blocks"])
+            x, kvf, sf = layer_body(x, kvf, sf, blk, xk[l], xv[l], l)
     else:
-        xs = (dec["blocks"], cache.k, cache.v, xk, xv)
-    x, new_leaves = scan_layers(body, x, xs, unroll)
+        def sbody(carry, inp):
+            x, kvf, sf = carry
+            blk, cxk, cxv, l = inp
+            return layer_body(x, kvf, sf, blk, cxk, cxv, l), None
+        (x, kvf, sf), _ = lax.scan(
+            sbody, (x, kvf, sf),
+            (dec["blocks"], xk, xv, jnp.arange(n_layer)))
     x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
     if isinstance(tok_embd, QWeight):
         logits = _mm(x, tok_embd, dtype)       # fused x @ W^T
     else:
         logits = _mm(x, tok_embd.T, dtype)     # (B, T, n_vocab)
-    if is_q8:
-        kc, ks, vc, vs = new_leaves
-        new_cache = KVCache8(kc, vc, ks, vs)
-    else:
-        new_cache = KVCache(*new_leaves)
+    new_cache = KVCache8(kvf, sf) if is_q8 else KVCache(kvf)
     return logits.astype(jnp.float32), new_cache

@@ -47,6 +47,14 @@ def param_specs(hp) -> Dict[str, Any]:
         "mlp1_w": row, "mlp1_b": rep2,
     }
     dec_blocks = dict(enc_blocks)
+    for k in ("q_w", "q_b", "k_w", "v_w", "v_b"):
+        del dec_blocks[k]
+    dec_blocks.update({
+        # fused qkv: column sharding would split the [q|k|v] concatenation
+        # across devices (breaking head locality), so shard the INPUT dim —
+        # row parallel with a GSPMD-inserted psum after the projection
+        "qkv_w": row, "qkv_b": rep2,
+    })
     dec_blocks.update({
         "xattn_ln_w": rep2, "xattn_ln_b": rep2,
         "xq_w": col, "xq_b": bias_sh,
@@ -77,8 +85,12 @@ def cross_kv_spec() -> P:
 
 
 def kv_cache_spec() -> P:
-    """(n_layer, n_beam, n_text_ctx, n_state): shard the state (head) dim."""
-    return P(None, None, None, "tp")
+    """(n_layer, n_beam, n_text_ctx, 2*n_state): shard the context dim.
+    K and V share the last axis (combined-buffer cache, model.py KVCache),
+    so state-dim sharding would separate K from V; context-dim shards keep
+    every head's full K and V colocated and GSPMD turns the attention
+    reductions into ring collectives over 'tp'."""
+    return P(None, None, "tp", None)
 
 
 def shard_params(params, mesh: Mesh, hp):

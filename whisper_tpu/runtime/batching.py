@@ -103,14 +103,19 @@ class WindowBatcher:
             return
         from ..decoding import device_loop as DL
 
-        vkey = (key, "vmap")
+        (n_beams, bt, no_ts, single_seg, strategy) = key
+        # greedy single-lane groups run NATIVELY batched (windows ride the
+        # decode_step beam axis — in-place cache, fastest); beam/best-of
+        # groups vmap (their lanes already occupy the beam axis)
+        native = strategy == "greedy" and n_beams == 1
+        vkey = (key, "native", len(reqs)) if native else (key, "vmap")
         fn = ctx._window_jit.get(vkey)
         if fn is None:
-            (n_beams, bt, no_ts, single_seg, strategy) = key
             fn = DL.make_window_decoder(
                 ctx.hp, n_beams, bt, ctx.compute_dtype, no_ts, single_seg,
-                ctx.vocab.token_eot, ctx.vocab.token_beg, vmap_windows=True,
-                kv_itype=ctx.kv_itype, strategy=strategy)
+                ctx.vocab.token_eot, ctx.vocab.token_beg,
+                vmap_windows=not native, kv_itype=ctx.kv_itype,
+                strategy=strategy, n_windows=len(reqs) if native else 1)
             ctx._window_jit[vkey] = fn
 
         # args per request: (prompt_padded, prompt_len, xk, xv, base_mask,
