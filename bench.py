@@ -146,8 +146,21 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     # reads across windows.  Windows ride decode_step's beam axis NATIVELY
     # (device_loop.decode_windows_native) — per-window cross-KV, one shared
     # in-place KV cache (L, W, C, 2S) — which keeps the per-layer cache
-    # update a single non-copying dynamic_update_slice.
-    W = 8
+    # update a single non-copying dynamic_update_slice.  Cross-KV is stored
+    # INT8 (model.py XK8): per-(head,position) scales factor out of both
+    # cross matmuls exactly, halving the decode's dominant HBM stream and
+    # the per-window memory (which is what lets W=16 fit on one chip;
+    # measured sweep: W=8 358x, W=16 372x, W=24 324x rt/chip).
+    W = 16
+
+    @jax.jit
+    def quantize_cross(xk, xv):
+        from whisper_tpu.models.whisper.model import _quantize_rows, XK8
+        kq, ks = _quantize_rows(xk)
+        vq, vs = _quantize_rows(xv)
+        return XK8(kq, ks), XK8(vq, vs)
+
+    xk8, xv8 = quantize_cross(xk, xv)
 
     @jax.jit
     def batched_chain(K, params, xkb, xvb):
@@ -165,10 +178,15 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
             0, K, body, (cache0, jnp.zeros((W, 1), jnp.int32)))
         return tok.sum()
 
-    # per-window cross-KV (L, W, H, Tc, d), materialized so HBM traffic is
-    # honest
-    xkb = jnp.broadcast_to(xk[:, None], (xk.shape[0], W) + xk.shape[1:]) + 0.0
-    xvb = jnp.broadcast_to(xv[:, None], (xv.shape[0], W) + xv.shape[1:]) + 0.0
+    # per-window int8 cross-KV (L, W, H, Tc, d), materialized so HBM
+    # traffic is honest
+    def per_window(t):
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a[:, None], (a.shape[0], W) + a.shape[1:]) + 0, t)
+
+    xkb = per_window(xk8)
+    xvb = per_window(xv8)
     dec_b_ms = _per_op_ms(batched_chain, 16, 64, lambda: (params, xkb, xvb))
     dec_b_per_window_ms = dec_b_ms / W
 

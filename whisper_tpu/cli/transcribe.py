@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-bo", "--best-of", type=int, default=5)
     p.add_argument("-bs", "--beam-size", type=int, default=5)
     p.add_argument("-ac", "--audio-ctx", type=int, default=0)
+    p.add_argument("--cross-kv-itype", default="f16", choices=["f16", "q8"],
+                   help="cross-attention K/V storage: q8 halves the decode's"
+                        " dominant HBM stream and per-window serving memory")
     p.add_argument("--kv-itype", default="f16", choices=["f16", "q8"],
                    help="KV-cache storage: dense f16/bf16 or int8 codes")
     p.add_argument("-dtw", "--dtw", default="",
@@ -131,7 +134,8 @@ def run(argv: Optional[List[str]] = None) -> int:
 
     if not args.no_prints:
         print(f"whisper_tpu: loading model from '{args.model}'", file=sys.stderr)
-    ctx = wt.WhisperContext.from_file(args.model, kv_itype=args.kv_itype)
+    ctx = wt.WhisperContext.from_file(args.model, kv_itype=args.kv_itype,
+                                      cross_itype=args.cross_kv_itype)
     if args.dtw:
         if args.dtw.startswith("top:"):
             ctx.enable_dtw(n_top_most=int(args.dtw[4:]))

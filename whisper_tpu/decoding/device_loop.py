@@ -487,8 +487,10 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             is_pad[:, None, :] & ~diag[None], NEG_INF,
             0.0).astype(jnp.float32)[:, None]         # (W, 1, bucket, C)
 
-        xk = jnp.swapaxes(xks, 0, 1)   # (L, W, H, Tc, d): per-row cross KV
-        xv = jnp.swapaxes(xvs, 0, 1)
+        # (L, W, H, Tc, d): per-row cross KV (tree-mapped — leaves may be
+        # XK8 int8 planes)
+        xk = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), xks)
+        xv = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), xvs)
 
         cache = M.new_cache(hp, B, cache_dtype, itype=kv_itype)
         logits_all, cache = M.decode_step(

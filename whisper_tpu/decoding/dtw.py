@@ -116,14 +116,7 @@ def _alignment_weights_all(params, tokens, positions, xk, xv,
         h = M.layer_norm(x, blk["xattn_ln_w"], blk["xattn_ln_b"], eps)
         q = M._mm(h, blk["xq_w"], dtype) + blk["xq_b"]
         qh = M._split_heads(q, n_head)          # (1, H, T, d)
-        d = qh.shape[-1]
-        scores = jnp.matmul(qh.astype(dtype),
-                            jnp.swapaxes(cxk, -1, -2).astype(dtype),
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(d))
-        probs = jax.nn.softmax(scores, axis=-1)  # (1, H, T, n_audio)
-        out = jnp.matmul(probs.astype(dtype), cxv.astype(dtype),
-                         preferred_element_type=jnp.float32)
+        out, probs = M.cross_attend(qh, cxk, cxv, dtype, return_probs=True)
         x = x + M._mm(M._merge_heads(out), blk["xo_w"], dtype) + blk["xo_b"]
 
         h = M.layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)

@@ -183,13 +183,27 @@ def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
     return x
 
 
+class XK8(NamedTuple):
+    """INT8 cross-attention K or V plane: codes (..., H, Tc, d) int8 with a
+    per-(head, position) scale (..., H, Tc) f32.  The scale factors out of
+    both cross-attention matmuls exactly (scores = (q @ codes^T) * scale,
+    out = (probs * scale) @ codes), so nothing dequantizes to a dense plane.
+    Halves the dominant HBM stream of batched decode (the reference keeps
+    cross KV in the compute dtype, src/whisper.cpp:2278-2352) and halves
+    per-window serving memory."""
+
+    codes: jax.Array
+    scale: jax.Array
+
+
 def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
                      hp: WhisperHParams, dtype=jnp.bfloat16,
-                     unroll: bool = True) -> Tuple[jax.Array, jax.Array]:
+                     unroll: bool = True, itype: str = "f16"):
     """Precompute cross-attention K/V for every decoder layer
     (whisper_build_graph_cross, src/whisper.cpp:2278-2352).
 
-    Returns (xk, xv) with shape (n_text_layer, n_head, n_audio_ctx, d_head).
+    Returns (xk, xv) with shape (n_text_layer, n_head, n_audio_ctx, d_head)
+    — as dense arrays (itype='f16') or XK8 int8 planes (itype='q8').
     K is *unscaled* here; the 1/sqrt(d) lives in `attention`.
     """
     blocks = params["dec"]["blocks"]
@@ -200,7 +214,35 @@ def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
         return None, (_split_heads(k, hp.n_text_head), _split_heads(v, hp.n_text_head))
 
     _, (xk, xv) = scan_layers(body, None, blocks, unroll)
+    if itype == "q8":
+        kq, ks = _quantize_rows(xk)
+        vq, vs = _quantize_rows(xv)
+        return XK8(kq, ks), XK8(vq, vs)
     return xk, xv
+
+
+def cross_attend(qh: jax.Array, ck, cv, dtype, return_probs: bool = False):
+    """Cross-attention against dense (H, Tc, d) or XK8 int8 planes; qh is
+    (..., H, Tq, d).  No mask — all encoder positions are visible."""
+    d = qh.shape[-1]
+    scale = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d))
+    if isinstance(ck, XK8):
+        scores = jnp.matmul(
+            qh.astype(dtype), jnp.swapaxes(ck.codes, -1, -2).astype(dtype),
+            preferred_element_type=jnp.float32)
+        scores = scores * jnp.expand_dims(ck.scale, -2) * scale
+        probs = jax.nn.softmax(scores, axis=-1)
+        pv = probs * jnp.expand_dims(cv.scale, -2)
+        out = jnp.matmul(pv.astype(dtype), cv.codes.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        scores = jnp.matmul(qh.astype(dtype),
+                            jnp.swapaxes(ck, -1, -2).astype(dtype),
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.matmul(probs.astype(dtype), cv.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    return (out, probs) if return_probs else out
 
 
 # ---------------------------------------------------------------------------
@@ -369,10 +411,10 @@ def decode_step(params: Dict[str, Any],
                             _split_heads(kv_l[..., n_state:], n_head),
                             mask, dtype)
         x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
-        # cross-attention
+        # cross-attention (dense or XK8 int8 planes)
         h = layer_norm(x, blk["xattn_ln_w"], blk["xattn_ln_b"], eps)
         q = _mm(h, blk["xq_w"], dtype) + blk["xq_b"]
-        out = attention(_split_heads(q, n_head), cxk, cxv, None, dtype)
+        out = cross_attend(_split_heads(q, n_head), cxk, cxv, dtype)
         x = x + _mm(_merge_heads(out), blk["xo_w"], dtype) + blk["xo_b"]
         # MLP
         h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
@@ -384,8 +426,9 @@ def decode_step(params: Dict[str, Any],
     sf = cache.scale if is_q8 else jnp.zeros((), jnp.float32)
     if unroll:
         for l in range(n_layer):
-            blk = jax.tree_util.tree_map(lambda a: a[l], dec["blocks"])
-            x, kvf, sf = layer_body(x, kvf, sf, blk, xk[l], xv[l], l)
+            blk, cxk, cxv = jax.tree_util.tree_map(
+                lambda a: a[l], (dec["blocks"], xk, xv))
+            x, kvf, sf = layer_body(x, kvf, sf, blk, cxk, cxv, l)
     else:
         def sbody(carry, inp):
             x, kvf, sf = carry

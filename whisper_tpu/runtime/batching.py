@@ -127,7 +127,10 @@ class WindowBatcher:
             if i in (4, 5, 9):  # base_mask, initial_mask, max_tokens: shared
                 stacked.append(vals[0])
             else:
-                stacked.append(jnp.stack([jnp.asarray(v) for v in vals]))
+                # tree-aware: xk/xv leaves may be XK8 int8 planes
+                stacked.append(jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *vals))
         res = fn(ctx.params, *stacked)
         res = jax.tree.map(np.asarray, res)
         for j, r in enumerate(reqs):

@@ -40,7 +40,7 @@ def _bucket(n: int) -> int:
 class WhisperContext:
     def __init__(self, model: WhisperModel, dtype=jnp.float32,
                  compute_dtype=None, use_packed_weights=None,
-                 kv_itype: str = "f16"):
+                 kv_itype: str = "f16", cross_itype: str = "f16"):
         self.model = model
         self.hp = model.hparams
         self.vocab = model.vocab
@@ -53,6 +53,9 @@ class WhisperContext:
         # kv_self storage: 'f16' (dense, compute dtype) or 'q8' (int8 codes
         # with per-position scales — the reference's quantized itype cache)
         self.kv_itype = kv_itype
+        # cross-attention K/V storage: 'q8' halves the dominant HBM stream
+        # of batched decode and per-window serving memory (model.py XK8)
+        self.cross_itype = cross_itype
         self.params = (
             None if model.is_empty else jax.tree.map(
                 lambda a: jnp.asarray(a, dtype), model.params))
@@ -151,7 +154,8 @@ class WhisperContext:
             def encode_fn(params, mel_window):
                 enc = M.encode(params, mel_window, hp, dtype=cd,
                                n_audio_ctx=n_audio_ctx)
-                xk, xv = M.compute_cross_kv(params, enc, hp, dtype=cd)
+                xk, xv = M.compute_cross_kv(params, enc, hp, dtype=cd,
+                                            itype=self.cross_itype)
                 return enc, xk, xv
 
             fn = self._encode_jit[n_audio_ctx] = encode_fn
@@ -193,7 +197,7 @@ class WhisperContext:
             window[:, : i1 - seek] = self.mel[:, seek:i1]
         _, self.xk, self.xv = self._get_encode(n_ctx)(
             self.params, jnp.asarray(window))
-        self.xk.block_until_ready()
+        jax.block_until_ready(self.xk)
         self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
         self.timings.n_encode += 1
         self.filter_tables = LogitFilterTables(self.vocab, n_ctx)
