@@ -1,0 +1,345 @@
+"""IQ4 / MXFP4 / ternary (TQ) block-quant codecs — vectorized numpy.
+
+Reference layouts and algorithms: ggml/src/ggml-common.h (block_iq4_nl:451,
+block_iq4_xs:454, block_mxfp4:214, block_tq1_0:273, block_tq2_0:284) and
+ggml/src/ggml-quants.c (quantize_row_iq4_nl_impl:4966, quantize_iq4_xs:5116,
+quantize_row_mxfp4_ref:350, quantize_row_tq{1,2}_0_ref:2316/2382, and the
+matching dequantize_row_* functions).  Quantizers reproduce the
+`ggml_quantize_chunk` entry points (no importance weights), so produced
+bytes match the reference bit-for-bit; dequantizers are bit-exact.
+
+All codecs decode into the same struct-of-arrays planes as the linear
+formats (quants.QTensor): the nonlinear IQ4/MXFP4 codebooks collapse into
+int8 *values* (the codebook entries), so `value = codes * scale` still holds
+and the fused qmm kernel can consume them unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+QK4_NL = 32
+QK_MXFP4 = 32
+QK_K = 256
+GROUP_MAX_EPS = 1e-15
+
+# ggml-common.h:1120 kvalues_iq4nl — the non-uniform 4-bit codebook
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89,
+     113], np.int8)
+# ggml-common.h:1126 kvalues_fp4 (E2M1 magnitudes, doubled)
+KVALUES_MXFP4 = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12], np.int8)
+
+
+def _f16(x):
+    return np.asarray(x, np.float32).astype(np.float16).astype(np.float32)
+
+
+def _nearest_int(x):
+    """ggml nearest_int: round-half-to-even (via the 2^23 trick)."""
+    return np.rint(np.asarray(x, np.float32)).astype(np.int32)
+
+
+def _lround(x):
+    """C lroundf: round half AWAY from zero."""
+    x = np.asarray(x, np.float32)
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int32)
+
+
+def _best_index_int8(vals: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Vectorized best_index_int8 (ggml-quants.c:28): nearest entry of the
+    sorted int8 codebook, ties resolving to the upper index."""
+    v = vals.astype(np.float32)
+    mu = np.clip(np.searchsorted(v, x, side="right"), 1, len(v) - 1)
+    lo = v[mu - 1]
+    hi = v[mu]
+    return np.where(x - lo < hi - x, mu - 1, mu).astype(np.uint8)
+
+
+def _e8m0_to_fp32_half(e: np.ndarray) -> np.ndarray:
+    """ggml_e8m0_to_fp32_half (ggml-impl.h:477): 2^(e-128) with denormal
+    patterns for e < 2."""
+    e = np.asarray(e, np.uint32)
+    bits = np.where(e < 2, np.uint32(0x00200000) << e, (e - 1) << np.uint32(23))
+    return bits.astype(np.uint32).view(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# MXFP4 — 32-elem blocks, shared E8M0 exponent + 4-bit E2M1 codes
+# ---------------------------------------------------------------------------
+
+def quantize_mxfp4(x: np.ndarray) -> bytes:
+    x = np.asarray(x, np.float32).reshape(-1, QK_MXFP4)
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=1)
+    with np.errstate(divide="ignore"):
+        loga = np.floor(np.log2(np.where(amax > 0, amax, 1.0)
+                                .astype(np.float32))).astype(np.int32)
+    e = np.where(amax > 0, loga - 2 + 127, 0).astype(np.uint8)
+    d = _e8m0_to_fp32_half(e)
+    # best_index_mxfp4: first minimum of |kval*d - x| wins (strict <)
+    errs = np.abs(KVALUES_MXFP4.astype(np.float32)[None, None, :]
+                  * d[:, None, None] - x[:, :, None])
+    idx = np.argmin(errs, axis=2).astype(np.uint8)
+    lo, hi = idx[:, :16], idx[:, 16:]
+    out = np.zeros((nb, 1 + 16), np.uint8)
+    out[:, 0] = e
+    out[:, 1:] = lo | (hi << 4)
+    return out.tobytes()
+
+
+def dequantize_mxfp4(buf: bytes, n: int) -> np.ndarray:
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 17)
+    d = _e8m0_to_fp32_half(raw[:, 0])
+    qs = raw[:, 1:]
+    vals = KVALUES_MXFP4.astype(np.float32)
+    y = np.concatenate([vals[qs & 0x0F], vals[qs >> 4]], axis=1)
+    return (y * d[:, None]).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# IQ4_NL / IQ4_XS — non-uniform 4-bit codebook
+# ---------------------------------------------------------------------------
+
+def _iq4_fit_blocks(xb: np.ndarray, ntry: int = 7):
+    """quantize_row_iq4_nl_impl inner loop over independent 32-blocks
+    (weights = x^2, no importance weights): returns per-block scale d."""
+    w = xb * xb
+    amax = np.abs(xb).max(axis=1)
+    mx = xb[np.arange(xb.shape[0]), np.argmax(np.abs(xb), axis=1)]
+    dead = amax < GROUP_MAX_EPS
+    safe_max = np.where(dead, 1.0, mx)
+
+    vals = KVALUES_IQ4NL.astype(np.float32)
+
+    def fit(id_):
+        L = _best_index_int8(KVALUES_IQ4NL, id_[:, None] * xb)
+        q = vals[L]
+        sumqx = (w * q * xb).sum(axis=1)
+        sumq2 = (w * q * q).sum(axis=1)
+        return sumqx, sumq2
+
+    d0 = -safe_max / float(KVALUES_IQ4NL[0])
+    sumqx, sumq2 = fit(1.0 / d0)
+    d = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0.0)
+    best = d * sumqx
+    for itry in range(-ntry, ntry + 1):
+        id_ = (itry + float(KVALUES_IQ4NL[0])) / safe_max
+        sqx, sq2 = fit(id_)
+        better = (sq2 > 0) & (sqx * sqx > best * sq2)
+        d = np.where(better, sqx / np.where(sq2 > 0, sq2, 1), d)
+        best = np.where(better, d * sqx, best)
+    return np.where(dead, 0.0, d).astype(np.float32)
+
+
+def _pack_nibbles(L: np.ndarray) -> np.ndarray:
+    """q4[16i+j] = L[32i+j] | L[32i+16+j] << 4 over each 32-run."""
+    nb = L.shape[0]
+    L = L.reshape(nb, -1, 2, 16)
+    return (L[:, :, 0] | (L[:, :, 1] << 4)).reshape(nb, -1)
+
+
+def quantize_iq4_nl(x: np.ndarray) -> bytes:
+    x = np.asarray(x, np.float32).reshape(-1, QK4_NL)
+    nb = x.shape[0]
+    d = _iq4_fit_blocks(x)
+    dh = _f16(d)
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+    L = _best_index_int8(KVALUES_IQ4NL, id_[:, None] * x)
+    out = np.zeros((nb, 2 + 16), np.uint8)
+    out[:, :2] = dh.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = _pack_nibbles(L)
+    return out.tobytes()
+
+
+def dequantize_iq4_nl(buf: bytes, n: int) -> np.ndarray:
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 18)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)
+    qs = raw[:, 2:]
+    vals = KVALUES_IQ4NL.astype(np.float32)
+    y = np.concatenate([vals[qs & 0x0F], vals[qs >> 4]], axis=1)
+    return (y * d).reshape(-1)[:n]
+
+
+def quantize_iq4_xs(x: np.ndarray) -> bytes:
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    xb = x.reshape(nb, 8, 32)
+    scales = _iq4_fit_blocks(xb.reshape(-1, 32)).reshape(nb, 8)
+
+    # super-block scale: d = -max_scale/32 with max_scale the (first)
+    # largest-|.| block scale; dh stores fp16(d) but id uses unrounded d
+    pick = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), pick]
+    d = -max_scale / 32.0
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+    l = np.clip(_nearest_int(id_[:, None] * scales), -32, 31)
+    dl = d[:, None] * l
+    idl = np.where(dl != 0, 1.0 / np.where(dl != 0, dl, 1), 0.0)
+    L = _best_index_int8(KVALUES_IQ4NL, idl[:, :, None] * xb).reshape(nb, QK_K)
+
+    lp = (l + 32).astype(np.uint16)
+    l_l, l_h = lp & 0xF, lp >> 4
+    scales_l = (l_l[:, 0::2] | (l_l[:, 1::2] << 4)).astype(np.uint8)
+    scales_h = np.zeros(nb, np.uint16)
+    for ib in range(8):
+        scales_h |= l_h[:, ib] << np.uint16(2 * ib)
+
+    out = np.zeros((nb, 2 + 2 + 4 + 128), np.uint8)
+    out[:, 0:2] = _f16(d).astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = scales_h[:, None].view(np.uint8)
+    out[:, 4:8] = scales_l
+    out[:, 8:] = _pack_nibbles(L)
+    return out.tobytes()
+
+
+def _iq4_xs_block_scales(raw: np.ndarray):
+    d = raw[:, 0:2].copy().view(np.float16).astype(np.float32)  # (nb, 1)
+    scales_h = raw[:, 2:4].copy().view(np.uint16).astype(np.uint32)
+    scales_l = raw[:, 4:8]
+    ls_lo = np.stack([scales_l & 0xF, scales_l >> 4], axis=2).reshape(-1, 8)
+    ib = np.arange(8)
+    ls_hi = ((scales_h >> (2 * ib)[None, :]) & 3).astype(np.uint8)
+    ls = (ls_lo | (ls_hi << 4)).astype(np.int32)
+    return d * (ls - 32)  # (nb, 8)
+
+
+def dequantize_iq4_xs(buf: bytes, n: int) -> np.ndarray:
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 136)
+    dl = _iq4_xs_block_scales(raw)                            # (nb, 8)
+    qs = raw[:, 8:].reshape(-1, 8, 16)
+    vals = KVALUES_IQ4NL.astype(np.float32)
+    y = np.concatenate([vals[qs & 0x0F], vals[qs >> 4]], axis=2)
+    return (y * dl[:, :, None]).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# TQ1_0 / TQ2_0 — ternary {-1, 0, 1} * d
+# ---------------------------------------------------------------------------
+
+_POW3 = np.array([1, 3, 9, 27, 81, 243], np.uint16)
+
+
+def quantize_tq1_0(x: np.ndarray) -> bytes:
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=1)
+    d = amax
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+    xi = (_lround(x * id_[:, None]) + 1).astype(np.uint16)     # 0..2
+
+    def pack(block, width):  # base-3 digits, n ascending = most significant
+        q = np.zeros(block.shape[::2][:1] + (width,), np.uint16)
+        q = np.zeros((block.shape[0], width), np.uint16)
+        for nd in range(5):
+            q = q * 3 + block[:, nd, :]
+        return ((q * 256 + 242) // 243).astype(np.uint8)
+
+    qs_a = pack(xi[:, :160].reshape(nb, 5, 32), 32)            # bytes 0..31
+    qs_b = pack(xi[:, 160:240].reshape(nb, 5, 16), 16)         # bytes 32..47
+    qh_src = xi[:, 240:].reshape(nb, 4, 4)                     # (nb, m, j)
+    qh = np.zeros((nb, 4), np.uint16)
+    for m in range(4):
+        qh = qh * 3 + qh_src[:, m, :]
+    qh = (((qh * 3) * 256 + 242) // 243).astype(np.uint8)
+
+    out = np.zeros((nb, 48 + 4 + 2), np.uint8)
+    out[:, :32] = qs_a
+    out[:, 32:48] = qs_b
+    out[:, 48:52] = qh
+    out[:, 52:54] = _f16(d).astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def _tq1_digits(q: np.ndarray, n_digits: int) -> np.ndarray:
+    """Decode base-3 digits from the ceil-scaled byte (dequantize_row_tq1_0):
+    digit n = ((q * 3^n mod 256) * 3) >> 8, in {0,1,2}."""
+    outs = []
+    for nd in range(n_digits):
+        qn = (q.astype(np.uint16) * _POW3[nd]) & 0xFF
+        outs.append(((qn * 3) >> 8).astype(np.int8) - 1)
+    return np.stack(outs, axis=1)  # (nb, n, width)
+
+
+def dequantize_tq1_0(buf: bytes, n: int) -> np.ndarray:
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 54)
+    nb = raw.shape[0]
+    d = raw[:, 52:54].copy().view(np.float16).astype(np.float32)
+    ya = _tq1_digits(raw[:, :32], 5).reshape(nb, 160)
+    yb = _tq1_digits(raw[:, 32:48], 5).reshape(nb, 80)
+    yh = _tq1_digits(raw[:, 48:52], 4).reshape(nb, 16)
+    y = np.concatenate([ya, yb, yh], axis=1).astype(np.float32)
+    return (y * d).reshape(-1)[:n]
+
+
+def quantize_tq2_0(x: np.ndarray) -> bytes:
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=1)
+    d = amax
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+    xi = ((_lround(x * id_[:, None]) + 1) & 3).astype(np.uint8)
+    xi = xi.reshape(nb, 2, 4, 32)                              # (chunk, n, m)
+    qs = (xi[:, :, 0] | (xi[:, :, 1] << 2) | (xi[:, :, 2] << 4)
+          | (xi[:, :, 3] << 6)).reshape(nb, 64)
+    out = np.zeros((nb, 64 + 2), np.uint8)
+    out[:, :64] = qs
+    out[:, 64:] = _f16(d).astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def dequantize_tq2_0(buf: bytes, n: int) -> np.ndarray:
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 66)
+    nb = raw.shape[0]
+    d = raw[:, 64:66].copy().view(np.float16).astype(np.float32)
+    qs = raw[:, :64].reshape(nb, 2, 32)
+    y = np.stack([((qs >> (2 * l)) & 3).astype(np.int8) - 1
+                  for l in range(4)], axis=2)                  # (nb, 2, l, 32)
+    return (y.reshape(nb, QK_K).astype(np.float32) * d).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# planes (struct-of-arrays) decoders — nonlinear codebooks collapse into
+# int8 VALUES so `value = codes * scale` holds (quants.QTensor contract)
+# ---------------------------------------------------------------------------
+
+def planes_iq4_nl(buf: bytes, rows: int, cols: int):
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 18)
+    d = raw[:, :2].copy().view(np.float16).astype(np.float32)
+    qs = raw[:, 2:]
+    codes = np.concatenate([KVALUES_IQ4NL[qs & 0x0F],
+                            KVALUES_IQ4NL[qs >> 4]], axis=1)
+    return codes.reshape(rows, cols), d.reshape(rows, cols // 32)
+
+
+def planes_mxfp4(buf: bytes, rows: int, cols: int):
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 17)
+    d = _e8m0_to_fp32_half(raw[:, 0])[:, None]
+    qs = raw[:, 1:]
+    codes = np.concatenate([KVALUES_MXFP4[qs & 0x0F],
+                            KVALUES_MXFP4[qs >> 4]], axis=1)
+    return codes.reshape(rows, cols), d.reshape(rows, cols // 32)
+
+
+def planes_iq4_xs(buf: bytes, rows: int, cols: int):
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 136)
+    dl = _iq4_xs_block_scales(raw)                             # per-32 scales
+    qs = raw[:, 8:].reshape(-1, 8, 16)
+    codes = np.concatenate([KVALUES_IQ4NL[qs & 0x0F],
+                            KVALUES_IQ4NL[qs >> 4]], axis=2)
+    return (codes.reshape(rows, cols),
+            dl.reshape(rows, cols // 32))
+
+
+def planes_tq(buf: bytes, rows: int, cols: int, ggml_type: int):
+    from . import quants as Q
+
+    fn = dequantize_tq1_0 if ggml_type == Q.GGML_TYPE_TQ1_0 else dequantize_tq2_0
+    y = fn(buf, rows * cols).reshape(-1, QK_K)
+    nb = y.shape[0]
+    raw = np.frombuffer(buf, np.uint8).reshape(nb, -1)
+    d = raw[:, -2:].copy().view(np.float16).astype(np.float32)  # (nb, 1)
+    codes = np.where(d > 0, np.round(y / np.where(d > 0, d, 1)), 0).astype(np.int8)
+    scales = np.repeat(d, QK_K // 32, axis=1)                   # per-32 grain
+    return codes.reshape(rows, cols), scales.reshape(rows, cols // 32)

@@ -42,10 +42,15 @@ GGML_TYPE_Q4_K = 12
 GGML_TYPE_Q5_K = 13
 GGML_TYPE_Q6_K = 14
 GGML_TYPE_Q8_K = 15
+GGML_TYPE_IQ4_NL = 20
+GGML_TYPE_IQ4_XS = 23
 GGML_TYPE_I8 = 24
 GGML_TYPE_I16 = 25
 GGML_TYPE_I32 = 26
 GGML_TYPE_BF16 = 30
+GGML_TYPE_TQ1_0 = 34
+GGML_TYPE_TQ2_0 = 35
+GGML_TYPE_MXFP4 = 39
 
 # --- ggml_ftype enum (ggml/include/ggml.h:450-478) ---------------------------
 GGML_FTYPE_ALL_F32 = 0
@@ -60,6 +65,9 @@ GGML_FTYPE_MOSTLY_Q3_K = 11
 GGML_FTYPE_MOSTLY_Q4_K = 12
 GGML_FTYPE_MOSTLY_Q5_K = 13
 GGML_FTYPE_MOSTLY_Q6_K = 14
+GGML_FTYPE_MOSTLY_IQ4_NL = 19
+GGML_FTYPE_MOSTLY_IQ4_XS = 22
+GGML_FTYPE_MOSTLY_MXFP4 = 25
 
 GGML_QNT_VERSION = 2
 GGML_QNT_VERSION_FACTOR = 1000
@@ -77,6 +85,9 @@ FTYPE_TO_QTYPE = {
     GGML_FTYPE_MOSTLY_Q4_K: GGML_TYPE_Q4_K,
     GGML_FTYPE_MOSTLY_Q5_K: GGML_TYPE_Q5_K,
     GGML_FTYPE_MOSTLY_Q6_K: GGML_TYPE_Q6_K,
+    GGML_FTYPE_MOSTLY_IQ4_NL: GGML_TYPE_IQ4_NL,
+    GGML_FTYPE_MOSTLY_IQ4_XS: GGML_TYPE_IQ4_XS,
+    GGML_FTYPE_MOSTLY_MXFP4: GGML_TYPE_MXFP4,
 }
 QTYPE_TO_FTYPE = {v: k for k, v in FTYPE_TO_QTYPE.items()}
 
@@ -111,6 +122,12 @@ SPECS: Dict[int, QuantSpec] = {
     GGML_TYPE_Q4_K: QuantSpec("q4_k", GGML_TYPE_Q4_K, QK_K, 4 + 12 + 128),
     GGML_TYPE_Q5_K: QuantSpec("q5_k", GGML_TYPE_Q5_K, QK_K, 4 + 12 + 32 + 128),
     GGML_TYPE_Q6_K: QuantSpec("q6_k", GGML_TYPE_Q6_K, QK_K, 128 + 64 + 16 + 2),
+    GGML_TYPE_IQ4_NL: QuantSpec("iq4_nl", GGML_TYPE_IQ4_NL, QK, 2 + 16),
+    GGML_TYPE_IQ4_XS: QuantSpec("iq4_xs", GGML_TYPE_IQ4_XS, QK_K,
+                                2 + 2 + 4 + 128),
+    GGML_TYPE_MXFP4: QuantSpec("mxfp4", GGML_TYPE_MXFP4, QK, 1 + 16),
+    GGML_TYPE_TQ1_0: QuantSpec("tq1_0", GGML_TYPE_TQ1_0, QK_K, 48 + 4 + 2),
+    GGML_TYPE_TQ2_0: QuantSpec("tq2_0", GGML_TYPE_TQ2_0, QK_K, 64 + 2),
 }
 
 NAME_TO_TYPE = {s.name: t for t, s in SPECS.items()}
@@ -313,6 +330,7 @@ def dequantize_q8_0(buf: bytes, n: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 from . import kquants as _kq  # noqa: E402 — K-quant super-block codecs
+from . import iquants as _iq  # noqa: E402 — IQ4/MXFP4/ternary codecs
 
 _QUANTIZERS: Dict[int, Callable[[np.ndarray], bytes]] = {
     GGML_TYPE_Q4_0: quantize_q4_0,
@@ -325,6 +343,11 @@ _QUANTIZERS: Dict[int, Callable[[np.ndarray], bytes]] = {
     GGML_TYPE_Q4_K: _kq.quantize_q4_k,
     GGML_TYPE_Q5_K: _kq.quantize_q5_k,
     GGML_TYPE_Q6_K: _kq.quantize_q6_k,
+    GGML_TYPE_IQ4_NL: _iq.quantize_iq4_nl,
+    GGML_TYPE_IQ4_XS: _iq.quantize_iq4_xs,
+    GGML_TYPE_MXFP4: _iq.quantize_mxfp4,
+    GGML_TYPE_TQ1_0: _iq.quantize_tq1_0,
+    GGML_TYPE_TQ2_0: _iq.quantize_tq2_0,
 }
 
 _DEQUANTIZERS: Dict[int, Callable[[bytes, int], np.ndarray]] = {
@@ -338,6 +361,11 @@ _DEQUANTIZERS: Dict[int, Callable[[bytes, int], np.ndarray]] = {
     GGML_TYPE_Q4_K: _kq.dequantize_q4_k,
     GGML_TYPE_Q5_K: _kq.dequantize_q5_k,
     GGML_TYPE_Q6_K: _kq.dequantize_q6_k,
+    GGML_TYPE_IQ4_NL: _iq.dequantize_iq4_nl,
+    GGML_TYPE_IQ4_XS: _iq.dequantize_iq4_xs,
+    GGML_TYPE_MXFP4: _iq.dequantize_mxfp4,
+    GGML_TYPE_TQ1_0: _iq.dequantize_tq1_0,
+    GGML_TYPE_TQ2_0: _iq.dequantize_tq2_0,
 }
 
 
@@ -471,4 +499,16 @@ def unpack_to_planes(buf: bytes, ggml_type: int, shape: Tuple[int, ...]) -> QTen
             hi = ((qs >> 4) | h1).astype(np.int8)
             codes = np.concatenate([lo, hi], axis=1).reshape(rows, cols)
         return QTensor(ggml_type, (rows, cols), codes, d, m)
+    if ggml_type in (GGML_TYPE_IQ4_NL, GGML_TYPE_IQ4_XS, GGML_TYPE_MXFP4,
+                     GGML_TYPE_TQ1_0, GGML_TYPE_TQ2_0):
+        if ggml_type == GGML_TYPE_IQ4_NL:
+            codes, scales = _iq.planes_iq4_nl(buf, rows, cols)
+        elif ggml_type == GGML_TYPE_IQ4_XS:
+            codes, scales = _iq.planes_iq4_xs(buf, rows, cols)
+        elif ggml_type == GGML_TYPE_MXFP4:
+            codes, scales = _iq.planes_mxfp4(buf, rows, cols)
+        else:
+            codes, scales = _iq.planes_tq(buf, rows, cols, ggml_type)
+        return QTensor(ggml_type, (rows, cols), codes,
+                       np.ascontiguousarray(scales))
     raise NotImplementedError(f"unpack_to_planes: {type_name(ggml_type)}")

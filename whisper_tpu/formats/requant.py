@@ -56,6 +56,9 @@ def parse_ftype(s: str) -> int:
         "q4_k": quants.GGML_FTYPE_MOSTLY_Q4_K,
         "q5_k": quants.GGML_FTYPE_MOSTLY_Q5_K,
         "q6_k": quants.GGML_FTYPE_MOSTLY_Q6_K,
+        "iq4_nl": quants.GGML_FTYPE_MOSTLY_IQ4_NL,
+        "iq4_xs": quants.GGML_FTYPE_MOSTLY_IQ4_XS,
+        "mxfp4": quants.GGML_FTYPE_MOSTLY_MXFP4,
     }
     if s not in names:
         raise ValueError(f"unknown ftype '{s}' (expected one of {sorted(names)})")
