@@ -148,3 +148,30 @@ def test_filter_speech_and_remap(jfk_samples, tmp_path):
     mids = [map_processed_to_original_time(t, table)
             for t in range(0, pts[-1], 7)]
     assert all(b >= a for a, b in zip(mids, mids[1:]))
+
+
+def test_vad_segments_cli_matches_reference():
+    """cli/vad_segments output matches whisper-vad-speech-segments exactly."""
+    import io
+    import pathlib
+    import subprocess
+    from contextlib import redirect_stdout
+
+    model = "/root/reference/models/for-tests-silero-v6.2.0-ggml.bin"
+    jfk = "/root/reference/samples/jfk.wav"
+    oracle = pathlib.Path("/root/repo/.oracle/build/bin/"
+                          "whisper-vad-speech-segments")
+    if not (pathlib.Path(model).exists() and pathlib.Path(jfk).exists()):
+        pytest.skip("fixtures not available")
+
+    from whisper_tpu.cli.vad_segments import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["-vm", model, "-f", jfk, "-np"]) == 0
+    ours = buf.getvalue()
+    assert "Detected 4 speech segments:" in ours
+    if oracle.exists():
+        ref = subprocess.run([str(oracle), "-vm", model, "-f", jfk, "-np"],
+                             capture_output=True, text=True).stdout
+        assert ours == ref
