@@ -16,6 +16,30 @@ def test_wer_basics():
     assert normalize_english("Hello, World!") == "hello world"
     assert normalize_english("Mr. Smith's car (loudly)") == "mr smith s car"
     assert normalize_english("I can't    stop") == "i can not stop"
+
+
+def test_normalize_numbers():
+    from whisper_tpu.evals.wer import normalize_english as N
+
+    assert N("One hundred and twenty three dollars.") == "123 dollars"
+    assert N("twenty-one pilots") == "21 pilots"
+    assert N("three point five percent") == "3.5%"
+    assert N("the twenty-first century") == "the 21st century"
+    assert N("two thousand and five") == "2005"
+    assert N("one million four hundred thousand") == "1400000"
+    assert N("the third quarter") == "the 3rd quarter"
+    assert N("one and two") == "1 and 2"
+    assert N("zero point zero five") == "0.05"
+    assert N("nineteen eighty four") == "19 84"
+    assert N("a hundredth of a second") == "a 100th of a second"
+    assert N("twenty second of May") == "22nd of may"
+    assert N("five hundred and sixty seven") == "567"
+    assert N("no numbers here") == "no numbers here"
+
+
+def test_wer_scoring():
+    from whisper_tpu.evals.wer import wer
+
     assert wer(["a b c"], ["a b c"]) == 0.0
     assert wer(["a b c"], ["a x c"]) == pytest.approx(1 / 3)
     assert wer(["a b c"], ["a c"]) == pytest.approx(1 / 3)       # deletion
