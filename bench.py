@@ -146,11 +146,13 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     # reads across windows.  Windows ride decode_step's beam axis NATIVELY
     # (device_loop.decode_windows_native) — per-window cross-KV, one shared
     # in-place KV cache (L, W, C, 2S) — which keeps the per-layer cache
-    # update a single non-copying dynamic_update_slice.  Cross-KV is stored
-    # INT8 (model.py XK8): per-(head,position) scales factor out of both
-    # cross matmuls exactly, halving the decode's dominant HBM stream and
-    # the per-window memory (which is what lets W=16 fit on one chip;
-    # measured sweep: W=8 358x, W=16 372x, W=24 324x rt/chip).
+    # update a single non-copying dynamic_update_slice.  Cross-KV AND the
+    # self-attention cache are stored INT8 (model.py XK8 / KVCache8):
+    # per-position scales factor out of the attention matmuls exactly,
+    # halving the decode's dominant HBM streams and the per-window memory
+    # (which is what lets W=16 fit on one chip; measured sweep with both
+    # int8: W=16 454x, W=24 393x, W=32 349x rt/chip; f16 self-cache:
+    # W=8 358x, W=16 372x).
     W = 16
 
     @jax.jit
@@ -173,7 +175,7 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return cache, tok
 
-        cache0 = M.KVCache.zeros(hp, W, dtype)
+        cache0 = M.new_cache(hp, W, dtype, itype="q8")
         cache, tok = jax.lax.fori_loop(
             0, K, body, (cache0, jnp.zeros((W, 1), jnp.int32)))
         return tok.sum()
