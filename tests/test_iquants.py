@@ -17,6 +17,7 @@ TYPES = {
     "iq4_nl": quants.GGML_TYPE_IQ4_NL,
     "iq4_xs": quants.GGML_TYPE_IQ4_XS,
     "mxfp4": quants.GGML_TYPE_MXFP4,
+    "nvfp4": quants.GGML_TYPE_NVFP4,
     "tq1_0": quants.GGML_TYPE_TQ1_0,
     "tq2_0": quants.GGML_TYPE_TQ2_0,
 }
@@ -83,6 +84,7 @@ def test_planes_match_dequant(ggml, name):
     buf = ref_quantize(ggml, TYPES[name], x)
     qt = quants.unpack_to_planes(buf, TYPES[name], x.shape)
     dense = quants.dequantize(buf, TYPES[name], x.size).reshape(x.shape)
-    rebuilt = (qt.codes.astype(np.float32).reshape(x.shape[0], -1, 32)
+    grain = x.shape[1] // qt.scales.shape[1]  # 32, except nvfp4 (16)
+    rebuilt = (qt.codes.astype(np.float32).reshape(x.shape[0], -1, grain)
                * qt.scales[:, :, None]).reshape(x.shape)
     np.testing.assert_allclose(rebuilt, dense, atol=1e-6, err_msg=name)

@@ -1,12 +1,13 @@
-"""IQ4 / MXFP4 / ternary (TQ) block-quant codecs — vectorized numpy.
+"""IQ4 / MXFP4 / NVFP4 / ternary (TQ) block-quant codecs — vectorized numpy.
 
 Reference layouts and algorithms: ggml/src/ggml-common.h (block_iq4_nl:451,
-block_iq4_xs:454, block_mxfp4:214, block_tq1_0:273, block_tq2_0:284) and
-ggml/src/ggml-quants.c (quantize_row_iq4_nl_impl:4966, quantize_iq4_xs:5116,
-quantize_row_mxfp4_ref:350, quantize_row_tq{1,2}_0_ref:2316/2382, and the
-matching dequantize_row_* functions).  Quantizers reproduce the
-`ggml_quantize_chunk` entry points (no importance weights), so produced
-bytes match the reference bit-for-bit; dequantizers are bit-exact.
+block_iq4_xs:454, block_mxfp4:214, block_nvfp4:223, block_tq1_0:273,
+block_tq2_0:284) and ggml/src/ggml-quants.c (quantize_row_iq4_nl_impl:4966,
+quantize_iq4_xs:5116, quantize_row_mxfp4_ref:350, quantize_row_nvfp4_ref:384,
+quantize_row_tq{1,2}_0_ref:2316/2382, and the matching dequantize_row_*
+functions).  Quantizers reproduce the `ggml_quantize_chunk` entry points
+(no importance weights), so produced bytes match the reference bit-for-bit;
+dequantizers are bit-exact.
 
 All codecs decode into the same struct-of-arrays planes as the linear
 formats (quants.QTensor): the nonlinear IQ4/MXFP4 codebooks collapse into
@@ -96,6 +97,78 @@ def dequantize_mxfp4(buf: bytes, n: int) -> np.ndarray:
     vals = KVALUES_MXFP4.astype(np.float32)
     y = np.concatenate([vals[qs & 0x0F], vals[qs >> 4]], axis=1)
     return (y * d[:, None]).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# NVFP4 — 64-elem blocks of four 16-elem sub-blocks, each with a UE4M3
+# scale + 4-bit E2M1 codes (block_nvfp4, ggml-common.h:221-227)
+# ---------------------------------------------------------------------------
+
+QK_NVFP4 = 64
+QK_NVFP4_SUB = 16
+
+
+def _ue4m3_to_fp32(x: np.ndarray) -> np.ndarray:
+    """ggml_ue4m3_to_fp32 (ggml-impl.h:502): unsigned e4m3 (bias 7), result
+    halved to match the doubled kvalues_mxfp4 convention."""
+    x = np.asarray(x, np.uint8)
+    exp = ((x >> 3) & 0xF).astype(np.int32)
+    man = (x & 0x7).astype(np.float32)
+    raw = np.where(exp == 0, man * np.float32(2.0 ** -9),
+                   (1.0 + man / 8.0) * np.exp2((exp - 7).astype(np.float32)))
+    dead = (x == 0) | (x == 0x7F)
+    return np.where(dead, 0.0, raw * 0.5).astype(np.float32)
+
+
+def _fp32_to_ue4m3(x: np.ndarray) -> np.ndarray:
+    """ggml_fp32_to_ue4m3 (ggml-impl.h:517): round-to-nearest on the top 3
+    mantissa bits, clamp to 448, subnormals below 2^-7."""
+    x = np.clip(np.asarray(x, np.float32), 0.0, 448.0)
+    bits = x.view(np.uint32) if x.flags.c_contiguous else \
+        np.ascontiguousarray(x).view(np.uint32)
+    fp32_exp = ((bits >> 23) & 0xFF).astype(np.int32) - 127
+    fp32_man = ((bits >> 20) & 0x7).astype(np.int32)
+    ue_exp = fp32_exp + 7
+    round_bit = ((bits >> 19) & 1).astype(np.int32)
+    man = fp32_man + round_bit
+    exp_r = np.where(man > 7, ue_exp + 1, ue_exp)
+    man_r = np.where(man > 7, 0, man)
+    normal = np.where(exp_r >= 15, 0x7E, (exp_r << 3) | man_r)
+    # subnormal branch: man = (int)(x * 512 + 0.5), clamped to [flush, 7]
+    sub_man = np.minimum((x * 512.0 + 0.5).astype(np.int32), 7)
+    subnormal = np.where(sub_man < 1, 0, sub_man)
+    out = np.where(ue_exp <= 0, subnormal,
+                   np.where(ue_exp >= 15, 0x7E, normal))
+    return np.where(x > 0.0, out, 0).astype(np.uint8)
+
+
+def quantize_nvfp4(x: np.ndarray) -> bytes:
+    x = np.asarray(x, np.float32).reshape(-1, QK_NVFP4 // QK_NVFP4_SUB,
+                                          QK_NVFP4_SUB)
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=2)                           # (nb, 4)
+    # UE4M3 scale maps the max E2M1 value (6.0) to amax
+    ue = _fp32_to_ue4m3(amax / np.float32(6.0))
+    d = _ue4m3_to_fp32(ue)
+    # best_index_mxfp4: first minimum of |kval*d - x| wins (strict <)
+    errs = np.abs(KVALUES_MXFP4.astype(np.float32)[None, None, None, :]
+                  * d[:, :, None, None] - x[:, :, :, None])
+    idx = np.argmin(errs, axis=3).astype(np.uint8)         # (nb, 4, 16)
+    lo, hi = idx[:, :, :8], idx[:, :, 8:]
+    out = np.zeros((nb, 4 + 32), np.uint8)
+    out[:, :4] = ue
+    out[:, 4:] = (lo | (hi << 4)).reshape(nb, 32)
+    return out.tobytes()
+
+
+def dequantize_nvfp4(buf: bytes, n: int) -> np.ndarray:
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 36)
+    nb = raw.shape[0]
+    d = _ue4m3_to_fp32(raw[:, :4])                         # (nb, 4)
+    qs = raw[:, 4:].reshape(nb, 4, 8)
+    vals = KVALUES_MXFP4.astype(np.float32)
+    y = np.concatenate([vals[qs & 0x0F], vals[qs >> 4]], axis=2)
+    return (y * d[:, :, None]).reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -320,6 +393,19 @@ def planes_mxfp4(buf: bytes, rows: int, cols: int):
     codes = np.concatenate([KVALUES_MXFP4[qs & 0x0F],
                             KVALUES_MXFP4[qs >> 4]], axis=1)
     return codes.reshape(rows, cols), d.reshape(rows, cols // 32)
+
+
+def planes_nvfp4(buf: bytes, rows: int, cols: int):
+    """NVFP4 planes are at per-16 grain (one UE4M3 scale per sub-block), the
+    only format whose scale grain is not 32; consumers derive the grain from
+    cols // scales.shape[-1]."""
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 36)
+    nb = raw.shape[0]
+    d = _ue4m3_to_fp32(raw[:, :4])                         # (nb, 4)
+    qs = raw[:, 4:].reshape(nb, 4, 8)
+    codes = np.concatenate([KVALUES_MXFP4[qs & 0x0F],
+                            KVALUES_MXFP4[qs >> 4]], axis=2)
+    return codes.reshape(rows, cols), d.reshape(rows, cols // 16)
 
 
 def planes_iq4_xs(buf: bytes, rows: int, cols: int):

@@ -51,6 +51,7 @@ GGML_TYPE_BF16 = 30
 GGML_TYPE_TQ1_0 = 34
 GGML_TYPE_TQ2_0 = 35
 GGML_TYPE_MXFP4 = 39
+GGML_TYPE_NVFP4 = 40
 
 # --- ggml_ftype enum (ggml/include/ggml.h:450-478) ---------------------------
 GGML_FTYPE_ALL_F32 = 0
@@ -68,6 +69,7 @@ GGML_FTYPE_MOSTLY_Q6_K = 14
 GGML_FTYPE_MOSTLY_IQ4_NL = 19
 GGML_FTYPE_MOSTLY_IQ4_XS = 22
 GGML_FTYPE_MOSTLY_MXFP4 = 25
+GGML_FTYPE_MOSTLY_NVFP4 = 26
 
 GGML_QNT_VERSION = 2
 GGML_QNT_VERSION_FACTOR = 1000
@@ -88,6 +90,7 @@ FTYPE_TO_QTYPE = {
     GGML_FTYPE_MOSTLY_IQ4_NL: GGML_TYPE_IQ4_NL,
     GGML_FTYPE_MOSTLY_IQ4_XS: GGML_TYPE_IQ4_XS,
     GGML_FTYPE_MOSTLY_MXFP4: GGML_TYPE_MXFP4,
+    GGML_FTYPE_MOSTLY_NVFP4: GGML_TYPE_NVFP4,
 }
 QTYPE_TO_FTYPE = {v: k for k, v in FTYPE_TO_QTYPE.items()}
 
@@ -126,6 +129,7 @@ SPECS: Dict[int, QuantSpec] = {
     GGML_TYPE_IQ4_XS: QuantSpec("iq4_xs", GGML_TYPE_IQ4_XS, QK_K,
                                 2 + 2 + 4 + 128),
     GGML_TYPE_MXFP4: QuantSpec("mxfp4", GGML_TYPE_MXFP4, QK, 1 + 16),
+    GGML_TYPE_NVFP4: QuantSpec("nvfp4", GGML_TYPE_NVFP4, 64, 4 + 32),
     GGML_TYPE_TQ1_0: QuantSpec("tq1_0", GGML_TYPE_TQ1_0, QK_K, 48 + 4 + 2),
     GGML_TYPE_TQ2_0: QuantSpec("tq2_0", GGML_TYPE_TQ2_0, QK_K, 64 + 2),
 }
@@ -346,6 +350,7 @@ _QUANTIZERS: Dict[int, Callable[[np.ndarray], bytes]] = {
     GGML_TYPE_IQ4_NL: _iq.quantize_iq4_nl,
     GGML_TYPE_IQ4_XS: _iq.quantize_iq4_xs,
     GGML_TYPE_MXFP4: _iq.quantize_mxfp4,
+    GGML_TYPE_NVFP4: _iq.quantize_nvfp4,
     GGML_TYPE_TQ1_0: _iq.quantize_tq1_0,
     GGML_TYPE_TQ2_0: _iq.quantize_tq2_0,
 }
@@ -364,6 +369,7 @@ _DEQUANTIZERS: Dict[int, Callable[[bytes, int], np.ndarray]] = {
     GGML_TYPE_IQ4_NL: _iq.dequantize_iq4_nl,
     GGML_TYPE_IQ4_XS: _iq.dequantize_iq4_xs,
     GGML_TYPE_MXFP4: _iq.dequantize_mxfp4,
+    GGML_TYPE_NVFP4: _iq.dequantize_nvfp4,
     GGML_TYPE_TQ1_0: _iq.dequantize_tq1_0,
     GGML_TYPE_TQ2_0: _iq.dequantize_tq2_0,
 }
@@ -500,13 +506,15 @@ def unpack_to_planes(buf: bytes, ggml_type: int, shape: Tuple[int, ...]) -> QTen
             codes = np.concatenate([lo, hi], axis=1).reshape(rows, cols)
         return QTensor(ggml_type, (rows, cols), codes, d, m)
     if ggml_type in (GGML_TYPE_IQ4_NL, GGML_TYPE_IQ4_XS, GGML_TYPE_MXFP4,
-                     GGML_TYPE_TQ1_0, GGML_TYPE_TQ2_0):
+                     GGML_TYPE_NVFP4, GGML_TYPE_TQ1_0, GGML_TYPE_TQ2_0):
         if ggml_type == GGML_TYPE_IQ4_NL:
             codes, scales = _iq.planes_iq4_nl(buf, rows, cols)
         elif ggml_type == GGML_TYPE_IQ4_XS:
             codes, scales = _iq.planes_iq4_xs(buf, rows, cols)
         elif ggml_type == GGML_TYPE_MXFP4:
             codes, scales = _iq.planes_mxfp4(buf, rows, cols)
+        elif ggml_type == GGML_TYPE_NVFP4:
+            codes, scales = _iq.planes_nvfp4(buf, rows, cols)
         else:
             codes, scales = _iq.planes_tq(buf, rows, cols, ggml_type)
         return QTensor(ggml_type, (rows, cols), codes,

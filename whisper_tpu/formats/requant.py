@@ -59,6 +59,7 @@ def parse_ftype(s: str) -> int:
         "iq4_nl": quants.GGML_FTYPE_MOSTLY_IQ4_NL,
         "iq4_xs": quants.GGML_FTYPE_MOSTLY_IQ4_XS,
         "mxfp4": quants.GGML_FTYPE_MOSTLY_MXFP4,
+        "nvfp4": quants.GGML_FTYPE_MOSTLY_NVFP4,
     }
     if s not in names:
         raise ValueError(f"unknown ftype '{s}' (expected one of {sorted(names)})")

@@ -60,15 +60,19 @@ def _qmm_kernel(x_ref, codes_ref, scales_ref, out_ref, *, dtype):
     out_ref:    (BT, BR)
 
     Per-block scales must expand elementwise along K, but Mosaic cannot
-    shape-cast the lane dim ((nb, QK) -> nb*QK).  Expand on the MXU instead:
-    scales_full = scales @ E with E[b, k] = [k // QK == b], in the compute
+    shape-cast the lane dim ((nb, qk) -> nb*qk).  Expand on the MXU instead:
+    scales_full = scales @ E with E[b, k] = [k // qk == b], in the compute
     dtype (an f32 expansion matmul would dominate the kernel; bf16
     weight-side rounding is far below the quantization error).  The extra
     MXU FLOPs are free — this kernel is HBM-bandwidth-bound.
+
+    The block grain qk is derived from the shapes (32 for the *_0 formats,
+    16 for NVFP4 sub-blocks).
     """
     K = codes_ref.shape[1]
-    nb = K // QK
-    blk_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 1) // QK
+    nb = scales_ref.shape[1]
+    qk = K // nb
+    blk_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 1) // qk
     b_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 0)
     expand = jnp.where(blk_of_k == b_ids, 1.0, 0.0).astype(dtype)
 
@@ -94,14 +98,16 @@ def qmm(x: jax.Array, codes: jax.Array, scales: jax.Array,
     """
     T, K = x.shape
     R, Kc = codes.shape
-    assert K == Kc and K % QK == 0, (x.shape, codes.shape)
+    nb = scales.shape[1]
+    assert K == Kc and nb > 0 and K % nb == 0, (x.shape, codes.shape,
+                                               scales.shape)
 
     block_t = min(block_t, _round_up(T, 8))
 
     # keep the per-tile VMEM footprint under ~12 MB: x tile + codes +
     # dequantized weights + expanded scales + expansion matrix + out tile
     def vmem(bt, br):
-        return (bt * K * 4 + br * K * 5 + (K // QK) * K * 2 + bt * br * 4)
+        return (bt * K * 4 + br * K * 5 + nb * K * 2 + bt * br * 4)
 
     while block_r > 128 and vmem(block_t, block_r) > 12 * 2**20:
         block_r //= 2
@@ -126,7 +132,7 @@ def qmm(x: jax.Array, codes: jax.Array, scales: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_r, K), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_r, K // QK), lambda i, j: (j, 0),
+                pl.BlockSpec((block_r, nb), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((block_t, block_r), lambda i, j: (i, j),
@@ -134,7 +140,7 @@ def qmm(x: jax.Array, codes: jax.Array, scales: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Tp * Rp * K,
-            bytes_accessed=Rp * K + Rp * (K // QK) * 4 + Tp * K * 2 + Tp * Rp * 4,
+            bytes_accessed=Rp * K + Rp * nb * 4 + Tp * K * 2 + Tp * Rp * 4,
             transcendentals=0),
         interpret=interpret,
     )(x, codes, scales)
@@ -147,8 +153,9 @@ def embed_lookup(qw: QWeight, tokens: jax.Array,
     (replaces `tok_embd[tokens]`).  Plain XLA ops — the gathered rows are a
     few tokens, dequant cost is negligible."""
     rows = qw.codes[tokens].astype(jnp.float32)          # (..., K)
-    s = qw.scales[tokens]                                # (..., K // QK)
-    s_full = jnp.repeat(s, QK, axis=-1)
+    s = qw.scales[tokens]                                # (..., K // qk)
+    qk = qw.codes.shape[-1] // qw.scales.shape[-1]
+    s_full = jnp.repeat(s, qk, axis=-1)
     return (rows * s_full).astype(dtype)
 
 
@@ -170,7 +177,8 @@ def qmm_auto(x: jax.Array, qw: QWeight, dtype=jnp.bfloat16) -> jax.Array:
 
 def dequantize_qweight(qw: QWeight, dtype=jnp.float32) -> jax.Array:
     """Dense fallback: expand to (R, K)."""
-    scales = jnp.repeat(qw.scales, QK, axis=1)
+    qk = qw.codes.shape[-1] // qw.scales.shape[-1]
+    scales = jnp.repeat(qw.scales, qk, axis=1)
     return (qw.codes.astype(jnp.float32) * scales).astype(dtype)
 
 
