@@ -68,6 +68,50 @@ def test_grammar_generation_parses():
     assert '"knight"' in g and '"queen"' not in g
 
 
+def test_castling_kingside():
+    b = Chessboard()
+    b.process("e2 e4"); b.process("e7 e5")
+    b.process("g1 f3"); b.process("b8 c6")
+    b.process("f1 c4"); b.process("g8 f6")
+    assert 6 in b.legal_moves(4)           # e1 -> g1 available
+    assert b.process("king to g1") == "e1-g1"
+    assert b.board[6] == ("w", "K") and b.board[5] == ("w", "R")
+    assert 4 not in b.board and 7 not in b.board
+    assert not b.castle_rights["wK"] and not b.castle_rights["wQ"]
+
+
+def test_castling_blocked_by_attack():
+    b = Chessboard()
+    # clear white's kingside, then park a black rook on g3 covering g1
+    for sq in (5, 6):
+        b.board.pop(sq, None)
+    b.board.pop(14, None)                  # remove g2 pawn so g1 is covered
+    b.board[22] = ("b", "R")               # g3
+    assert 6 not in b.legal_moves(4)
+    # moving the king forfeits the rights even after it returns
+    b.board[22] = ("b", "R")
+    b.process("e1 f1"); b.process("a7 a6")
+    b.process("f1 e1"); b.process("a6 a5")
+    assert not b.castle_rights["wK"]
+    assert 6 not in b.legal_moves(4)
+
+
+def test_en_passant():
+    b = Chessboard()
+    b.process("e2 e4"); b.process("a7 a6")
+    b.process("e4 e5"); assert b.process("d7 d5") == "d7-d5"
+    assert b.ep_square == 43               # d6
+    assert 43 in b.legal_moves(36)         # e5 pawn may capture d6
+    assert b.process("e5 d6") == "e5-d6"
+    assert 35 not in b.board               # the d5 pawn is gone
+    # the right expires after one ply
+    b2 = Chessboard()
+    b2.process("e2 e4"); b2.process("a7 a6")
+    b2.process("e4 e5"); b2.process("d7 d5")
+    b2.process("b1 c3"); b2.process("a6 a5")
+    assert 43 not in b2.legal_moves(36)
+
+
 def test_promotion():
     b = Chessboard()
     # clear a path artificially: put a white pawn on a7

@@ -2,9 +2,9 @@
 (reference: examples/wchess/libwchess/Chessboard.{h,cpp}).
 
 Standard piece movement with blocking/captures, full king-safety legality
-(a move may not leave the mover's king in check), pawn double-step and
-auto-queen promotion.  Castling and en passant are not implemented (the
-demo's grammar-guided voice flow doesn't exercise them).
+(a move may not leave the mover's king in check), pawn double-step,
+auto-queen promotion, castling (voiced as the king's two-square move,
+e.g. "king to g1") and en passant.
 
 The GBNF grammar for the *current* position is generated exactly like the
 reference's Chessboard::setGrammar (Chessboard.cpp:545-602): alternates of
@@ -43,6 +43,10 @@ class Chessboard:
             self.board[48 + f] = ("b", "P")
             self.board[56 + f] = ("b", back[f])
         self.move_count = 0
+        # castling rights (king/queen side per color) and the en-passant
+        # target square left by the last double pawn step, if any
+        self.castle_rights = {"wK": True, "wQ": True, "bK": True, "bQ": True}
+        self.ep_square: Optional[int] = None
 
     @property
     def turn(self) -> str:
@@ -81,7 +85,7 @@ class Chessboard:
                 if 0 <= f + df < 8 and 0 <= r + d < 8:
                     t = (r + d) * 8 + f + df
                     occ = self.board.get(t)
-                    if occ is not None and occ[0] != color:
+                    if (occ is not None and occ[0] != color) or t == self.ep_square:
                         out.append(t)
         elif pt == "N":
             for dr, df in ((1, 2), (2, 1), (-1, 2), (-2, 1),
@@ -112,10 +116,47 @@ class Chessboard:
         return -1
 
     def _attacked(self, sq: int, by_color: str) -> bool:
-        for s, (c, _) in list(self.board.items()):
-            if c == by_color and sq in self._pseudo_moves(s):
+        for s, (c, pt) in list(self.board.items()):
+            if c != by_color:
+                continue
+            if pt == "P":
+                # pawns attack their diagonals whether or not occupied
+                # (matters for castling-transit checks)
+                d = 1 if c == "w" else -1
+                r, f = divmod(s, 8)
+                if 0 <= r + d < 8 and sq in (
+                        (r + d) * 8 + f - 1 if f > 0 else -1,
+                        (r + d) * 8 + f + 1 if f < 7 else -1):
+                    return True
+            elif sq in self._pseudo_moves(s):
                 return True
         return False
+
+    def _castle_moves(self, sq: int) -> List[int]:
+        """King two-square castling targets (generated outside
+        _pseudo_moves so _attacked never sees them as attacks)."""
+        color, pt = self.board[sq]
+        if pt != "K":
+            return []
+        home = 4 if color == "w" else 60
+        if sq != home or self.in_check(color):
+            return []
+        enemy = "b" if color == "w" else "w"
+        out = []
+        for side, rook_sq, empties in (
+                ("K", home + 3, (home + 1, home + 2)),
+                ("Q", home - 4, (home - 1, home - 2, home - 3))):
+            if not self.castle_rights[color + side]:
+                continue
+            if self.board.get(rook_sq) != (color, "R"):
+                continue
+            if any(e in self.board for e in empties):
+                continue
+            # the king may not pass through or land on an attacked square
+            if any(self._attacked(t, enemy) for t in empties[:2]):
+                continue
+            out.append(empties[1])  # g-file or c-file square
+        return out
 
     def in_check(self, color: str) -> bool:
         k = self._king_sq(color)
@@ -125,15 +166,21 @@ class Chessboard:
         color, pt = self.board[sq]
         out = []
         for t in self._pseudo_moves(sq):
+            ep_victim = None
+            if pt == "P" and t == self.ep_square:
+                ep_victim = t - 8 if color == "w" else t + 8
             saved = self.board.get(t)
+            saved_victim = self.board.pop(ep_victim, None) if ep_victim else None
             self.board[t] = self.board.pop(sq)
             ok = not self.in_check(color)
             self.board[sq] = self.board.pop(t)
             if saved is not None:
                 self.board[t] = saved
+            if saved_victim is not None:
+                self.board[ep_victim] = saved_victim
             if ok:
                 out.append(t)
-        return out
+        return out + self._castle_moves(sq)
 
     def all_legal(self) -> Dict[int, List[int]]:
         color = self.turn
@@ -198,9 +245,28 @@ class Chessboard:
             return ""
 
         color, pt = self.board.pop(src)
-        if pt == "P" and (dst // 8 in (0, 7)):
-            pt = "Q"  # auto-queen
+        next_ep: Optional[int] = None
+        if pt == "P":
+            if dst == self.ep_square:  # en-passant capture
+                self.board.pop(dst - 8 if color == "w" else dst + 8, None)
+            if abs(dst - src) == 16:   # double step leaves an ep target
+                next_ep = (src + dst) // 2
+            if dst // 8 in (0, 7):
+                pt = "Q"  # auto-queen
+        elif pt == "K":
+            if abs(dst - src) == 2:    # castling: move the rook too
+                if dst > src:
+                    self.board[src + 1] = self.board.pop(src + 3)
+                else:
+                    self.board[src - 1] = self.board.pop(src - 4)
+            self.castle_rights[color + "K"] = False
+            self.castle_rights[color + "Q"] = False
+        for corner, key in ((0, "wQ"), (7, "wK"), (56, "bQ"), (63, "bK")):
+            # a rook moving or being captured forfeits that side's right
+            if src == corner or dst == corner:
+                self.castle_rights[key] = False
         self.board[dst] = (color, pt)
+        self.ep_square = next_ep
         self.move_count += 1
         return f"{sq_name(src)}-{sq_name(dst)}"
 
