@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " dominant HBM stream and per-window serving memory")
     p.add_argument("--kv-itype", default="f16", choices=["f16", "q8"],
                    help="KV-cache storage: dense f16/bf16 or int8 codes")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "transcription into DIR (view with TensorBoard or "
+                        "xprof; the TPU analogue of GGML_SCHED_DEBUG + "
+                        "per-node eval callbacks)")
     p.add_argument("-dtw", "--dtw", default="",
                    help="compute token-level timestamps via DTW on the given "
                         "model's alignment heads (e.g. tiny.en, base, "
@@ -217,13 +222,23 @@ def run(argv: Optional[List[str]] = None) -> int:
                   file=sys.stderr)
 
         t0 = time.perf_counter()
-        if args.processors > 1:
-            from whisper_tpu.decoding.parallel import transcribe_parallel
+        import contextlib
 
-            segments = transcribe_parallel(ctx, p, mono, args.processors)
-        else:
-            segments = wt.transcribe(ctx, p, mono)
+        import jax
+
+        prof = (jax.profiler.trace(args.profile) if args.profile
+                else contextlib.nullcontext())
+        with prof:
+            if args.processors > 1:
+                from whisper_tpu.decoding.parallel import transcribe_parallel
+
+                segments = transcribe_parallel(ctx, p, mono, args.processors)
+            else:
+                segments = wt.transcribe(ctx, p, mono)
         dt = time.perf_counter() - t0
+        if args.profile and not args.no_prints:
+            print(f"whisper_tpu: profiler trace written to {args.profile}",
+                  file=sys.stderr)
 
         for seg in segments:
             _print_segment(seg, args, ctx.vocab, stereo)
