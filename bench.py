@@ -192,6 +192,28 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     dec_b_ms = _per_op_ms(batched_chain, 16, 64, lambda: (params, xkb, xvb))
     dec_b_per_window_ms = dec_b_ms / W
 
+    # ---- batched encoder (informational): vmapping W encodes into one
+    # device call does NOT pay on this chip — the encoder is compute-bound
+    # at T=1500 so weight-read amortization is negligible and the W-times
+    # working set costs more than it saves (measured 26.1 vs 20.5 ms/window
+    # at W=16 on v5e).  This is why the serving runtime
+    # (runtime/batching.py) batches only the decode loops and runs encodes
+    # solo; the headline charges whichever encode path is faster.
+    @jax.jit
+    def enc_b_chain(K, params, melb):
+        def body(i, m):
+            enc = jax.vmap(lambda mm: M.encode(params, mm, hp,
+                                               dtype=dtype))(m)
+            xkw, _ = jax.vmap(lambda e: M.compute_cross_kv(
+                params, e, hp, dtype=dtype))(enc)
+            return m + (xkw.mean() * 1e-12).astype(m.dtype)
+        return jax.lax.fori_loop(0, K, body, melb).mean()
+
+    melb = jnp.broadcast_to(mel, (W,) + mel.shape) * (
+        1.0 + jnp.arange(W, dtype=jnp.float32)[:, None, None] * 1e-3)
+    enc_b_per_window_ms = _per_op_ms(enc_b_chain, 2, 6,
+                                     lambda: (params, melb)) / W
+
     # ---- 256-token prompt --------------------------------------------------
     @jax.jit
     def prompt_chain(K, params, xk, xv):
@@ -212,14 +234,16 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     dec_best = min(dec_ms, dec_q_ms) if dec_q_ms > 0 else dec_ms
     window_s = (enc_ms + n_dec_tokens * dec_best) / 1000.0
     rtf = 30.0 / window_s if window_s > 0 else 0.0
-    # batched serving RTF: W windows in flight, per-window encode amortizes
-    # too (encoder is batch-friendly); conservatively charge full enc_ms
-    window_b_s = (enc_ms + n_dec_tokens * dec_b_per_window_ms) / 1000.0
+    # batched serving RTF: W windows in flight; the decode loop runs as one
+    # native-batched device call, encodes take the faster of solo/vmapped
+    window_b_s = (min(enc_ms, enc_b_per_window_ms) +
+                  n_dec_tokens * dec_b_per_window_ms) / 1000.0
     rtf_batched = 30.0 / window_b_s if window_b_s > 0 else 0.0
     return dict(model=name, enc_ms=round(enc_ms, 2), dec_ms=round(dec_ms, 3),
                 dec_q_ms=round(dec_q_ms, 3), bch5_ms=round(bch5_ms, 3),
                 bch5_q_ms=round(bch5_q_ms, 3), prompt_ms=round(prompt_ms, 2),
-                dec_b_ms=round(dec_b_per_window_ms, 3), n_windows=W,
+                dec_b_ms=round(dec_b_per_window_ms, 3),
+                enc_b_ms=round(enc_b_per_window_ms, 2), n_windows=W,
                 packed_decode=bool(dec_q_ms > 0 and dec_q_ms < dec_ms),
                 rtf=round(rtf, 1), rtf_batched=round(rtf_batched, 1))
 
@@ -237,7 +261,8 @@ def main():
                   f"bch5 {r['bch5_ms']}/{r['bch5_q_ms']}ms/tok, "
                   f"prompt256 {r['prompt_ms']}ms; batched serving "
                   f"{r['n_windows']}-window {r['rtf_batched']}x rt/chip at "
-                  f"{r['dec_b_ms']}ms/tok/window)",
+                  f"{r['dec_b_ms']}ms/tok/window + solo enc; vmapped-enc "
+                  f"{r['enc_b_ms']}ms/window loses to solo)",
         "value": r["rtf_batched"],
         "unit": "x realtime",
         "vs_baseline": round(r["rtf_batched"] / BASELINE_RTF, 3),

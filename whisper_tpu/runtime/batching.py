@@ -3,11 +3,13 @@
 TPU-native `whisper_full_parallel` (reference: src/whisper.cpp:7811-7939
 runs N CPU threads): here N audio chunks each run the unmodified decoding
 state machine in a worker thread, and a batching gate intercepts their
-`encode_window` / `decode_window_device` calls.  When every *active* worker
-is waiting, compatible requests execute as ONE vmapped device call — the
-decoder weights are read from HBM once per step for the whole batch instead
-of once per chunk, which is where single-stream decode throughput goes on a
-bandwidth-bound chip.
+`decode_window_device` calls.  When every *active* worker is waiting,
+compatible requests execute as ONE batched device call — the decoder
+weights are read from HBM once per step for the whole batch instead of
+once per chunk, which is where single-stream decode throughput goes on a
+bandwidth-bound chip.  Encodes deliberately stay solo: the encoder is
+compute-bound at T=1500, so vmapping W encodes saves no weight traffic and
+its W-times working set measures ~27% SLOWER per window (bench.py).
 
 Workers that fall off the common path (temperature fallback with a different
 lane count, beam search, grammar) execute their request solo in the same
