@@ -41,7 +41,8 @@ def main(argv=None) -> int:
         description="quantize a legacy ggml whisper model file")
     ap.add_argument("model_in")
     ap.add_argument("model_out")
-    ap.add_argument("ftype", help="target type: q4_0 q4_1 q5_0 q5_1 q8_0 or "
+    ap.add_argument("ftype", help="target type: q4_0 q4_1 q5_0 q5_1 q8_0 "
+                                  "q2_k..q6_k iq4_nl iq4_xs mxfp4 nvfp4 or "
                                   "a numeric ggml ftype")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
