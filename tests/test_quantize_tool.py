@@ -30,6 +30,8 @@ def _records(path):
     ("q5_0", quants.GGML_TYPE_Q5_0),
     ("q5_1", quants.GGML_TYPE_Q5_1),
     ("q8_0", quants.GGML_TYPE_Q8_0),
+    ("mxfp4", quants.GGML_TYPE_MXFP4),
+    ("nvfp4", quants.GGML_TYPE_NVFP4),
 ])
 def test_quantize_roundtrip(mini_model_path, ftype_name, qtype, tmp_path):
     out = tmp_path / f"mini-{ftype_name}.bin"
@@ -52,7 +54,9 @@ def test_quantize_roundtrip(mini_model_path, ftype_name, qtype, tmp_path):
             got = rec.to_f32()
             scale = np.abs(ref).mean() + 1e-8
             tol = {quants.GGML_TYPE_Q4_0: 0.25, quants.GGML_TYPE_Q5_0: 0.12,
-                   quants.GGML_TYPE_Q5_1: 0.12, quants.GGML_TYPE_Q8_0: 0.02}[qtype]
+                   quants.GGML_TYPE_Q5_1: 0.12, quants.GGML_TYPE_Q8_0: 0.02,
+                   quants.GGML_TYPE_MXFP4: 0.35,
+                   quants.GGML_TYPE_NVFP4: 0.25}[qtype]
             assert np.abs(got - ref).mean() / scale < tol, name
 
     # loader accepts the quantized file and reports the right wtype
