@@ -46,3 +46,28 @@ def test_load_header_only_model():
     assert m.hparams.n_audio_layer == 4
     assert m.hparams.model_name == "tiny"
     assert len(m.vocab.id_to_token) == m.hparams.n_vocab
+
+
+def test_bad_magic_rejected(tmp_path):
+    """Corrupt-model negative test (mirror of the reference's
+    for-tests-ggml-parakeet-tdt-bad-nfft0 philosophy, tests/CMakeLists.txt)."""
+    import pytest
+
+    from whisper_tpu.models.whisper.load import load_model
+
+    p = tmp_path / "bad.bin"
+    p.write_bytes(b"\x00\x01\x02\x03" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="bad magic"):
+        load_model(str(p))
+
+
+def test_truncated_model_rejected(mini_model_path, tmp_path):
+    import pytest
+
+    from whisper_tpu.models.whisper.load import load_model
+
+    data = open(mini_model_path, "rb").read()
+    p = tmp_path / "trunc.bin"
+    p.write_bytes(data[: int(len(data) * 0.7)])
+    with pytest.raises(Exception):
+        load_model(str(p))
