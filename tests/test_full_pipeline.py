@@ -70,3 +70,37 @@ def test_device_loop_matches_host_loop(mini_model_path, jfk_pcm):
         return [(s.t0, s.t1, tuple(t.id for t in s.tokens)) for s in segs]
 
     assert run(True) == run(False)
+
+
+def test_abort_callback(mini_model_path, jfk_pcm):
+    """abort_callback must end the transcription early (the reference checks
+    it around every graph compute, src/whisper.cpp:2461,2983).  An
+    immediately-aborting callback yields no segments; a never-aborting one
+    leaves the output unchanged."""
+    calls = []
+
+    def run(abort_after):
+        calls.clear()
+        ctx = wt.WhisperContext.from_file(str(mini_model_path))
+        p = wt.TranscribeParams.default()
+        p.print_progress = False
+        p.temperature_inc = 0.0
+
+        def cb(_ctx):
+            calls.append(1)
+            return len(calls) > abort_after
+        p.abort_callback = cb
+        return wt.transcribe(ctx, p, jfk_pcm[: 16000 * 4])
+
+    assert run(0) == []          # abort before the first window
+    assert len(calls) >= 1       # and the callback was actually polled
+    full = run(10**9)            # never aborts -> normal output
+    assert len(calls) >= 2
+    # unaffected by a non-firing callback
+    ctx = wt.WhisperContext.from_file(str(mini_model_path))
+    p = wt.TranscribeParams.default()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    ref = wt.transcribe(ctx, p, jfk_pcm[: 16000 * 4])
+    assert [(s.t0, s.t1, s.text) for s in full] == \
+        [(s.t0, s.t1, s.text) for s in ref]

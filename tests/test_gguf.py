@@ -107,3 +107,37 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError):
         gguf.read_gguf(str(p))
+
+
+def test_v2_files_accepted(tmp_path):
+    """GGUF v2 has the identical little-endian layout (v3 only added
+    big-endian support); the reference reader accepts both, so must ours."""
+    p = tmp_path / "t.gguf"
+    _sample_file(p)
+    raw = bytearray(p.read_bytes())
+    assert raw[4:8] == (3).to_bytes(4, "little")
+    raw[4:8] = (2).to_bytes(4, "little")
+    p2 = tmp_path / "t2.gguf"
+    p2.write_bytes(bytes(raw))
+    g = gguf.read_gguf(str(p2))
+    assert g.kv["whisper.n_audio_layer"] == 4
+    # v1 stays rejected
+    raw[4:8] = (1).to_bytes(4, "little")
+    p3 = tmp_path / "t1.gguf"
+    p3.write_bytes(bytes(raw))
+    with pytest.raises(ValueError):
+        gguf.read_gguf(str(p3))
+
+
+def test_nondefault_alignment_recorded(tmp_path):
+    """write_gguf(alignment=N) must record general.alignment so readers
+    (ours and the reference's) parse the data section correctly."""
+    rng = np.random.default_rng(1)
+    arr = rng.standard_normal((8, 64)).astype(np.float32)
+    p = tmp_path / "a.gguf"
+    gguf.write_gguf(str(p), {"general.architecture": "whisper"},
+                    [("w", arr, quants.GGML_TYPE_F32)], alignment=128)
+    g = gguf.read_gguf(str(p))
+    assert g.kv["general.alignment"] == 128
+    assert g.alignment == 128
+    np.testing.assert_array_equal(g.tensor("w").to_f32(), arr)

@@ -233,6 +233,14 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
         and params.grammar_rules is None
         and params.logits_filter_callback is None)
 
+    # abort hook: the reference checks `abort_callback` before every graph
+    # compute (src/whisper.cpp:2461,2983) and bails out of whisper_full; here
+    # it is polled at the same boundaries (window start, each token-loop
+    # decode, between temperature-ladder attempts) and ends the transcription
+    # early, returning the segments emitted so far.
+    def _aborted() -> bool:
+        return bool(params.abort_callback and params.abort_callback(ctx))
+
     seek = seek_start
     t_start = time.perf_counter()
 
@@ -241,7 +249,7 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
             progress = (100 * (seek - seek_start)) // max(1, seek_end - seek_start)
             params.progress_callback(ctx, progress)
 
-        if seek + DELTA_MIN >= seek_end:
+        if seek + DELTA_MIN >= seek_end or _aborted():
             break
 
         if params.encoder_begin_callback:
@@ -263,6 +271,10 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
         best_decoder_id = 0
 
         for it, t_cur in enumerate(temperatures):
+            if _aborted():
+                ctx.prompt_past0 = prompt_past0
+                ctx.prompt_past1 = prompt_past1
+                return result_all
             if params.strategy == SamplingStrategy.GREEDY:
                 n_decoders_cur = params.greedy.best_of if t_cur > 0.0 else 1
             else:
@@ -480,6 +492,10 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 
                 # batched decode of all beams (finished rows decode a dummy
                 # token; their outputs are ignored — keeps shapes static)
+                if _aborted():
+                    ctx.prompt_past0 = prompt_past0
+                    ctx.prompt_past1 = prompt_past1
+                    return result_all
                 n_past = len(prompt) + i
                 step_tokens = np.zeros((n_decoders_cur, 1), np.int32)
                 for j in range(n_decoders_cur):
@@ -618,6 +634,16 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 def _post_segment(ctx, params, result_all, seek) -> None:
     """Token-level timestamps + segment wrapping + callback for the segment
     just appended (src/whisper.cpp:7686-7700)."""
+    if params.print_realtime:
+        # in-pipeline segment printing (src/whisper.cpp:7667-7674)
+        from ..cli.output import to_timestamp
+
+        seg = result_all[-1]
+        if params.print_timestamps:
+            print(f"[{to_timestamp(seg.t0)} --> {to_timestamp(seg.t1)}]  "
+                  f"{seg.text}")
+        else:
+            print(seg.text, end="", flush=True)
     n_new = 1
     if params.token_timestamps:
         from .timestamps import compute_token_level_timestamps, wrap_segment

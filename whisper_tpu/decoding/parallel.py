@@ -103,6 +103,7 @@ def replace_params(params: TranscribeParams, clear_offset: bool = False):
     if clear_offset:
         p.offset_ms = 0
         p.print_progress = False
+        p.print_realtime = False  # workers must not interleave stdout
         p.new_segment_callback = None
         p.progress_callback = None
     return p

@@ -120,7 +120,10 @@ def read_gguf(path: str, load_data: bool = True) -> GGUFFile:
         if f.read(4) != GGUF_MAGIC:
             raise ValueError("not a GGUF file (bad magic)")
         (version,) = struct.unpack("<I", f.read(4))
-        if version != GGUF_VERSION:
+        # v2 files have the identical little-endian layout (v3 only added
+        # big-endian support) and are accepted by the reference reader
+        # (ggml/src/gguf.cpp), so accept both; reject v1 and unknown futures.
+        if version not in (2, GGUF_VERSION):
             raise ValueError(f"unsupported GGUF version {version}")
         n_tensors, n_kv = struct.unpack("<qq", f.read(16))
 
@@ -193,6 +196,12 @@ def write_gguf(path: str, kv: Dict[str, Any],
         arr = np.asarray(arr)
         raw = quants.quantize(arr.astype(np.float32), t)
         packed.append((name, arr.shape, t, raw))
+
+    if alignment != GGUF_DEFAULT_ALIGNMENT:
+        # readers (ours and the reference's) assume 32 unless the file says
+        # otherwise — record non-default alignments in the kv section
+        kv = dict(kv)
+        kv["general.alignment"] = int(alignment)
 
     with open(path, "wb") as f:
         f.write(GGUF_MAGIC)

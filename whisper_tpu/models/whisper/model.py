@@ -149,7 +149,7 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
     qh, kh, vh = (_split_heads(t, n_head) for t in (q, k, v))
     from ...ops.attention import flash_self_attention, use_flash
 
-    if use_flash(qh.shape[-2]):
+    if use_flash(qh.shape[-2], dtype):
         out = flash_self_attention(qh, kh, vh)
     else:
         out = attention(qh, kh, vh, None, dtype)

@@ -58,6 +58,11 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array
     return out[0, :, :T, :].astype(jnp.float32)
 
 
-def use_flash(t: int) -> bool:
-    """Flash pays off when the score matrix is the bottleneck."""
-    return jax.default_backend() == "tpu" and t >= 256
+def use_flash(t: int, dtype=jnp.bfloat16) -> bool:
+    """Flash pays off when the score matrix is the bottleneck.
+
+    The kernel computes in bf16, so it is only selected when the requested
+    compute dtype is bf16 — encode(dtype=float32) (the bit-accuracy mode)
+    must keep the exact XLA path."""
+    return (jax.default_backend() == "tpu" and t >= 256
+            and dtype == jnp.bfloat16)
