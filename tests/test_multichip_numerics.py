@@ -1,0 +1,163 @@
+"""Multi-chip SEMANTICS tests: sharded execution must produce the
+single-device numbers.
+
+The reference's meta backend mirrors graphs across devices and allreduces
+PARTIAL tensors (ggml/src/ggml-backend-meta.cpp:1622,2077-2217); its
+correctness contract is that TP is invisible to the model.  Here the same
+contract is asserted for the GSPMD spec table (parallel/sharding.py): for
+tp in {2, 4, 8} x dp, encode, cross-KV precompute, the batched decode step
+(f16 AND int8 caches), and the native window-batched decoder must match the
+unsharded run — logits to float tolerance, decoded tokens exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from whisper_tpu.models.whisper import model as M
+from whisper_tpu.models.whisper.hparams import WhisperHParams
+from whisper_tpu.parallel.mesh import make_mesh
+from whisper_tpu.parallel.sharding import (cross_kv_spec, kv_cache_spec,
+                                           shard_params)
+from whisper_tpu.utils.synth import synth_params
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _hp(n_vocab=1000):
+    # n_head=8 so tp=8 still gives whole heads per shard
+    return WhisperHParams(
+        n_vocab=n_vocab, n_audio_ctx=96, n_audio_state=64, n_audio_head=8,
+        n_audio_layer=2, n_text_ctx=64, n_text_state=64, n_text_head=8,
+        n_text_layer=2, n_mels=80)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hp = _hp()
+    params = synth_params(hp, jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(7),
+                            (hp.n_mels, 2 * hp.n_audio_ctx), jnp.float32)
+    return hp, params, mel
+
+
+def _forward(params, mel, tokens, hp, itype):
+    """encode -> cross-KV -> 3 chained decode steps; returns all logits."""
+    enc = M.encode(params, mel, hp, dtype=jnp.float32)
+    cross_itype = "q8" if itype == "q8" else "f16"
+    xk, xv = M.compute_cross_kv(params, enc, hp, dtype=jnp.float32,
+                                itype=cross_itype)
+    cache = M.new_cache(hp, tokens.shape[0], jnp.float32, itype=itype)
+    pos0 = jnp.broadcast_to(jnp.arange(tokens.shape[1], dtype=jnp.int32),
+                            tokens.shape)
+    logits0, cache = M.decode_step(params, tokens, pos0, jnp.int32(0),
+                                   cache, xk, xv, hp, dtype=jnp.float32)
+    outs = [logits0]
+    kv_head = tokens.shape[1]
+    tok = jnp.argmax(logits0[:, -1:], axis=-1).astype(jnp.int32)
+    for s in range(2):
+        pos = jnp.full_like(tok, kv_head + s)
+        lg, cache = M.decode_step(params, tok, pos, jnp.int32(kv_head + s),
+                                  cache, xk, xv, hp, dtype=jnp.float32)
+        outs.append(lg)
+        tok = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+    return enc, jnp.concatenate(outs, axis=1)
+
+
+@pytest.mark.parametrize("itype", ["f16", "q8"])
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_sharded_forward_matches_single_device(setup, itype, tp):
+    hp, params, mel = setup
+    tokens = jnp.asarray([[3, 5, 7], [11, 13, 17]], jnp.int32)
+
+    enc_ref, logits_ref = jax.jit(
+        lambda p, m, t: _forward(p, m, t, hp, itype))(params, mel, tokens)
+
+    n_dp = 8 // tp
+    mesh = make_mesh(n_dp, tp)
+    params_sh = shard_params(params, mesh, hp)
+    with mesh:
+        enc_sh, logits_sh = jax.jit(
+            lambda p, m, t: _forward(p, m, t, hp, itype))(
+                params_sh, mel, tokens)
+        jax.block_until_ready((enc_sh, logits_sh))
+
+    np.testing.assert_allclose(np.asarray(enc_sh), np.asarray(enc_ref),
+                               rtol=2e-5, atol=2e-5)
+    # int8 codes round at scale boundaries; psum order can flip a rounding,
+    # so q8 gets a slightly looser bound (still ~1e-3 of the logit range)
+    tol = 1e-4 if itype == "f16" else 2e-3
+    scale = np.abs(np.asarray(logits_ref)).max() + 1e-9
+    err = np.abs(np.asarray(logits_sh) - np.asarray(logits_ref)).max() / scale
+    assert err < tol, (itype, tp, err)
+    # greedy tokens must agree exactly
+    assert (np.argmax(np.asarray(logits_sh), -1)
+            == np.argmax(np.asarray(logits_ref), -1)).all()
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_sharded_window_decoder_tokens_exact(setup, tp):
+    """The production on-device window decoder (native window batching on the
+    beam axis) decodes the SAME tokens sharded and unsharded."""
+    from whisper_tpu.decoding import device_loop as DL
+
+    hp, params, mel = setup
+    W = 4
+    eot, beg = hp.n_vocab - 2, hp.n_vocab - 10
+
+    enc = jax.jit(lambda p, m: M.encode(p, m, hp, dtype=jnp.float32))(
+        params, mel)
+    xk1, xv1 = jax.jit(lambda p, e: M.compute_cross_kv(
+        p, e, hp, dtype=jnp.float32))(params, enc)
+    xk = jnp.broadcast_to(xk1[None], (W,) + xk1.shape)
+    xv = jnp.broadcast_to(xv1[None], (W,) + xv1.shape)
+
+    prompts = jnp.tile(jnp.asarray([[0, 0, 0, 0, 0, 0, 1, 2]], jnp.int32),
+                       (W, 1))
+    args = (prompts, jnp.full((W,), 2, jnp.int32),
+            jnp.zeros(hp.n_vocab), jnp.zeros(hp.n_vocab),
+            jnp.zeros((W,)), jnp.zeros((W,), jnp.int32),
+            jnp.full((W,), 3000, jnp.int32), jnp.int32(0),
+            jax.vmap(jax.random.PRNGKey)(jnp.arange(W)))
+
+    fn = DL.make_window_decoder(hp, 1, 8, jnp.float32, False, False,
+                                eot, beg, n_windows=W)
+    ref = fn(params, args[0], args[1], xk, xv, *args[2:])
+    ref_tok = np.asarray(ref.tok_id)
+    ref_n = np.asarray(ref.n_tok)
+
+    n_dp = 8 // tp
+    mesh = make_mesh(n_dp, tp)
+    params_sh = shard_params(params, mesh, hp)
+    xk_sh = jax.device_put(xk, NamedSharding(
+        mesh, P("dp", None, "tp", None, None)))
+    xv_sh = jax.device_put(xv, NamedSharding(
+        mesh, P("dp", None, "tp", None, None)))
+    with mesh:
+        out = fn(params_sh, args[0], args[1], xk_sh, xv_sh, *args[2:])
+        jax.block_until_ready(out)
+
+    assert (np.asarray(out.n_tok) == ref_n).all()
+    for w in range(W):
+        n = int(ref_n[w].item() if hasattr(ref_n[w], "item") else ref_n[w])
+        assert (np.asarray(out.tok_id)[w, :n] == ref_tok[w, :n]).all(), w
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_sharded_kv_cache_layout_local_heads(setup, tp):
+    """The (L, B, C, 2, S) cache last-axis shard is a head shard: writing a
+    step and reading attention back must keep K/V of each head group intact
+    (guards against a layout that would split K from V)."""
+    hp, params, mel = setup
+    mesh = make_mesh(8 // tp, tp)
+    cache = M.KVCache.zeros(hp, 2, jnp.float32)
+    sharded = jax.device_put(cache.kv, NamedSharding(mesh, kv_cache_spec()))
+    # shard shapes: last axis divided by tp, all else whole
+    shard = next(iter(sharded.addressable_shards)).data
+    assert shard.shape == (hp.n_text_layer, 2, hp.n_text_ctx, 2,
+                           hp.n_text_state // tp)
+    assert hp.n_text_state // tp % (hp.n_text_state // hp.n_text_head) == 0

@@ -97,7 +97,8 @@ def _tile_cache(cache, n_beam: int):
 
     if cache.kv.shape[1] == n_beam:
         return cache
-    return KVCache(jnp.tile(cache.kv[:, :1], (1, n_beam, 1, 1)))
+    return KVCache(jnp.tile(cache.kv[:, :1],
+                            (1, n_beam) + (1,) * (cache.kv.ndim - 2)))
 
 
 def transcribe(ctx: WhisperContext, params: TranscribeParams,

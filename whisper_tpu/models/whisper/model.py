@@ -251,20 +251,27 @@ def cross_attend(qh: jax.Array, ck, cv, dtype, return_probs: bool = False):
 
 class KVCache(NamedTuple):
     """Self-attention cache: one combined buffer
-    kv (n_layer, n_beam, n_text_ctx, 2*n_state) with K in [..., :n_state]
-    and V in [..., n_state:].
+    kv (n_layer, n_beam, n_text_ctx, 2, n_state) with K at [..., 0, :]
+    and V at [..., 1, :].
 
     K and V share a buffer because the fused QKV projection emits them
     adjacent (qkv[..., n_state:]), so the per-step cache update is a SINGLE
     in-place `dynamic_update_slice` of one column per layer — the decode
     step is op-latency-bound on TPU and halving the update count (and
-    avoiding a concat) is a measured win over separate k/v buffers."""
+    avoiding a concat) is a measured win over separate k/v buffers.
+
+    The explicit (2, n_state) trailing axes (memory-layout-identical to the
+    flat 2*n_state buffer) let tensor parallelism shard the LAST axis: since
+    n_state = n_head * d_head with heads contiguous, a 'tp' shard of the last
+    axis is a shard over head groups — cache writes and self-attention stay
+    device-local under TP (the analogue of the reference meta backend's
+    by-head KV splits, ggml-backend.h:369-401)."""
 
     kv: jax.Array
 
     @staticmethod
     def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache":
-        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2 * hp.n_text_state)
+        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2, hp.n_text_state)
         return KVCache(jnp.zeros(shape, dtype))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache":
@@ -277,21 +284,24 @@ class KVCache8(NamedTuple):
     """INT8 self-attention cache (the reference's quantized-`itype` kv_self).
 
     Rows quantize per position: code = round(127 x / amax), scale = amax/127
-    with K/V codes sharing one buffer kv (L, B, T, 2*S) int8 (K first) and
-    per-position scales (L, B, T, 2) f32 ([..., 0]=K, [..., 1]=V).  Attention
-    stays exact-factorable — scores = (q @ codes^T) * scale_j and
-    out = (probs * scale_j) @ codes — so nothing is dequantized to a dense
-    f16 cache; HBM cache traffic and memory halve.
+    with K/V codes sharing one buffer kv (L, B, T, 2, S) int8 (K at
+    [..., 0, :]) and per-position scales (L, B, T, 2) f32 ([..., 0]=K,
+    [..., 1]=V).  Attention stays exact-factorable — scores =
+    (q @ codes^T) * scale_j and out = (probs * scale_j) @ codes — so nothing
+    is dequantized to a dense f16 cache; HBM cache traffic and memory halve.
+    The trailing (2, S) split lets TP shard the head axis (see KVCache);
+    the per-position scales are head-independent so sharded codes with
+    replicated scales stay exact.
     """
 
-    kv: jax.Array      # int8 codes, K then V on the last axis
+    kv: jax.Array      # int8 codes, (L, B, T, 2, S), K then V
     scale: jax.Array   # (L, B, T, 2) f32
 
     @staticmethod
     def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache8":
-        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2 * hp.n_text_state)
+        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2, hp.n_text_state)
         return KVCache8(jnp.zeros(shape, jnp.int8),
-                        jnp.zeros(shape[:-1] + (2,), jnp.float32))
+                        jnp.zeros(shape[:-2] + (2,), jnp.float32))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache8":
         return KVCache8(self.kv[:, beam_idx], self.scale[:, beam_idx])
@@ -385,14 +395,14 @@ def decode_step(params: Dict[str, Any],
             kq, ksn = _quantize_rows(qkv[..., n_state:2 * n_state])
             vq, vsn = _quantize_rows(qkv[..., 2 * n_state:])
             kvf = lax.dynamic_update_slice(
-                kvf, jnp.concatenate([kq, vq], axis=-1)[None],
-                (l, 0, kv_head, 0))
+                kvf, jnp.stack([kq, vq], axis=-2)[None],
+                (l, 0, kv_head, 0, 0))
             sf = lax.dynamic_update_slice(
                 sf, jnp.stack([ksn, vsn], axis=-1)[None], (l, 0, kv_head, 0))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
             s_l = lax.dynamic_index_in_dim(sf, l, 0, keepdims=False)
-            kh = _split_heads(kv_l[..., :n_state].astype(dtype), n_head)
-            vh = _split_heads(kv_l[..., n_state:].astype(dtype), n_head)
+            kh = _split_heads(kv_l[..., 0, :].astype(dtype), n_head)
+            vh = _split_heads(kv_l[..., 1, :].astype(dtype), n_head)
             d = qh.shape[-1]
             scores = jnp.matmul(qh.astype(dtype), jnp.swapaxes(kh, -1, -2),
                                 preferred_element_type=jnp.float32)
@@ -403,12 +413,13 @@ def decode_step(params: Dict[str, Any],
             out = jnp.matmul(probs.astype(dtype), vh,
                              preferred_element_type=jnp.float32)
         else:
+            kv_col = qkv[..., n_state:].reshape(
+                qkv.shape[:-1] + (2, n_state)).astype(kvf.dtype)
             kvf = lax.dynamic_update_slice(
-                kvf, qkv[..., n_state:].astype(kvf.dtype)[None],
-                (l, 0, kv_head, 0))
+                kvf, kv_col[None], (l, 0, kv_head, 0, 0))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
-            out = attention(qh, _split_heads(kv_l[..., :n_state], n_head),
-                            _split_heads(kv_l[..., n_state:], n_head),
+            out = attention(qh, _split_heads(kv_l[..., 0, :], n_head),
+                            _split_heads(kv_l[..., 1, :], n_head),
                             mask, dtype)
         x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
         # cross-attention (dense or XK8 int8 planes)
