@@ -85,6 +85,8 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", default=None)
     ap.add_argument("--stdin", choices=["s16", "f32"], default=None)
+    ap.add_argument("-c", "--capture", default=None,
+                    help="capture device for the live microphone")
     ap.add_argument("--no-realtime", action="store_true")
     ap.add_argument("-cmd", "--commands", default="")
     ap.add_argument("--grammar", default="")
@@ -108,9 +110,13 @@ def main(argv=None) -> int:
     elif args.stdin:
         source = StdinAudioSource(args.stdin, length_ms)
     else:
-        print("error: no audio source (use --file or --stdin)",
-              file=sys.stderr)
-        return 1
+        from .stream import MicAudioSource
+
+        try:
+            source = MicAudioSource(length_ms, device=args.capture)
+        except RuntimeError as e:
+            print(f"error: {e} (use --file or --stdin)", file=sys.stderr)
+            return 1
 
     commands = read_allowed_commands(args.commands) if args.commands else []
     grammar_rules = None

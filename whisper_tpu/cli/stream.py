@@ -6,11 +6,14 @@ Two modes, exactly as the reference:
   * energy-VAD (--step <= 0): transcribe a --length window whenever
     vad_simple detects end of speech in the last 2 s.
 
-Audio sources (the SDL microphone is replaced):
+Audio sources (SDL microphone replaced by audio/capture.py backends):
+  * a live microphone (default, like the reference): threaded ring-buffer
+    capture via sounddevice/arecord/pw-record/parecord/ffmpeg/sox
+    (-c selects a device, --capture-list enumerates, --mic-cmd overrides
+    the capture command — any program emitting raw s16le PCM on stdout);
   * a wav/audio file played back against the wall clock (--file), or
     as fast as possible with --no-realtime (useful for tests/CI);
-  * raw s16le or f32le PCM on stdin (--stdin [s16|f32]) — pipe from
-    arecord/sox/ffmpeg for a live microphone.
+  * raw s16le or f32le PCM on stdin (--stdin [s16|f32]).
 """
 
 from __future__ import annotations
@@ -78,6 +81,34 @@ class FileAudioSource(AudioSource):
 
     def available_ms(self) -> int:
         return len(self.buf) * 1000 // SAMPLE_RATE
+
+
+class MicAudioSource(AudioSource):
+    """Live microphone via audio.capture.MicCapture (audio_async semantics:
+    a reader thread keeps the ring buffer fed while transcription runs, so
+    poll() has nothing to do)."""
+
+    def __init__(self, length_ms: int, device=None, mic_cmd=None):
+        super().__init__(length_ms)
+        from ..audio.capture import MicCapture
+
+        self.cap = MicCapture(length_ms, device=device, mic_cmd=mic_cmd)
+        self.cap.start()
+
+    def poll(self) -> None:
+        self.done = self.cap.done
+
+    def get(self, ms: int) -> np.ndarray:
+        return self.cap.get(ms)
+
+    def clear(self) -> None:
+        self.cap.clear()
+
+    def available_ms(self) -> int:
+        return self.cap.available_ms()
+
+    def close(self) -> None:
+        self.cap.stop()
 
 
 class StdinAudioSource(AudioSource):
@@ -209,6 +240,13 @@ def main(argv=None) -> int:
                     help="stream from an audio file instead of a microphone")
     ap.add_argument("--stdin", choices=["s16", "f32"], default=None,
                     help="read raw PCM from stdin")
+    ap.add_argument("-c", "--capture", default=None,
+                    help="capture device name/id for the live microphone")
+    ap.add_argument("--capture-list", action="store_true",
+                    help="list capture devices and exit")
+    ap.add_argument("--mic-cmd", default=None,
+                    help="capture command emitting raw s16le 16kHz mono PCM "
+                         "on stdout (overrides backend auto-detection)")
     ap.add_argument("--no-realtime", action="store_true",
                     help="process file audio as fast as possible")
     ap.add_argument("--step", type=int, default=3000)
@@ -227,6 +265,16 @@ def main(argv=None) -> int:
     ap.add_argument("-nf", "--no-fallback", action="store_true")
     args = ap.parse_args(argv)
 
+    if args.capture_list:
+        from ..audio.capture import list_capture_devices
+
+        devs = list_capture_devices()
+        for i, name in enumerate(devs):
+            print(f"   - Capture device #{i}: '{name}'")
+        if not devs:
+            print("no capture devices found", file=sys.stderr)
+        return 0
+
     if args.language != "auto" and lang_id(args.language) == -1:
         print(f"error: unknown language '{args.language}'", file=sys.stderr)
         return 1
@@ -238,10 +286,23 @@ def main(argv=None) -> int:
     elif args.stdin:
         source = StdinAudioSource(args.stdin, max(args.length, 30000))
     else:
-        print("error: no audio source (use --file or --stdin; SDL microphone "
-              "capture is not available in this build)", file=sys.stderr)
-        return 1
-    return run_stream(ctx, source, args)
+        # live microphone — the reference's default source (stream.cpp
+        # audio_async::init(params.capture_id, ...))
+        import shlex
+
+        try:
+            source = MicAudioSource(
+                max(args.length, 30000), device=args.capture,
+                mic_cmd=shlex.split(args.mic_cmd) if args.mic_cmd else None)
+        except RuntimeError as e:
+            print(f"error: {e}\n(use --file or --stdin when no microphone "
+                  "backend is available)", file=sys.stderr)
+            return 1
+    try:
+        return run_stream(ctx, source, args)
+    finally:
+        if isinstance(source, MicAudioSource):
+            source.close()
 
 
 if __name__ == "__main__":

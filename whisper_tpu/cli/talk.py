@@ -146,6 +146,8 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", default=None)
     ap.add_argument("--stdin", choices=["s16", "f32"], default=None)
+    ap.add_argument("-c", "--capture", default=None,
+                    help="capture device for the live microphone")
     ap.add_argument("--no-realtime", action="store_true")
     ap.add_argument("-p", "--person", default="Georgi")
     ap.add_argument("-bn", "--bot-name", default="Assistant")
@@ -174,9 +176,13 @@ def main(argv=None) -> int:
     elif args.stdin:
         source = StdinAudioSource(args.stdin, length_ms)
     else:
-        print("error: no audio source (use --file or --stdin)",
-              file=sys.stderr)
-        return 1
+        from .stream import MicAudioSource
+
+        try:
+            source = MicAudioSource(length_ms, device=args.capture)
+        except RuntimeError as e:
+            print(f"error: {e} (use --file or --stdin)", file=sys.stderr)
+            return 1
 
     person, bot = args.person, args.bot_name
     dialog = build_prompt(args.prompt or K_PROMPT_LLAMA, person, bot,
