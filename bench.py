@@ -114,7 +114,7 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     # stay block-quantized in HBM (ops/qmm.py).  Packed planes are
     # synthesized ON DEVICE (host->device transfer over the tunnel is slow).
     from whisper_tpu.models.whisper.load import PACKED_DEC_KEYS
-    from whisper_tpu.ops.qmm import QWeight
+    from whisper_tpu.ops.qmm import QWeight, QWeightT
 
     key = jax.random.PRNGKey(2)
 
@@ -136,7 +136,10 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
         packed["dec"]["blocks"][kname] = QWeight(
             jnp.stack([q.codes for q in qs]),
             jnp.stack([q.scales for q in qs]))
-    packed["dec"]["tok_embd"] = synth_qweight(params["dec"]["tok_embd"].shape)
+    te = synth_qweight(params["dec"]["tok_embd"].shape)
+    packed["dec"]["tok_embd"] = te
+    # transposed planes for the logits head's streaming kernel (ops/qmm.py)
+    packed["dec"]["tok_embd_t"] = QWeightT(te.codes.T + 0, te.scales.T + 0)
 
     dec_q_ms = _per_op_ms(make_dec_chain(1), 32, 128, lambda: (packed, xk, xv))
     bch5_q_ms = _per_op_ms(make_dec_chain(5), 16, 64, lambda: (packed, xk, xv))
@@ -191,6 +194,11 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     xvb = per_window(xv8)
     dec_b_ms = _per_op_ms(batched_chain, 16, 64, lambda: (params, xkb, xvb))
     dec_b_per_window_ms = dec_b_ms / W
+    # packed Q5_0 serving: same W-window lockstep loop with block-quantized
+    # decoder weights — the weight read already amortizes over windows, so
+    # halving it (int8 vs bf16) moves the whole step
+    dec_bq_ms = _per_op_ms(batched_chain, 16, 64, lambda: (packed, xkb, xvb))
+    dec_bq_per_window_ms = dec_bq_ms / W
 
     # ---- batched encoder (informational): vmapping W encodes into one
     # device call does NOT pay on this chip — the encoder is compute-bound

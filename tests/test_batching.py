@@ -50,9 +50,10 @@ def test_batched_three_chunks(mini_model_path, jfk):
     assert all(b[0] >= a[0] for a, b in zip(ts, ts[1:]))
 
 
-def test_batched_falls_back_for_beam(mini_model_path, jfk):
-    """Beam search isn't device-loop eligible; parallel must route to the
-    sequential path without error."""
+def test_batched_beam_runs_native(mini_model_path, jfk):
+    """Beam-search groups now ride the native windowxbeam batch path
+    (device_loop._beam_select_grouped); parallel beam transcription must
+    produce a coherent merged segment list."""
     from whisper_tpu.decoding.params import (SamplingStrategy,
                                              TranscribeParams)
     from whisper_tpu.decoding.parallel import transcribe_parallel
@@ -136,3 +137,111 @@ def test_native_window_batch_matches_single(mini_model_path, jfk):
     # matches the vmapped mode's (W, 1, ...)
     assert batched.tok_id.shape[:2] == (W, 1)
     assert all(int(np.asarray(batched.n_tok)[i, 0]) >= 1 for i in range(W))
+
+
+def _mk_decoder_pair(ctx, strategy, W, B, bucket):
+    from whisper_tpu.decoding import device_loop as DL
+
+    v = ctx.vocab
+    solo = DL.make_window_decoder(
+        ctx.hp, B, bucket, ctx.compute_dtype, False, False,
+        v.token_eot, v.token_beg, strategy=strategy)
+    native = DL.make_window_decoder(
+        ctx.hp, B, bucket, ctx.compute_dtype, False, False,
+        v.token_eot, v.token_beg, strategy=strategy, n_windows=W)
+    return solo, native
+
+
+def test_native_window_beam_batch_matches_solo(mini_model_path, jfk):
+    """W windows x B beam lanes on one row axis must reproduce the solo
+    B-beam decode EXACTLY.  Prompts of length == bucket make the native
+    left-pad layout bit-identical to the solo right-pad layout, so beam
+    search (deterministic at t=0) must match token-for-token — covering the
+    grouped top-k/dedup/parent-gather and the shared-cross-KV (xkv_group)
+    broadcast."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.runtime.context import WhisperContext
+
+    ctx = WhisperContext.from_file(str(mini_model_path))
+    v = ctx.vocab
+    ctx.pcm_to_mel(jfk[:16000 * 6])
+    ctx.encode_window(0)
+    xk, xv = ctx.xk, ctx.xv
+
+    bucket = 4
+    prompt = [v.token_prev, 100, v.token_sot, v.token_not]
+    W, B = 2, 2
+    prompt_pad = np.tile(np.asarray(prompt, np.int32), (W, 1))
+    lens = np.full((W,), bucket, np.int32)
+    base = np.zeros(ctx.hp.n_vocab, np.float32)
+    initial = np.zeros(ctx.hp.n_vocab, np.float32)
+    mt = jnp.int32(10)
+
+    solo, native = _mk_decoder_pair(ctx, "beam", W, B, bucket)
+    s = solo(ctx.params, jnp.asarray(prompt_pad[0]), jnp.int32(bucket),
+             xk, xv, jnp.asarray(base), jnp.asarray(initial),
+             jnp.float32(0.0), jnp.int32(0), jnp.int32(3000), mt,
+             jax.random.PRNGKey(7))
+    n = native(ctx.params, jnp.asarray(prompt_pad), jnp.asarray(lens),
+               jnp.stack([xk] * W), jnp.stack([xv] * W), jnp.asarray(base),
+               jnp.asarray(initial), jnp.zeros(W, jnp.float32),
+               jnp.zeros(W, jnp.int32), jnp.full((W,), 3000, jnp.int32),
+               mt, jnp.stack([jax.random.PRNGKey(7)] * W))
+
+    assert n.tok_id.shape[:2] == (W, B)
+    assert int(np.asarray(s.n_tok).max()) > 1  # multi-step: gathers exercised
+    for w in range(W):
+        np.testing.assert_array_equal(np.asarray(n.tok_id)[w],
+                                      np.asarray(s.tok_id))
+        np.testing.assert_array_equal(np.asarray(n.n_tok)[w],
+                                      np.asarray(s.n_tok))
+        np.testing.assert_allclose(np.asarray(n.sum_logprobs)[w],
+                                   np.asarray(s.sum_logprobs), rtol=2e-3)
+
+
+def test_native_window_bestof_lanes_greedy_consistent(mini_model_path, jfk):
+    """best-of lanes (greedy strategy, B>1) at temperature 0 collapse to
+    argmax — every lane of every window must equal the 1-lane decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.runtime.context import WhisperContext
+
+    ctx = WhisperContext.from_file(str(mini_model_path))
+    v = ctx.vocab
+    ctx.pcm_to_mel(jfk[:16000 * 6])
+    ctx.encode_window(0)
+    xk, xv = ctx.xk, ctx.xv
+
+    bucket = 4
+    prompt = [v.token_prev, 100, v.token_sot, v.token_not]
+    W, B = 2, 2
+    prompt_pad = np.tile(np.asarray(prompt, np.int32), (W, 1))
+    lens = np.full((W,), bucket, np.int32)
+    base = np.zeros(ctx.hp.n_vocab, np.float32)
+    initial = np.zeros(ctx.hp.n_vocab, np.float32)
+    mt = jnp.int32(10)
+
+    solo1, nativeB = _mk_decoder_pair(ctx, "greedy", W, B, bucket)
+    from whisper_tpu.decoding import device_loop as DL
+
+    solo = DL.make_window_decoder(
+        ctx.hp, 1, bucket, ctx.compute_dtype, False, False,
+        v.token_eot, v.token_beg, strategy="greedy")
+    s = solo(ctx.params, jnp.asarray(prompt_pad[0]), jnp.int32(bucket),
+             xk, xv, jnp.asarray(base), jnp.asarray(initial),
+             jnp.float32(0.0), jnp.int32(0), jnp.int32(3000), mt,
+             jax.random.PRNGKey(7))
+    n = nativeB(ctx.params, jnp.asarray(prompt_pad), jnp.asarray(lens),
+                jnp.stack([xk] * W), jnp.stack([xv] * W), jnp.asarray(base),
+                jnp.asarray(initial), jnp.zeros(W, jnp.float32),
+                jnp.zeros(W, jnp.int32), jnp.full((W,), 3000, jnp.int32),
+                mt, jnp.stack([jax.random.PRNGKey(7)] * W))
+
+    assert n.tok_id.shape[:2] == (W, B)
+    for w in range(W):
+        for b in range(B):
+            np.testing.assert_array_equal(np.asarray(n.tok_id)[w, b],
+                                          np.asarray(s.tok_id)[0])

@@ -81,6 +81,31 @@ def _kern(x_ref, codes_ref, scales_ref, out_ref, *, mode, nb, qk):
             acc = acc + part * scales_ref[b, :][None, :]
         out_ref[:] = acc
         return
+    if mode == "blockconv":      # per-block convert INSIDE the loop: VMEM
+        # holds only int8 codes -> much larger br tiles / grid=1
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        xb = x_ref[:].astype(jnp.bfloat16)
+        for b in range(nb):
+            cb = codes_ref[b * qk:(b + 1) * qk, :].astype(jnp.bfloat16)
+            part = jnp.dot(xb[:, b * qk:(b + 1) * qk], cb,
+                           preferred_element_type=jnp.float32)
+            acc = acc + part * scales_ref[b, :][None, :]
+        out_ref[:] = acc
+        return
+    if mode == "chunkconv":      # per-chunk (8 blocks) convert + bcast scale
+        CH = 8 * qk
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        xb = x_ref[:].astype(jnp.bfloat16)
+        BR = codes_ref.shape[1]
+        for c in range(K // CH):
+            cb = codes_ref[c * CH:(c + 1) * CH, :].astype(jnp.bfloat16)
+            s = scales_ref[c * 8:(c + 1) * 8, :].astype(jnp.bfloat16)
+            s_full = jnp.broadcast_to(s[:, None, :], (8, qk, BR)
+                                      ).reshape(CH, BR)
+            acc = acc + jnp.dot(xb[:, c * CH:(c + 1) * CH], cb * s_full,
+                                preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+        return
     if mode == "i8x":            # ggml-faithful: quantize x per 32-block to
         # int8 in-kernel, int8 MXU dots, per-block scale on partial products
         # (no bf16 convert of the codes AT ALL)
@@ -110,6 +135,11 @@ def run_kern(x, codes_t, scales_t, mode="convdot", block_r=1280):
     nb = scales_t.shape[0]
     qk = K // nb
     block_r = min(block_r, R)
+    if mode == "xla":            # no pallas: let XLA fuse dequant into dot
+        s_full = jnp.repeat(scales_t, qk, axis=0).astype(jnp.bfloat16)
+        w = codes_t.astype(jnp.bfloat16) * s_full
+        return jnp.dot(x.astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32)
     return pl.pallas_call(
         functools.partial(_kern, mode=mode, nb=nb, qk=qk),
         out_shape=jax.ShapeDtypeStruct((T, R), jnp.float32),
@@ -139,8 +169,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     key = jax.random.PRNGKey(0)
     shapes = [(1, 1280, 5120), (16, 1280, 5120), (16, 1280, 51200)]
-    modes = ["convdot", "bcast", "xscale", "i8x"]
-    blocks = [1280, 2048]
+    modes = ["xla", "convdot", "blockconv"]
+    blocks = [2560, 5120]
     for (T, K, R) in shapes:
         nb = K // QK
         key, k1, k2, k3 = jax.random.split(key, 4)

@@ -228,7 +228,9 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
     # host-side feature (grammar, logits callback) is requested.  Beam search
     # runs on device at t=0 (deterministic top-k; the reference's stochastic
     # candidate draws from the near-one-hot filtered distribution are
-    # equivalent there); t>0 beam attempts keep the host sampling loop.
+    # equivalent there); at t>0 the reference itself degrades BEAM_SEARCH to
+    # best_of independent sampling decoders (src/whisper.cpp:7086-7091), so
+    # those attempts run the device loop's sampling path too.
     device_loop_ok = (
         not ctx.is_empty
         and params.grammar_rules is None
@@ -316,8 +318,7 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 
             no_speech_prob = 0.0
 
-            use_device_loop = device_loop_ok and (
-                params.strategy == SamplingStrategy.GREEDY or t_cur == 0.0)
+            use_device_loop = device_loop_ok
             dl_strategy = ("beam" if (params.strategy ==
                                       SamplingStrategy.BEAM_SEARCH and
                                       t_cur == 0.0) else "greedy")

@@ -71,12 +71,15 @@ def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-5) -> j
 def _mm(x: jax.Array, w, dtype) -> jax.Array:
     """x @ w with f32 accumulation; inputs cast to `dtype` for the MXU.
 
-    `w` may be a packed QWeight (stored in (out, in) file orientation) —
-    then this computes x @ W^T through the fused dequant-matmul Pallas
-    kernel, reading 1.125 B/elem of weights from HBM instead of bf16's 2.
+    `w` may be a packed QWeight ((out, in) file orientation; XLA-fused
+    dequant) or QWeightT (transposed planes; Pallas streaming kernel for
+    the logits head) — either way x @ W^T reads 1.125 B/elem of weights
+    from HBM instead of bf16's 2 (ops/qmm.py).
     """
-    from ...ops.qmm import QWeight, qmm_auto
+    from ...ops.qmm import QWeight, QWeightT, qmm_auto, qmmt_auto
 
+    if isinstance(w, QWeightT):
+        return qmmt_auto(x, w, dtype)
     if isinstance(w, QWeight):
         return qmm_auto(x, w, dtype)
     return jnp.matmul(x.astype(dtype), w.astype(dtype),
@@ -334,7 +337,8 @@ def decode_step(params: Dict[str, Any],
                 hp: WhisperHParams,
                 dtype=jnp.bfloat16,
                 unroll: bool = True,
-                attn_mask=None) -> Tuple[jax.Array, KVCache]:
+                attn_mask=None,
+                xkv_group: int = 1) -> Tuple[jax.Array, KVCache]:
     """One batched decoder forward over all live beams.
 
     Mirrors whisper_build_graph_decoder (src/whisper.cpp:2464-2842): token+pos
@@ -422,10 +426,24 @@ def decode_step(params: Dict[str, Any],
                             _split_heads(kv_l[..., 1, :], n_head),
                             mask, dtype)
         x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
-        # cross-attention (dense or XK8 int8 planes)
+        # cross-attention (dense or XK8 int8 planes).  When rows are
+        # window-groups of xkv_group lanes (native windowxbeam batching,
+        # decoding/device_loop.py), each group shares ONE per-window cross-KV
+        # — queries reshape to (W, G, H, T, d) and xk/xv broadcast over the
+        # lane axis instead of being materialized per lane (cross-KV is the
+        # largest decode-time buffer; G-fold duplication would swamp HBM).
         h = layer_norm(x, blk["xattn_ln_w"], blk["xattn_ln_b"], eps)
         q = _mm(h, blk["xq_w"], dtype) + blk["xq_b"]
-        out = cross_attend(_split_heads(q, n_head), cxk, cxv, dtype)
+        qh = _split_heads(q, n_head)
+        if xkv_group > 1:
+            n_rows = qh.shape[0]
+            qh_g = qh.reshape((n_rows // xkv_group, xkv_group) + qh.shape[1:])
+            cxk_g, cxv_g = jax.tree_util.tree_map(
+                lambda a: a[:, None], (cxk, cxv))
+            out = cross_attend(qh_g, cxk_g, cxv_g, dtype)
+            out = out.reshape((n_rows,) + out.shape[2:])
+        else:
+            out = cross_attend(qh, cxk, cxv, dtype)
         x = x + _mm(_merge_heads(out), blk["xo_w"], dtype) + blk["xo_b"]
         # MLP
         h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
@@ -450,7 +468,11 @@ def decode_step(params: Dict[str, Any],
             (dec["blocks"], xk, xv, jnp.arange(n_layer)))
     x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
     if isinstance(tok_embd, QWeight):
-        logits = _mm(x, tok_embd, dtype)       # fused x @ W^T
+        # logits head: prefer the transposed planes (Pallas streaming
+        # kernel) — the one matmul big enough that XLA would materialize
+        # the dequantized weight
+        te_t = dec.get("tok_embd_t")
+        logits = _mm(x, te_t if te_t is not None else tok_embd, dtype)
     else:
         logits = _mm(x, tok_embd.T, dtype)     # (B, T, n_vocab)
     new_cache = KVCache8(kvf, sf) if is_q8 else KVCache(kvf)

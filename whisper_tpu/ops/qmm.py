@@ -43,6 +43,21 @@ class QWeight(NamedTuple):
         return self.codes.ndim
 
 
+class QWeightT(NamedTuple):
+    """Transposed packed planes — the layout the Pallas streaming kernel
+    wants for the LARGE matmuls (the logits head): codes stored (K, R) so a
+    VMEM tile DMA is contiguous along the output-column lane dim and the dot
+    is x[T,K] @ codes[K,BR] with no in-kernel transpose."""
+
+    codes_t: jax.Array   # (K, R) int8
+    scales_t: jax.Array  # (K // qk, R) f32
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        # logical (R, K), matching QWeight's convention
+        return (self.codes_t.shape[1], self.codes_t.shape[0])
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -147,6 +162,105 @@ def qmm(x: jax.Array, codes: jax.Array, scales: jax.Array,
     return out[:T, :R]
 
 
+def _qmmt_kernel(x_ref, codes_ref, scales_ref, out_ref, *, dtype):
+    """One (T, BR) output tile, streaming codes per 32-block.
+
+    x_ref:      (T, K)
+    codes_ref:  (K, BR) int8
+    scales_ref: (nb, BR) f32
+    out_ref:    (T, BR) f32
+
+    int8 codes convert to `dtype` one block at a time and each block's
+    partial product is scaled in f32 AFTER its dot — exact per-block
+    dequantization with no (K, BR) bf16 weight materialization in VMEM, so
+    tiles can be ~4x larger than the expand-first kernel and the grid loop
+    stays DMA-bound (measured: the MXU scale-expansion matmul of the v1
+    kernel cost +12us/tile; this per-block form costs ~+1us against the
+    scale-free convert+dot floor — tools/perf_ablate.py)."""
+    nb = scales_ref.shape[0]
+    K = codes_ref.shape[0]
+    qk = K // nb
+    xb = x_ref[:].astype(dtype)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for b in range(nb):
+        cb = codes_ref[b * qk:(b + 1) * qk, :].astype(dtype)
+        part = jnp.dot(xb[:, b * qk:(b + 1) * qk], cb,
+                       preferred_element_type=jnp.float32)
+        acc = acc + part * scales_ref[b, :][None, :]
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "dtype", "interpret"))
+def qmmt(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
+         block_r: int = 4096, dtype=jnp.bfloat16,
+         interpret: bool = False) -> jax.Array:
+    """y[T, R] = x[T, K] @ dequant(codes_t, scales_t) for TRANSPOSED planes
+    (codes_t (K, R), scales_t (nb, R)).  The serving path for the logits
+    head: R ~ n_vocab, weight traffic 1.125 B/elem."""
+    T, K = x.shape
+    Kc, R = codes_t.shape
+    nb = scales_t.shape[0]
+    assert K == Kc and nb > 0 and K % nb == 0, (x.shape, codes_t.shape,
+                                                scales_t.shape)
+    qk = K // nb
+
+    # VMEM budget (~13 MB): double-buffered int8 codes tile + x + f32 acc +
+    # one block's converted columns
+    def vmem(br):
+        return 2 * K * br + T * K * 4 + T * br * 4 + qk * br * 2
+
+    while block_r > 512 and vmem(block_r) > 13 * 2**20:
+        block_r //= 2
+    block_r = min(block_r, _round_up(R, 256))
+
+    Rp = _round_up(R, block_r)
+    if Rp != R:
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, Rp - R)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, Rp - R)))
+
+    out = pl.pallas_call(
+        functools.partial(_qmmt_kernel, dtype=dtype),
+        out_shape=jax.ShapeDtypeStruct((T, Rp), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(Rp // block_r,),
+            in_specs=[
+                pl.BlockSpec((T, K), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, block_r), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, block_r), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, block_r), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * Rp * K,
+            bytes_accessed=K * Rp + nb * Rp * 4 + T * K * 4 + T * Rp * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, codes_t, scales_t)
+    return out[:, :R]
+
+
+def qmmt_auto(x: jax.Array, qw: QWeightT, dtype=jnp.bfloat16) -> jax.Array:
+    """x @ dequant(qw) for arbitrary leading dims; dense fallback off-TPU."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() != "tpu":
+        K, R = qw.codes_t.shape
+        nb = qw.scales_t.shape[0]
+        qk = K // nb
+        s_full = jnp.broadcast_to(
+            qw.scales_t[:, None, :], (nb, qk, R)).reshape(K, R)
+        w = qw.codes_t.astype(jnp.float32) * s_full
+        y = jnp.matmul(x2.astype(dtype), w.astype(dtype),
+                       preferred_element_type=jnp.float32)
+    else:
+        y = qmmt(x2, qw.codes_t, qw.scales_t, dtype=dtype)
+    return y.reshape(*lead, y.shape[-1])
+
+
 def embed_lookup(qw: QWeight, tokens: jax.Array,
                  dtype=jnp.float32) -> jax.Array:
     """Embedding-row gather + dequant for a packed token-embedding matrix
@@ -160,18 +274,27 @@ def embed_lookup(qw: QWeight, tokens: jax.Array,
 
 
 def qmm_auto(x: jax.Array, qw: QWeight, dtype=jnp.bfloat16) -> jax.Array:
-    """x @ dequant(qw)^T for arbitrary leading dims of x; auto-selects
-    interpreter mode off-TPU (Pallas TPU kernels only compile on TPU)."""
+    """x @ dequant(qw)^T for arbitrary leading dims of x.
+
+    Layer-weight path: plain XLA with the dequant expressed as a fusable
+    convert+broadcast-multiply producer of the dot.  Measured on v5e
+    (tools/perf_ablate.py): at decoder layer shapes (K,R <= 5120) XLA fuses
+    the dequant into the dot's operand read — int8 HBM traffic, 16.5us vs
+    16.1 for the hand-written Pallas kernel and 21 for dense bf16 — so the
+    kernel buys nothing there.  The Pallas streaming kernel (qmmt) is
+    reserved for the logits head, where XLA materializes the dequantized
+    (K, V) weight and loses 3x."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    interp = jax.default_backend() != "tpu"
-    if interp:
-        # off-TPU (tests): dense matmul against the expanded weight is far
-        # faster than the Pallas interpreter and numerically equivalent
-        y = jnp.matmul(x2.astype(dtype), dequantize_qweight(qw, dtype).T,
-                       preferred_element_type=jnp.float32)
-    else:
-        y = qmm(x2, qw.codes, qw.scales, dtype=dtype)
+    R, K = qw.codes.shape
+    nb = qw.scales.shape[1]
+    qk = K // nb
+    s_full = jnp.broadcast_to(
+        qw.scales[:, :, None].astype(dtype), (R, nb, qk)).reshape(R, K)
+    w = qw.codes.astype(dtype) * s_full
+    y = jax.lax.dot_general(
+        x2.astype(dtype), w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     return y.reshape(*lead, y.shape[-1])
 
 

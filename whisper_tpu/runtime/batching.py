@@ -106,10 +106,12 @@ class WindowBatcher:
         from ..decoding import device_loop as DL
 
         (n_beams, bt, no_ts, single_seg, strategy) = key
-        # greedy single-lane groups run NATIVELY batched (windows ride the
-        # decode_step beam axis — in-place cache, fastest); beam/best-of
-        # groups vmap (their lanes already occupy the beam axis)
-        native = strategy == "greedy" and n_beams == 1
+        # ALL groups run NATIVELY batched: windows x lanes ride the
+        # decode_step beam axis (in-place cache — the fast path), with
+        # best-of sampling lanes independent and beam groups selecting
+        # group-locally (device_loop._beam_select_grouped); the vmapped
+        # mode remains only as an escape hatch
+        native = True
         vkey = (key, "native", len(reqs)) if native else (key, "vmap")
         fn = ctx._window_jit.get(vkey)
         if fn is None:

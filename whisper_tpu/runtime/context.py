@@ -79,10 +79,17 @@ class WhisperContext:
                     jnp.asarray(codes, jnp.int8),
                     jnp.asarray(scales, jnp.float32))
             if "tok_embd" in overlay:
+                from ..ops.qmm import QWeightT
+
                 codes, scales = overlay["tok_embd"]
                 self.params["dec"]["tok_embd"] = QWeight(
                     jnp.asarray(codes, jnp.int8),
                     jnp.asarray(scales, jnp.float32))
+                # transposed copy for the logits head's streaming kernel
+                # (ops/qmm.py qmmt); +n_vocab*n_state bytes of HBM
+                self.params["dec"]["tok_embd_t"] = QWeightT(
+                    jnp.asarray(np.ascontiguousarray(codes.T), jnp.int8),
+                    jnp.asarray(np.ascontiguousarray(scales.T), jnp.float32))
         self.mel_fn = LogMel(model.filters.data)
         self.timings = Timings()
         self.filter_tables: Optional[LogitFilterTables] = None  # set per audio_ctx
