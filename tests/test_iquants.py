@@ -88,3 +88,51 @@ def test_planes_match_dequant(ggml, name):
     rebuilt = (qt.codes.astype(np.float32).reshape(x.shape[0], -1, grain)
                * qt.scales[:, :, None]).reshape(x.shape)
     np.testing.assert_allclose(rebuilt, dense, atol=1e-6, err_msg=name)
+
+
+# --------------------------------------------------------------------------
+# IQ1/IQ2/IQ3 grid formats: DECODE-ONLY support.  Encoding needs an
+# importance matrix, so test blocks are synthesized as structured random
+# bytes (valid f16 super-scales patched in) and both decoders must agree
+# bit-for-bit — every grid index / sign / scale bit pattern is legal by
+# construction of the formats.
+# --------------------------------------------------------------------------
+
+IQ_DECODE_ONLY = {
+    "iq2_xxs": quants.GGML_TYPE_IQ2_XXS,
+    "iq2_xs": quants.GGML_TYPE_IQ2_XS,
+    "iq2_s": quants.GGML_TYPE_IQ2_S,
+    "iq3_xxs": quants.GGML_TYPE_IQ3_XXS,
+    "iq3_s": quants.GGML_TYPE_IQ3_S,
+    "iq1_s": quants.GGML_TYPE_IQ1_S,
+    "iq1_m": quants.GGML_TYPE_IQ1_M,
+}
+
+
+def synth_blocks(qtype: int, n_blocks=8, seed=5) -> bytes:
+    rng = np.random.default_rng(seed)
+    bs = quants.SPECS[qtype].block_bytes
+    raw = rng.integers(0, 256, size=(n_blocks, bs), dtype=np.uint8)
+    if qtype != quants.GGML_TYPE_IQ1_M:
+        # leading f16 scale: patch to a finite positive value
+        d = (rng.random(n_blocks, np.float32) * 0.1 + 0.01).astype(np.float16)
+        raw[:, :2] = d.view(np.uint8).reshape(n_blocks, 2)
+    return raw.tobytes()
+
+
+@pytest.mark.parametrize("name", sorted(IQ_DECODE_ONLY))
+def test_iq_grid_decode_bit_exact(ggml, name):
+    qtype = IQ_DECODE_ONLY[name]
+    n = 8 * quants.QK_K
+    buf = synth_blocks(qtype)
+    assert len(buf) == quants.row_size(qtype, n)
+    ours = quants.dequantize(buf, qtype, n)
+    ref = ref_dequantize(ggml, name, buf, n)
+    np.testing.assert_array_equal(ours, ref, err_msg=name)
+
+
+@pytest.mark.parametrize("name", sorted(IQ_DECODE_ONLY))
+def test_iq_grid_quantize_unsupported(name):
+    with pytest.raises(NotImplementedError):
+        quants.quantize(np.zeros(quants.QK_K, np.float32),
+                        IQ_DECODE_ONLY[name])

@@ -429,3 +429,192 @@ def planes_tq(buf: bytes, rows: int, cols: int, ggml_type: int):
     codes = np.where(d > 0, np.round(y / np.where(d > 0, d, 1)), 0).astype(np.int8)
     scales = np.repeat(d, QK_K // 32, axis=1)                   # per-32 grain
     return codes.reshape(rows, cols), scales.reshape(rows, cols // 32)
+
+
+# ---------------------------------------------------------------------------
+# IQ1/IQ2/IQ3 importance-matrix formats — DECODE ONLY.
+#
+# These formats store groups of 8 weights as indices into fixed codebook
+# grids (ggml-common.h:560-1649, extracted by tools/gen_iq_grids.py into
+# iq_grids.npz) plus per-group sign bits and per-32 block scales.  Encoding
+# requires an importance matrix and a codebook search; whisper's own
+# quantize tool never emits them (examples/common-ggml.cpp:43-246), so this
+# repo supports them for *loading* ecosystem files only.  Layouts:
+# ggml-common.h block_iq2_xxs:384, block_iq2_xs:392, block_iq2_s:401,
+# block_iq3_xxs:410, block_iq3_s:421, block_iq1_s:430, block_iq1_m:437;
+# algorithms: ggml-quants.c dequantize_row_iq*:2488-2723.
+# ---------------------------------------------------------------------------
+
+IQ1S_DELTA = 0.125
+
+_IQ_GRIDS = None
+
+
+def _grids():
+    """Lazy-load codebook grids + derived sign tables."""
+    global _IQ_GRIDS
+    if _IQ_GRIDS is None:
+        from pathlib import Path
+
+        z = np.load(Path(__file__).parent / "iq_grids.npz")
+        i = np.arange(128, dtype=np.uint8)
+        parity = np.zeros(128, np.uint8)
+        for b in range(7):
+            parity ^= (i >> b) & 1
+        ksigns = (i | (parity << 7)).astype(np.uint8)  # == ksigns_iq2xs
+        kmask = (1 << np.arange(8)).astype(np.uint8)   # == kmask_iq2xs
+        # ksigns-coded sign vectors (7-bit index -> ±1 over 8 lanes)
+        spm_k = np.where(ksigns[:, None] & kmask[None, :], -1.0,
+                         1.0).astype(np.float32)
+        # raw-byte sign vectors (iq2_s / iq3_s store sign bytes directly)
+        byte = np.arange(256, dtype=np.uint8)
+        spm_raw = np.where(byte[:, None] & kmask[None, :], -1.0,
+                           1.0).astype(np.float32)
+        _IQ_GRIDS = dict(
+            g2xxs=z["iq2xxs_grid"].view(np.uint8).reshape(256, 8),
+            g2xs=z["iq2xs_grid"].view(np.uint8).reshape(512, 8),
+            g2s=z["iq2s_grid"].view(np.uint8).reshape(1024, 8),
+            g3xxs=z["iq3xxs_grid"].view(np.uint8).reshape(256, 4),
+            g3s=z["iq3s_grid"].view(np.uint8).reshape(512, 4),
+            g1s=z["iq1s_grid"].view(np.int8).reshape(2048, 8),
+            spm_k=spm_k, spm_raw=spm_raw)
+    return _IQ_GRIDS
+
+
+def _f16_scale(raw2: np.ndarray) -> np.ndarray:
+    return raw2.copy().view(np.float16).astype(np.float32)[:, 0]
+
+
+def dequantize_iq2_xxs(buf: bytes, n: int) -> np.ndarray:
+    g = _grids()
+    nb = n // QK_K
+    a = np.frombuffer(buf, np.uint8).reshape(nb, 66)
+    d = _f16_scale(a[:, :2])                                  # (nb,)
+    qs = a[:, 2:].copy().view("<u2").reshape(nb, 8, 4).astype(np.uint32)
+    aux0 = qs[:, :, 0] | (qs[:, :, 1] << 16)                  # grid bytes
+    aux1 = qs[:, :, 2] | (qs[:, :, 3] << 16)                  # signs+scale
+    db = d[:, None] * (0.5 + (aux1 >> 28)) * 0.25             # (nb, 8)
+    lshift = 8 * np.arange(4, dtype=np.uint32)
+    idx = (aux0[..., None] >> lshift) & 255                   # (nb, 8, 4)
+    sidx = (aux1[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+    y = (db[..., None, None] * g["g2xxs"][idx] * g["spm_k"][sidx])
+    return y.reshape(n).astype(np.float32)
+
+
+def dequantize_iq2_xs(buf: bytes, n: int) -> np.ndarray:
+    g = _grids()
+    nb = n // QK_K
+    a = np.frombuffer(buf, np.uint8).reshape(nb, 74)
+    d = _f16_scale(a[:, :2])
+    qs = a[:, 2:66].copy().view("<u2").reshape(nb, 8, 4)
+    sc = a[:, 66:74]                                          # (nb, 8)
+    db0 = d[:, None] * (0.5 + (sc & 0xF)) * 0.25
+    db1 = d[:, None] * (0.5 + (sc >> 4)) * 0.25
+    db = np.stack([db0, db0, db1, db1], axis=-1)              # (nb, 8, 4)
+    idx = qs & 511
+    sidx = qs >> 9
+    y = db[..., None] * g["g2xs"][idx] * g["spm_k"][sidx]
+    return y.reshape(n).astype(np.float32)
+
+
+def dequantize_iq2_s(buf: bytes, n: int) -> np.ndarray:
+    g = _grids()
+    nb = n // QK_K
+    a = np.frombuffer(buf, np.uint8).reshape(nb, 82)
+    d = _f16_scale(a[:, :2])
+    qs = a[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+    signs = a[:, 34:66].reshape(nb, 8, 4)
+    qh = a[:, 66:74].astype(np.uint16)                        # (nb, 8)
+    sc = a[:, 74:82]
+    db0 = d[:, None] * (0.5 + (sc & 0xF)) * 0.25
+    db1 = d[:, None] * (0.5 + (sc >> 4)) * 0.25
+    db = np.stack([db0, db0, db1, db1], axis=-1)
+    shift = (8 - 2 * np.arange(4, dtype=np.uint16))
+    idx = qs | ((qh[..., None] << shift) & 0x300)
+    y = db[..., None] * g["g2s"][idx] * g["spm_raw"][signs]
+    return y.reshape(n).astype(np.float32)
+
+
+def dequantize_iq3_xxs(buf: bytes, n: int) -> np.ndarray:
+    g = _grids()
+    nb = n // QK_K
+    a = np.frombuffer(buf, np.uint8).reshape(nb, 98)
+    d = _f16_scale(a[:, :2])
+    qs = a[:, 2:66].reshape(nb, 8, 8)                         # grid bytes
+    aux = a[:, 66:98].copy().view("<u4").reshape(nb, 8)       # per-ib32
+    db = d[:, None] * (0.5 + (aux >> 28)) * 0.5               # (nb, 8)
+    sidx = (aux[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+    vals = g["g3xxs"][qs].reshape(nb, 8, 4, 8)                # pairs of 4
+    y = db[..., None, None] * vals * g["spm_k"][sidx]
+    return y.reshape(n).astype(np.float32)
+
+
+def dequantize_iq3_s(buf: bytes, n: int) -> np.ndarray:
+    g = _grids()
+    nb = n // QK_K
+    a = np.frombuffer(buf, np.uint8).reshape(nb, 110)
+    d = _f16_scale(a[:, :2])
+    qs = a[:, 2:66].reshape(nb, 8, 8).astype(np.uint16)
+    qh = a[:, 66:74].astype(np.uint16)                        # (nb, 8)
+    signs = a[:, 74:106].reshape(nb, 8, 4)
+    sc = a[:, 106:110]                                        # (nb, 4)
+    db_lo = d[:, None] * (1 + 2 * (sc & 0xF).astype(np.float32))
+    db_hi = d[:, None] * (1 + 2 * (sc >> 4).astype(np.float32))
+    db = np.stack([db_lo, db_hi], axis=-1).reshape(nb, 8)     # per ib32
+    m = np.arange(8, dtype=np.uint16)
+    idx = qs | (((qh[..., None] >> m) & 1) << 8)
+    vals = g["g3s"][idx].reshape(nb, 8, 4, 8)
+    y = db[..., None, None] * vals * g["spm_raw"][signs]
+    return y.reshape(n).astype(np.float32)
+
+
+def dequantize_iq1_s(buf: bytes, n: int) -> np.ndarray:
+    g = _grids()
+    nb = n // QK_K
+    a = np.frombuffer(buf, np.uint8).reshape(nb, 50)
+    d = _f16_scale(a[:, :2])
+    qs = a[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+    qh = a[:, 34:50].copy().view("<u2").reshape(nb, 8)        # per ib
+    dl = d[:, None] * (2 * ((qh >> 12) & 7).astype(np.float32) + 1)
+    delta = np.where(qh & 0x8000, -IQ1S_DELTA, IQ1S_DELTA)    # (nb, 8)
+    shift = 3 * np.arange(4, dtype=np.uint16)
+    idx = qs | (((qh[..., None] >> shift) & 7) << 8)
+    vals = g["g1s"][idx].astype(np.float32)                   # (nb, 8, 4, 8)
+    y = dl[..., None, None] * (vals + delta[..., None, None])
+    return y.reshape(n).astype(np.float32)
+
+
+def dequantize_iq1_m(buf: bytes, n: int) -> np.ndarray:
+    g = _grids()
+    nb = n // QK_K
+    a = np.frombuffer(buf, np.uint8).reshape(nb, 56)
+    qs = a[:, :32].reshape(nb, 8, 4).astype(np.uint16)
+    qh = a[:, 32:48].reshape(nb, 8, 2)                        # per ib: 2 bytes
+    sc = a[:, 48:56].copy().view("<u2").reshape(nb, 4).astype(np.uint32)
+    d16 = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0) |
+           ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000)).astype(np.uint16)
+    d = d16.view(np.float16).astype(np.float32)               # (nb,)
+
+    ib = np.arange(8)
+    nib_shift = 6 * (ib % 2)                                  # (8,)
+    sc_ib = sc[:, ib // 2]                                    # (nb, 8)
+    dl1 = d[:, None] * (2 * ((sc_ib >> nib_shift) & 7).astype(np.float32) + 1)
+    dl2 = d[:, None] * (2 * ((sc_ib >> (nib_shift + 3)) & 7
+                             ).astype(np.float32) + 1)
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=-1)              # (nb, 8, 4)
+
+    qh0 = qh[:, :, 0].astype(np.uint16)
+    qh1 = qh[:, :, 1].astype(np.uint16)
+    idx = np.stack([
+        qs[:, :, 0] | ((qh0 << 8) & 0x700),
+        qs[:, :, 1] | ((qh0 << 4) & 0x700),
+        qs[:, :, 2] | ((qh1 << 8) & 0x700),
+        qs[:, :, 3] | ((qh1 << 4) & 0x700)], axis=-1)         # (nb, 8, 4)
+    delta = np.stack([
+        np.where(qh0 & 0x08, -IQ1S_DELTA, IQ1S_DELTA),
+        np.where(qh0 & 0x80, -IQ1S_DELTA, IQ1S_DELTA),
+        np.where(qh1 & 0x08, -IQ1S_DELTA, IQ1S_DELTA),
+        np.where(qh1 & 0x80, -IQ1S_DELTA, IQ1S_DELTA)], axis=-1)
+    vals = g["g1s"][idx].astype(np.float32)                   # (nb, 8, 4, 8)
+    y = dl[..., None] * (vals + delta[..., None])
+    return y.reshape(n).astype(np.float32)

@@ -42,8 +42,15 @@ GGML_TYPE_Q4_K = 12
 GGML_TYPE_Q5_K = 13
 GGML_TYPE_Q6_K = 14
 GGML_TYPE_Q8_K = 15
+GGML_TYPE_IQ2_XXS = 16
+GGML_TYPE_IQ2_XS = 17
+GGML_TYPE_IQ3_XXS = 18
+GGML_TYPE_IQ1_S = 19
 GGML_TYPE_IQ4_NL = 20
+GGML_TYPE_IQ3_S = 21
+GGML_TYPE_IQ2_S = 22
 GGML_TYPE_IQ4_XS = 23
+GGML_TYPE_IQ1_M = 29
 GGML_TYPE_I8 = 24
 GGML_TYPE_I16 = 25
 GGML_TYPE_I32 = 26
@@ -66,8 +73,15 @@ GGML_FTYPE_MOSTLY_Q3_K = 11
 GGML_FTYPE_MOSTLY_Q4_K = 12
 GGML_FTYPE_MOSTLY_Q5_K = 13
 GGML_FTYPE_MOSTLY_Q6_K = 14
+GGML_FTYPE_MOSTLY_IQ2_XXS = 15
+GGML_FTYPE_MOSTLY_IQ2_XS = 16
+GGML_FTYPE_MOSTLY_IQ3_XXS = 17
+GGML_FTYPE_MOSTLY_IQ1_S = 18
 GGML_FTYPE_MOSTLY_IQ4_NL = 19
+GGML_FTYPE_MOSTLY_IQ3_S = 20
+GGML_FTYPE_MOSTLY_IQ2_S = 21
 GGML_FTYPE_MOSTLY_IQ4_XS = 22
+GGML_FTYPE_MOSTLY_IQ1_M = 23
 GGML_FTYPE_MOSTLY_MXFP4 = 25
 GGML_FTYPE_MOSTLY_NVFP4 = 26
 
@@ -91,6 +105,13 @@ FTYPE_TO_QTYPE = {
     GGML_FTYPE_MOSTLY_IQ4_XS: GGML_TYPE_IQ4_XS,
     GGML_FTYPE_MOSTLY_MXFP4: GGML_TYPE_MXFP4,
     GGML_FTYPE_MOSTLY_NVFP4: GGML_TYPE_NVFP4,
+    GGML_FTYPE_MOSTLY_IQ2_XXS: GGML_TYPE_IQ2_XXS,
+    GGML_FTYPE_MOSTLY_IQ2_XS: GGML_TYPE_IQ2_XS,
+    GGML_FTYPE_MOSTLY_IQ2_S: GGML_TYPE_IQ2_S,
+    GGML_FTYPE_MOSTLY_IQ3_XXS: GGML_TYPE_IQ3_XXS,
+    GGML_FTYPE_MOSTLY_IQ3_S: GGML_TYPE_IQ3_S,
+    GGML_FTYPE_MOSTLY_IQ1_S: GGML_TYPE_IQ1_S,
+    GGML_FTYPE_MOSTLY_IQ1_M: GGML_TYPE_IQ1_M,
 }
 QTYPE_TO_FTYPE = {v: k for k, v in FTYPE_TO_QTYPE.items()}
 
@@ -128,6 +149,17 @@ SPECS: Dict[int, QuantSpec] = {
     GGML_TYPE_IQ4_NL: QuantSpec("iq4_nl", GGML_TYPE_IQ4_NL, QK, 2 + 16),
     GGML_TYPE_IQ4_XS: QuantSpec("iq4_xs", GGML_TYPE_IQ4_XS, QK_K,
                                 2 + 2 + 4 + 128),
+    # importance-matrix grid formats (decode-only; ggml-common.h:384-443)
+    GGML_TYPE_IQ2_XXS: QuantSpec("iq2_xxs", GGML_TYPE_IQ2_XXS, QK_K, 2 + 64),
+    GGML_TYPE_IQ2_XS: QuantSpec("iq2_xs", GGML_TYPE_IQ2_XS, QK_K,
+                                2 + 64 + 8),
+    GGML_TYPE_IQ2_S: QuantSpec("iq2_s", GGML_TYPE_IQ2_S, QK_K,
+                               2 + 64 + 16),
+    GGML_TYPE_IQ3_XXS: QuantSpec("iq3_xxs", GGML_TYPE_IQ3_XXS, QK_K, 2 + 96),
+    GGML_TYPE_IQ3_S: QuantSpec("iq3_s", GGML_TYPE_IQ3_S, QK_K,
+                               2 + 64 + 8 + 32 + 4),
+    GGML_TYPE_IQ1_S: QuantSpec("iq1_s", GGML_TYPE_IQ1_S, QK_K, 2 + 32 + 16),
+    GGML_TYPE_IQ1_M: QuantSpec("iq1_m", GGML_TYPE_IQ1_M, QK_K, 32 + 16 + 8),
     GGML_TYPE_MXFP4: QuantSpec("mxfp4", GGML_TYPE_MXFP4, QK, 1 + 16),
     GGML_TYPE_NVFP4: QuantSpec("nvfp4", GGML_TYPE_NVFP4, 64, 4 + 32),
     GGML_TYPE_TQ1_0: QuantSpec("tq1_0", GGML_TYPE_TQ1_0, QK_K, 48 + 4 + 2),
@@ -368,6 +400,13 @@ _DEQUANTIZERS: Dict[int, Callable[[bytes, int], np.ndarray]] = {
     GGML_TYPE_Q6_K: _kq.dequantize_q6_k,
     GGML_TYPE_IQ4_NL: _iq.dequantize_iq4_nl,
     GGML_TYPE_IQ4_XS: _iq.dequantize_iq4_xs,
+    GGML_TYPE_IQ2_XXS: _iq.dequantize_iq2_xxs,
+    GGML_TYPE_IQ2_XS: _iq.dequantize_iq2_xs,
+    GGML_TYPE_IQ2_S: _iq.dequantize_iq2_s,
+    GGML_TYPE_IQ3_XXS: _iq.dequantize_iq3_xxs,
+    GGML_TYPE_IQ3_S: _iq.dequantize_iq3_s,
+    GGML_TYPE_IQ1_S: _iq.dequantize_iq1_s,
+    GGML_TYPE_IQ1_M: _iq.dequantize_iq1_m,
     GGML_TYPE_MXFP4: _iq.dequantize_mxfp4,
     GGML_TYPE_NVFP4: _iq.dequantize_nvfp4,
     GGML_TYPE_TQ1_0: _iq.dequantize_tq1_0,
