@@ -46,28 +46,39 @@ class WindowBatcher:
     group (vmapped when >1), and wakes the workers.
     """
 
-    def __init__(self, ctx, n_workers: int):
+    def __init__(self, ctx, n_workers: int, max_wait_s: float = 0.25):
         self.ctx = ctx
         self.lock = threading.Condition()
         self.n_live = n_workers
         self.pending: List[_Request] = []
         self._vmapped: Dict[Any, Callable] = {}
+        # straggler bound: a queued request never waits longer than this for
+        # the batch to fill — after the deadline the partial batch dispatches
+        # (the late worker simply runs in the next round), so one slow or
+        # wedged stream cannot stall the whole server
+        self.max_wait_s = max_wait_s
 
     # -- worker side -----------------------------------------------------------
 
     def submit(self, key, args):
-        """Queue a decode_window request; blocks until its batch ran."""
+        """Queue a decode_window request; blocks until its batch ran.
+
+        Dispatch is event-driven: every state transition (request arrival,
+        worker exit) happens under the lock and triggers the batch when all
+        live workers are waiting.  The only timed wake-up is the straggler
+        deadline above — not a poll for missed dispatches."""
         req = _Request(key, args)
         with self.lock:
             self.pending.append(req)
             if len(self.pending) >= self.n_live:
                 self._dispatch_locked()
-        # wait outside the lock for either our result or a later dispatch
-        while not req.event.wait(timeout=0.05):
+        while not req.event.wait(timeout=self.max_wait_s):
             with self.lock:
                 if req.event.is_set():
                     break
-                if self.pending and len(self.pending) >= self.n_live:
+                if req in self.pending:
+                    # deadline expired with the batch still unfilled —
+                    # run what we have
                     self._dispatch_locked()
         if req.error is not None:
             raise req.error
