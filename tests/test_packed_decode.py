@@ -42,7 +42,7 @@ def test_packed_transcription_matches_dense(q5_model):
     from whisper_tpu.decoding.full import transcribe
     from whisper_tpu.decoding.params import TranscribeParams
     from whisper_tpu.runtime.context import WhisperContext
-    from whisper_tpu.ops.qmm import QWeight
+    from whisper_tpu.ops.qmm import QWeight, QWeightT
 
     samples, _ = load_audio(str(JFK))
     texts = []
@@ -50,7 +50,7 @@ def test_packed_transcription_matches_dense(q5_model):
         ctx = WhisperContext.from_file(str(q5_model),
                                        use_packed_weights=packed)
         if packed:
-            assert isinstance(ctx.params["dec"]["blocks"]["qkv_w"], QWeight)
+            assert isinstance(ctx.params["dec"]["blocks"]["qkv_w"], (QWeight, QWeightT))
             assert isinstance(ctx.params["dec"]["tok_embd"], QWeight)
         params = TranscribeParams(language="en", print_progress=False,
                                   temperature_inc=0.0)

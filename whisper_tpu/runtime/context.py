@@ -60,24 +60,32 @@ class WhisperContext:
             None if model.is_empty else jax.tree.map(
                 lambda a: jnp.asarray(a, dtype), model.params))
 
-        # packed fused-kernel path for quantized files: the decode-loop
-        # weights stay block-quantized in HBM and are dequantized in VMEM by
-        # the Pallas qmm kernel (see ops/qmm.py).  Opt-in: on v5e the dense
-        # bf16 decode is currently faster (bench.py measures both), so this
-        # trades ~44% decode-weight HBM *capacity* for speed only when the
-        # kernel wins on the target chip.
+        # packed path for quantized files: the decode-loop weights stay
+        # block-quantized in HBM — layer matmuls dequantize via an XLA-fused
+        # convert+scale producer of the dot, the logits head via the qmmt
+        # streaming Pallas kernel (ops/qmm.py).  Default ON for TPU, where
+        # it beats dense bf16 (bench.py: 3.26 vs 3.47 ms/tok single-stream
+        # large-v3 on v5e) AND halves decoder weight HBM; off-TPU (CPU
+        # tests) dense f32 stays the default for exactness.
         if use_packed_weights is None:
-            use_packed_weights = False
+            use_packed_weights = jax.default_backend() == "tpu"
         self.use_packed_weights = bool(use_packed_weights and model.qparams)
         if self.use_packed_weights:
             from ..models.whisper.load import build_qweight_overlay
-            from ..ops.qmm import QWeight
+            from ..ops.qmm import QWeight, QWeightT
 
+            # TRANSPOSED planes (L, K, R) feed the qmmt streaming kernel on
+            # TPU: at multi-row decode shapes XLA stops fusing the
+            # dequant into the dot and materializes the bf16 weight to HBM
+            # (measured: W=16 serving step +26% vs dense), while the
+            # streaming kernel always reads int8 (bench.py dec_bq)
             overlay = build_qweight_overlay(model.qparams, self.hp)
             for key, (codes, scales) in overlay["blocks"].items():
-                self.params["dec"]["blocks"][key] = QWeight(
-                    jnp.asarray(codes, jnp.int8),
-                    jnp.asarray(scales, jnp.float32))
+                self.params["dec"]["blocks"][key] = QWeightT(
+                    jnp.asarray(np.ascontiguousarray(
+                        codes.transpose(0, 2, 1)), jnp.int8),
+                    jnp.asarray(np.ascontiguousarray(
+                        scales.transpose(0, 2, 1)), jnp.float32))
             if "tok_embd" in overlay:
                 from ..ops.qmm import QWeightT
 
