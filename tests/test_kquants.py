@@ -69,22 +69,21 @@ def test_decode_reference_bytes(ggml, name):
 
 
 @pytest.mark.parametrize("name", sorted(KTYPES))
-def test_encode_quality_parity(ggml, name):
-    """Our quantizer's bytes decode (by the REFERENCE) with error within 2%
-    of the reference's own quantizer."""
+def test_encode_bit_exact(ggml, name):
+    """Our quantizer's bytes equal the reference's BIT-FOR-BIT — the
+    searches reproduce the C's sequential-f32 arithmetic and candidate
+    feedback (make_qkx2_quants' accepted mins re-enter later iscales;
+    zero-scale groups keep the search's codes)."""
     qtype = KTYPES[name]
-    rng = np.random.default_rng(1)
-    x = (rng.standard_normal((8, 768)) * 0.3).astype(np.float32)
-
-    ours_packed = quants.quantize(x, qtype)
-    assert len(ours_packed) == quants.row_size(qtype, x.size)
-    ref_packed = ref_quantize(ggml, qtype, x)
-
-    y_ours = ref_dequantize(ggml, name, ours_packed, x.size)
-    y_ref = ref_dequantize(ggml, name, ref_packed, x.size)
-    err_ours = float(((y_ours - x.reshape(-1)) ** 2).mean())
-    err_ref = float(((y_ref - x.reshape(-1)) ** 2).mean())
-    assert err_ours <= err_ref * 1.02, (err_ours, err_ref)
+    for seed, scale in ((1, 0.3), (5, 0.02), (9, 1.7)):
+        rng = np.random.default_rng(seed)
+        x = (rng.standard_normal((8, 768)) * scale).astype(np.float32)
+        x[0, :32] = 0.0          # dead group
+        x[1, 5] = 4.0            # outlier forcing zero-scale sibling groups
+        ours_packed = quants.quantize(x, qtype)
+        assert len(ours_packed) == quants.row_size(qtype, x.size)
+        ref_packed = ref_quantize(ggml, qtype, x)
+        assert ours_packed == ref_packed, (name, seed)
 
 
 @pytest.mark.parametrize("name", sorted(KTYPES))

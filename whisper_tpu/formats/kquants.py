@@ -47,37 +47,45 @@ def make_qx_quants(x: np.ndarray, nmax: int) -> Tuple[np.ndarray, np.ndarray]:
 
     x: (G, n).  Returns (scale (G,), L (G, n) in [0, 2*nmax-1]).
     """
+    f32 = np.float32
+    x = x.astype(f32)
     G, n = x.shape
     amax_idx = np.argmax(np.abs(x), axis=1)
     max_ = x[np.arange(G), amax_idx]
     amax = np.abs(max_)
     dead = amax < GROUP_MAX_EPS
-    safe_max = np.where(dead, 1.0, max_)
+    safe_max = np.where(dead, f32(1.0), max_)
 
     w = x * x  # rmse_type == 1
 
     def trial(iscale):
         l = np.clip(_nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
-        sumlx = (w * x * l).sum(axis=1)
-        suml2 = (w * l * l).sum(axis=1)
+        lf = l.astype(f32)
+        # sequential f32 sums in C program order (see _seq_sum_f32)
+        sumlx = _seq_sum_f32(w * x * lf)
+        suml2 = _seq_sum_f32(w * lf * lf)
         return l, sumlx, suml2
 
-    iscale0 = -nmax / safe_max
+    iscale0 = (f32(-nmax) / safe_max).astype(f32)
     L, sumlx, suml2 = trial(iscale0)
-    scale = np.where(suml2 != 0, sumlx / np.where(suml2 == 0, 1, suml2), 0.0)
-    best = scale * sumlx
+    scale = np.where(suml2 != 0,
+                     (sumlx / np.where(suml2 == 0, f32(1.0), suml2)
+                      ).astype(f32), f32(0.0))
+    best = (scale * sumlx).astype(f32)
     for is_ in range(-9, 10):
         if is_ == 0:
             continue
-        isc = -(nmax + 0.1 * is_) / safe_max
+        isc = (-(f32(nmax) + f32(0.1) * f32(is_)) / safe_max).astype(f32)
         l2, slx, sl2 = trial(isc)
         better = (sl2 > 0) & (slx * slx > best * sl2)
         L = np.where(better[:, None], l2, L)
-        new_scale = np.where(sl2 == 0, 0.0, slx / np.where(sl2 == 0, 1, sl2))
+        new_scale = np.where(
+            sl2 == 0, f32(0.0),
+            (slx / np.where(sl2 == 0, f32(1.0), sl2)).astype(f32))
         scale = np.where(better, new_scale, scale)
-        best = np.where(better, new_scale * slx, best)
+        best = np.where(better, (new_scale * slx).astype(f32), best)
     L = np.where(dead[:, None], 0, L + nmax)
-    scale = np.where(dead, 0.0, scale)
+    scale = np.where(dead, f32(0.0), scale)
     return scale.astype(np.float32), L
 
 
@@ -88,84 +96,117 @@ def make_q3_quants(x: np.ndarray, nmax: int) -> Tuple[np.ndarray, np.ndarray]:
     element loop stays sequential (n=16) and the group axis is vectorized.
     Returns (scale (G,), L (G, n) in [0, 2*nmax-1]).
     """
+    f32 = np.float32
+    x = x.astype(f32)
     G, n = x.shape
     amax_idx = np.argmax(np.abs(x), axis=1)
     max_ = x[np.arange(G), amax_idx]
     amax = np.abs(max_)
     dead = amax < GROUP_MAX_EPS
-    safe_max = np.where(dead, 1.0, max_)
+    safe_max = np.where(dead, f32(1.0), max_)
 
-    iscale = -nmax / safe_max
+    iscale = (f32(-nmax) / safe_max).astype(f32)
     L = np.clip(_nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
     w = x * x
-    sumlx = (w * x * L).sum(axis=1)
-    suml2 = (w * L * L).sum(axis=1)
+    Lf = L.astype(f32)
+    sumlx = _seq_sum_f32(w * x * Lf)
+    suml2 = _seq_sum_f32(w * Lf * Lf)
     for _ in range(5):
         n_changed = np.zeros(G, bool)
         for i in range(n):
-            wi, xi, Li = w[:, i], x[:, i], L[:, i]
-            slx = sumlx - wi * xi * Li
-            sl2 = suml2 - wi * Li * Li
+            wi, xi = w[:, i], x[:, i]
+            Li = L[:, i].astype(f32)
+            slx = (sumlx - wi * xi * Li).astype(f32)
+            sl2 = (suml2 - wi * Li * Li).astype(f32)
             new_l = np.clip(_nearest_int(
-                np.where(slx > 0, xi * sl2 / np.where(slx > 0, slx, 1), Li)),
-                -nmax, nmax - 1)
-            slx2 = slx + wi * xi * new_l
-            sl22 = sl2 + wi * new_l * new_l
-            upd = (slx > 0) & (new_l != Li) & (sl22 > 0) & \
+                np.where(slx > 0,
+                         (xi * sl2 / np.where(slx > 0, slx, f32(1.0))
+                          ).astype(f32), Li)), -nmax, nmax - 1)
+            nlf = new_l.astype(f32)
+            slx2 = (slx + wi * xi * nlf).astype(f32)
+            sl22 = (sl2 + wi * nlf * nlf).astype(f32)
+            upd = (slx > 0) & (new_l != L[:, i]) & (sl22 > 0) & \
                   (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
-            L[:, i] = np.where(upd, new_l, Li)
+            L[:, i] = np.where(upd, new_l, L[:, i])
             sumlx = np.where(upd, slx2, sumlx)
             suml2 = np.where(upd, sl22, suml2)
             n_changed |= upd
         if not n_changed.any():
             break
-    scale = np.where(suml2 > 0, sumlx / np.where(suml2 > 0, suml2, 1), 0.0)
+    scale = np.where(suml2 > 0,
+                     (sumlx / np.where(suml2 > 0, suml2, f32(1.0))
+                      ).astype(f32), f32(0.0))
     L = np.where(dead[:, None], 0, L + nmax)
-    scale = np.where(dead, 0.0, scale)
+    scale = np.where(dead, f32(0.0), scale)
     return scale.astype(np.float32), L
+
+
+def _seq_sum_f32(a: np.ndarray) -> np.ndarray:
+    """Sequential (C-loop-order) float32 row sums.
+
+    numpy's .sum uses pairwise summation whose f32 rounding differs from
+    the reference's sequential `for` loops; cumsum accumulates strictly
+    left-to-right, so its last column reproduces the C sums bit-for-bit."""
+    return np.cumsum(a.astype(np.float32), axis=1, dtype=np.float32)[:, -1]
 
 
 def make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
                      rmin: float, rdelta: float, nstep: int, use_mad: bool
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized make_qkx2_quants (ggml-quants.c:799-878).
+    """Vectorized make_qkx2_quants (ggml-quants.c:799-878), byte-faithful.
 
     x, weights: (G, n).  Returns (scale (G,), the_min (G,), L (G, n)).
-    """
-    G, n = x.shape
-    min_ = np.minimum(x.min(axis=1), 0.0)
-    max_ = x.max(axis=1)
-    sum_w = weights.sum(axis=1)
-    sum_x = (weights * x).sum(axis=1)
-    flat = max_ == min_
-    rng = np.where(flat, 1.0, max_ - min_)
 
-    iscale = nmax / rng
-    scale = 1.0 / iscale
-    L = np.clip(_nearest_int(iscale[:, None] * (x - min_[:, None])), 0, nmax)
+    Two properties matter for byte parity with the reference search:
+      * accepted candidates FEED BACK — `min = this_min` changes both the
+        iscale and the (x - min) quantization of every later step, so the
+        loop threads the updated min instead of reusing the original;
+      * all arithmetic is float32 in C program order (sequential sums via
+        _seq_sum_f32, f32 scalar coefficients).
+    """
+    f32 = np.float32
+    x = x.astype(f32)
+    weights = weights.astype(f32)
+    G, n = x.shape
+    min_ = np.minimum(x.min(axis=1), f32(0.0))
+    max_ = x.max(axis=1)
+    sum_w = _seq_sum_f32(weights)
+    sum_x = _seq_sum_f32(weights * x)
+    flat = max_ == min_
+    rng0 = np.where(flat, f32(1.0), max_ - min_)  # guard; flat rows masked out
+
+    iscale = (f32(nmax) / rng0).astype(f32)
+    scale = (f32(1.0) / iscale).astype(f32)
+    L = np.clip(_nearest_int(iscale[:, None] * (x - min_[:, None])),
+                0, nmax)
 
     def err(s, m, l):
-        diff = s[:, None] * l + m[:, None] - x
+        diff = (s[:, None] * l.astype(f32) + m[:, None] - x).astype(f32)
         diff = np.abs(diff) if use_mad else diff * diff
-        return (weights * diff).sum(axis=1)
+        return _seq_sum_f32(weights * diff)
 
     best_error = err(scale, min_, L)
-    cur_min = min_.copy()
+    cur_min = min_.copy()  # mutated by accepted candidates (C: `min`)
     for is_ in range(nstep + 1):
-        isc = (rmin + rdelta * is_ + nmax) / rng
-        l = np.clip(_nearest_int(isc[:, None] * (x - min_[:, None])), 0, nmax)
-        sum_l = (weights * l).sum(axis=1)
-        sum_l2 = (weights * l * l).sum(axis=1)
-        sum_xl = (weights * l * x).sum(axis=1)
-        D = sum_w * sum_l2 - sum_l * sum_l
+        step = (f32(rmin) + f32(rdelta) * f32(is_) + f32(nmax)).astype(f32)
+        rng = np.where(flat, f32(1.0), max_ - cur_min)
+        isc = (step / rng).astype(f32)
+        l = np.clip(_nearest_int(isc[:, None] * (x - cur_min[:, None])),
+                    0, nmax)
+        lf = l.astype(f32)
+        sum_l = _seq_sum_f32(weights * lf)
+        sum_l2 = _seq_sum_f32(weights * lf * lf)
+        sum_xl = _seq_sum_f32(weights * lf * x)
+        D = (sum_w * sum_l2 - sum_l * sum_l).astype(f32)
         ok = D > 0
-        Dn = np.where(ok, D, 1.0)
-        this_scale = (sum_w * sum_xl - sum_x * sum_l) / Dn
-        this_min = (sum_l2 * sum_x - sum_l * sum_xl) / Dn
+        Dn = np.where(ok, D, f32(1.0))
+        this_scale = ((sum_w * sum_xl - sum_x * sum_l) / Dn).astype(f32)
+        this_min = ((sum_l2 * sum_x - sum_l * sum_xl) / Dn).astype(f32)
         pos = this_min > 0
-        this_min = np.where(pos, 0.0, this_min)
+        this_min = np.where(pos, f32(0.0), this_min)
         this_scale = np.where(
-            pos, sum_xl / np.where(sum_l2 == 0, 1, sum_l2), this_scale)
+            pos, (sum_xl / np.where(sum_l2 == 0, f32(1.0), sum_l2)
+                  ).astype(f32), this_scale)
         cur_error = err(this_scale, this_min, l)
         better = ok & (cur_error < best_error)
         L = np.where(better[:, None], l, L)
@@ -174,7 +215,7 @@ def make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
         cur_min = np.where(better, this_min, cur_min)
 
     L = np.where(flat[:, None], 0, L)
-    scale = np.where(flat, 0.0, scale)
+    scale = np.where(flat, f32(0.0), scale)
     the_min = np.where(flat, -min_, -cur_min)
     return scale.astype(np.float32), the_min.astype(np.float32), L
 
@@ -221,7 +262,8 @@ def quantize_q4_k(x: np.ndarray) -> bytes:
     xb = x.reshape(nb, 8, 32)
     g = xb.reshape(nb * 8, 32)
 
-    av_x = np.sqrt((g * g).mean(axis=1))
+    # sequential f32 sum-of-squares, C program order (sum_x2 loop)
+    av_x = np.sqrt(_seq_sum_f32(g * g) / np.float32(32)).astype(np.float32)
     weights = av_x[:, None] + np.abs(g)
     scales, mins, L = make_qkx2_quants(g, weights, 15, -1.0, 0.1, 20, False)
     scales = scales.reshape(nb, 8)
@@ -292,7 +334,8 @@ def quantize_q5_k(x: np.ndarray) -> bytes:
     xb = x.reshape(nb, 8, 32)
     g = xb.reshape(nb * 8, 32)
 
-    av_x = np.sqrt((g * g).mean(axis=1))
+    # sequential f32 sum-of-squares, C program order (sum_x2 loop)
+    av_x = np.sqrt(_seq_sum_f32(g * g) / np.float32(32)).astype(np.float32)
     weights = av_x[:, None] + np.abs(g)
     scales, mins, L = make_qkx2_quants(g, weights, 31, -0.5, 0.1, 15, False)
     scales = scales.reshape(nb, 8)
@@ -371,7 +414,7 @@ def quantize_q6_k(x: np.ndarray) -> bytes:
     xb = x.reshape(nb, 16, 16)
     g = xb.reshape(nb * 16, 16)
 
-    scales, _ = make_qx_quants(g, 32)
+    scales, L0 = make_qx_quants(g, 32)
     scales = scales.reshape(nb, 16)
 
     amax_idx = np.argmax(np.abs(scales), axis=1)
@@ -388,7 +431,9 @@ def quantize_q6_k(x: np.ndarray) -> bytes:
     d_eff = d.astype(np.float32)[:, None] * sc  # (nb, 16)
     safe_d = np.where(d_eff == 0, 1.0, d_eff)
     L = np.clip(_nearest_int(xb / safe_d[:, :, None]), -32, 31) + 32
-    L = np.where((d_eff == 0)[:, :, None], 0, L)
+    # zero-scale groups keep the search's codes (C `continue`,
+    # ggml-quants.c:1907-1910)
+    L = np.where((d_eff == 0)[:, :, None], L0.reshape(nb, 16, 16), L)
     L = L.reshape(nb, QK_K).astype(np.uint8)
 
     ql = np.zeros((nb, 128), np.uint8)
@@ -555,7 +600,7 @@ def quantize_q3_k(x: np.ndarray) -> bytes:
     xb = x.reshape(nb, 16, 16)
     g = xb.reshape(nb * 16, 16)
 
-    scales, _ = make_q3_quants(g, 4)
+    scales, L0 = make_q3_quants(g, 4)
     scales = scales.reshape(nb, 16)
 
     amax_idx = np.argmax(np.abs(scales), axis=1)
@@ -572,7 +617,9 @@ def quantize_q3_k(x: np.ndarray) -> bytes:
     d_eff = d.astype(np.float32)[:, None] * sc_signed  # (nb, 16)
     safe_d = np.where(d_eff == 0, 1.0, d_eff)
     L = np.clip(_nearest_int(xb / safe_d[:, :, None]), -4, 3) + 4
-    L = np.where((d_eff == 0)[:, :, None], 0, L)
+    # zero-scale groups keep the SEARCH's codes (the C `continue` skips the
+    # requant, leaving make_q3_quants' L in place — ggml-quants.c:1264-1267)
+    L = np.where((d_eff == 0)[:, :, None], L0.reshape(nb, 16, 16), L)
     L = L.reshape(nb, QK_K)
 
     # high bit -> hmask; bit column = j // 32, bit row = j % 32
