@@ -45,7 +45,7 @@ def bench_config(hp, params_host, n_dp: int, n_tp: int, n_windows: int,
                  n_steps: int, dtype) -> float:
     """tokens/s of the W-per-dp-shard batched decode loop on a (dp, tp)
     mesh; W windows ride the beam axis per shard (the serving layout)."""
-    mesh = make_mesh(n_dp, n_tp)
+    mesh = make_mesh(n_dp, n_tp, devices=jax.devices()[: n_dp * n_tp])
     params = shard_params(params_host, mesh, hp)
     W = n_dp * n_windows
 
@@ -98,6 +98,14 @@ def main() -> int:
                     help="serving windows per dp shard")
     ap.add_argument("--steps", type=int, default=32)
     args = ap.parse_args()
+
+    # honor JAX_PLATFORMS=cpu for virtual-device runs (the axon
+    # sitecustomize force-registers the TPU plugin and overrides the env
+    # var; config.update after import wins)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     hp = DIMS[args.model]
     n_dev = len(jax.devices())

@@ -24,6 +24,8 @@ class GreedyParams:
 @dataclass
 class BeamSearchParams:
     beam_size: int = 5
+    # unused by design: "TODO: not implemented" in the reference too
+    # (include/whisper.h:558) — kept for field-level API parity
     patience: float = -1.0
 
 
@@ -64,6 +66,8 @@ class TranscribeParams:
     split_on_word: bool = False
     max_tokens: int = 0
 
+    # declared-but-unused in the reference core as well (whisper.cpp:5970 —
+    # only the CLI sets it); kept for field-level API parity
     debug_mode: bool = False
     audio_ctx: int = 0
 
