@@ -74,3 +74,34 @@ def test_no_backend_errors_cleanly(monkeypatch):
 
 def test_list_capture_devices_no_crash():
     assert isinstance(list_capture_devices(), list)
+
+
+def test_stream_cli_live_mic_end_to_end(mini_model_path):
+    """The stream CLI's default (live microphone) path, driven end-to-end by
+    a fake capture command that plays jfk.wav as s16 PCM faster than
+    realtime — reference stream.cpp's audio_async flow without SDL."""
+    import pathlib
+    import subprocess as sp
+
+    wav = pathlib.Path("/root/reference/samples/jfk.wav")
+    if not wav.exists():
+        pytest.skip("jfk.wav not available")
+
+    mic_cmd = (
+        f"{sys.executable} -c \"import sys,time,wave;"
+        f"w=wave.open('{wav}','rb');"
+        f"[(sys.stdout.buffer.write(w.readframes(1600)),"
+        f"sys.stdout.buffer.flush(),time.sleep(0.02))"
+        f" for _ in range(int(w.getnframes()/1600))]\""
+    )
+    proc = sp.run(
+        [sys.executable, "-m", "whisper_tpu.cli.stream",
+         "-m", str(mini_model_path), "--mic-cmd", mic_cmd,
+         "--step", "3000", "--length", "6000", "-mt", "8", "-nf"],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"})
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    # transcribed at least one step's worth of text (random weights -> any
+    # non-empty output line)
+    assert proc.stdout.strip(), proc.stderr
