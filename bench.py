@@ -129,15 +129,22 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     packed = dict(params)
     packed["dec"] = dict(params["dec"])
     packed["dec"]["blocks"] = dict(params["dec"]["blocks"])
-    # block weights ride TRANSPOSED planes (QWeightT -> qmmt streaming
-    # kernel), matching what WhisperContext installs for a quantized file
+    # block weights ride TRANSPOSED planes as PER-LAYER buffers (QWeightT ->
+    # qmmt streaming kernel; whole-parameter operands alias into the Pallas
+    # call — stacked planes would cost an int8 copy per layer per step),
+    # matching what WhisperContext installs for a quantized file
+    L = params["dec"]["blocks"]["qkv_b"].shape[0]
+    blocks_packed = [dict() for _ in range(L)]
     for kname in PACKED_DEC_KEYS:
         w = params["dec"]["blocks"][kname]  # [L, in, out]
-        L, i_dim, o_dim = w.shape
-        qs = [synth_qweight((o_dim, i_dim)) for _ in range(L)]
-        packed["dec"]["blocks"][kname] = QWeightT(
-            jnp.stack([jnp.swapaxes(q.codes, 0, 1) + 0 for q in qs]),
-            jnp.stack([jnp.swapaxes(q.scales, 0, 1) + 0 for q in qs]))
+        _, i_dim, o_dim = w.shape
+        for l in range(L):
+            q = synth_qweight((o_dim, i_dim))
+            blocks_packed[l][kname] = QWeightT(
+                jnp.swapaxes(q.codes, 0, 1) + 0,
+                jnp.swapaxes(q.scales, 0, 1) + 0)
+        del packed["dec"]["blocks"][kname]
+    packed["dec"]["blocks_packed"] = blocks_packed
     te = synth_qweight(params["dec"]["tok_embd"].shape)
     packed["dec"]["tok_embd"] = te
     # transposed planes for the logits head's streaming kernel (ops/qmm.py)

@@ -50,7 +50,9 @@ def test_packed_transcription_matches_dense(q5_model):
         ctx = WhisperContext.from_file(str(q5_model),
                                        use_packed_weights=packed)
         if packed:
-            assert isinstance(ctx.params["dec"]["blocks"]["qkv_w"], (QWeight, QWeightT))
+            bp = ctx.params["dec"]["blocks_packed"]
+            assert isinstance(bp[0]["qkv_w"], QWeightT)
+            assert "qkv_w" not in ctx.params["dec"]["blocks"]
             assert isinstance(ctx.params["dec"]["tok_embd"], QWeight)
         params = TranscribeParams(language="en", print_progress=False,
                                   temperature_inc=0.0)

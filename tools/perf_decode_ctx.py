@@ -87,12 +87,12 @@ def main():
             make_layer_chain(lambda a, w: jnp.matmul(
                 a.astype(jnp.bfloat16), w,
                 preferred_element_type=jnp.float32)),
-            16, 64, (x, (w0_d,), (b0,), (w1_d,), (b1,)))
+            16, 64, (x, w0_d, b0, w1_d, b1))
         print(f"T={T:2d} dense      {dense:8.1f} us/layer", flush=True)
 
         xla = per_op_us(
             make_layer_chain(lambda a, w: qmm_auto(a, w)),
-            16, 64, (x, QWeight(c0, s0), (b0,), QWeight(c1, s1), (b1,)))
+            16, 64, (x, QWeight(c0, s0), b0, QWeight(c1, s1), b1))
         print(f"T={T:2d} xla-fused  {xla:8.1f} us/layer", flush=True)
 
         c0t = jnp.swapaxes(c0, 1, 2) + 0
@@ -101,8 +101,7 @@ def main():
         s1t = jnp.swapaxes(s1, 1, 2) + 0
         qmmt = per_op_us(
             make_layer_chain(lambda a, w: qmmt_auto(a, w)),
-            16, 64, (x, QWeightT(c0t, s0t), (b0,), QWeightT(c1t, s1t),
-                     (b1,)))
+            16, 64, (x, QWeightT(c0t, s0t), b0, QWeightT(c1t, s1t), b1))
         print(f"T={T:2d} qmmt       {qmmt:8.1f} us/layer", flush=True)
 
         # roofline: int8 reads 2*S*FF = 13.1 MB -> 16 us; bf16 26 MB -> 32 us

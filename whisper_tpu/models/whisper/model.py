@@ -453,12 +453,22 @@ def decode_step(params: Dict[str, Any],
 
     kvf = cache.kv
     sf = cache.scale if is_q8 else jnp.zeros((), jnp.float32)
+    # packed weights live as PER-LAYER buffers (a python list of dicts of
+    # QWeightT), not stacked (L, ...) arrays: a Pallas custom call cannot
+    # alias a slice of a stacked parameter, so stacking forces a full int8
+    # copy of every weight every step (+28us/layer measured,
+    # tools/perf_decode_ctx.py); whole-parameter operands alias for free
+    blocks_packed = dec.get("blocks_packed")
     if unroll:
         for l in range(n_layer):
             blk, cxk, cxv = jax.tree_util.tree_map(
                 lambda a: a[l], (dec["blocks"], xk, xv))
+            if blocks_packed is not None:
+                blk = {**blk, **blocks_packed[l]}
             x, kvf, sf = layer_body(x, kvf, sf, blk, cxk, cxv, l)
     else:
+        assert blocks_packed is None, (
+            "packed per-layer weights require unroll=True")
         def sbody(carry, inp):
             x, kvf, sf = carry
             blk, cxk, cxv, l = inp

@@ -74,18 +74,28 @@ class WhisperContext:
             from ..models.whisper.load import build_qweight_overlay
             from ..ops.qmm import QWeight, QWeightT
 
-            # TRANSPOSED planes (L, K, R) feed the qmmt streaming kernel on
-            # TPU: at multi-row decode shapes XLA stops fusing the
-            # dequant into the dot and materializes the bf16 weight to HBM
-            # (measured: W=16 serving step +26% vs dense), while the
-            # streaming kernel always reads int8 (bench.py dec_bq)
+            # TRANSPOSED planes as PER-LAYER buffers feed the qmmt streaming
+            # kernel on TPU.  Transposed: the kernel's DMA is contiguous
+            # along the output lane dim.  Per-layer (not stacked (L,...)):
+            # a Pallas call cannot alias a slice of a stacked parameter, so
+            # stacked planes cost a full int8 copy of every weight every
+            # step (tools/perf_decode_ctx.py); and the XLA-fused-dequant
+            # alternative materializes bf16 weights at multi-row shapes.
+            # The dense stacked leaves are dropped so bf16 copies don't
+            # occupy HBM alongside the planes.
             overlay = build_qweight_overlay(model.qparams, self.hp)
+            n_layers = self.hp.n_text_layer
+            blocks_packed = [dict() for _ in range(n_layers)]
             for key, (codes, scales) in overlay["blocks"].items():
-                self.params["dec"]["blocks"][key] = QWeightT(
-                    jnp.asarray(np.ascontiguousarray(
-                        codes.transpose(0, 2, 1)), jnp.int8),
-                    jnp.asarray(np.ascontiguousarray(
-                        scales.transpose(0, 2, 1)), jnp.float32))
+                for l in range(n_layers):
+                    blocks_packed[l][key] = QWeightT(
+                        jnp.asarray(np.ascontiguousarray(codes[l].T),
+                                    jnp.int8),
+                        jnp.asarray(np.ascontiguousarray(scales[l].T),
+                                    jnp.float32))
+                del self.params["dec"]["blocks"][key]
+            if any(blocks_packed[0]):
+                self.params["dec"]["blocks_packed"] = blocks_packed
             if "tok_embd" in overlay:
                 from ..ops.qmm import QWeightT
 
