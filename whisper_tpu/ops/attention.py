@@ -25,8 +25,11 @@ def _round_up(a: int, b: int) -> int:
 def _block_sizes(tp: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    bq = min(256, tp)
-    bk = tp if tp <= 2048 else 512
+    # tall-q/narrow-k tiling: at whisper's T=1536/D=64 a (768, 512) tile
+    # measures ~9% faster than the previous (256, full-T) config
+    # (tools/perf_encoder.py sweep, 64-iter chains: 183.8 vs 201.5 us)
+    bq = min(768, tp)
+    bk = min(512, tp)
     return BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
