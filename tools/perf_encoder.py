@@ -66,18 +66,24 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (T, S), jnp.float32)
     L = hp.n_audio_layer
 
-    full = per_op_ms(chain_of(lambda m: M.encode(params, m, hp, dtype=DT)),
-                     2, 5, (mel,))
-    print(f"encode full             {full*1000:8.0f} us", flush=True)
+    def sect(label, fn):
+        try:
+            v = fn()
+            print(label % (v * 1000), flush=True)
+            return v
+        except Exception as e:
+            print(f"{label.split('%')[0]} FAILED: {type(e).__name__}",
+                  flush=True)
+            return None
 
-    stem = per_op_ms(chain_of(lambda m: M.conv_stem(enc, m, DT)), 2, 8,
-                     (mel,))
-    print(f"conv stem               {stem*1000:8.0f} us", flush=True)
+    stem = sect("conv stem               %8.0f us",
+                lambda: per_op_ms(chain_of(
+                    lambda m: M.conv_stem(enc, m, DT)), 2, 8, (mel,)))
 
-    one = per_op_ms(chain_of(
-        lambda c: M._encoder_block(c, blk, Hh, hp.eps, DT)), 4, 16, (x,))
-    print(f"one block               {one*1000:8.0f} us  (x{L} = "
-          f"{one*L*1000:.0f})", flush=True)
+    one = sect(f"one block (x{L})         %8.0f us",
+               lambda: per_op_ms(chain_of(
+                   lambda c: M._encoder_block(c, blk, Hh, hp.eps, DT)),
+                   4, 16, (x,)))
 
     def attn_only(c):
         h = M.layer_norm(c, blk["attn_ln_w"], blk["attn_ln_b"], hp.eps)
@@ -95,12 +101,10 @@ def main():
         h = M._gelu(M._mm(h, blk["mlp0_w"], DT) + blk["mlp0_b"])
         return c + M._mm(h, blk["mlp1_w"], DT) + blk["mlp1_b"]
 
-    print(f"  attn part             "
-          f"{per_op_ms(chain_of(attn_only), 4, 16, (x,))*1000:8.0f} us",
-          flush=True)
-    print(f"  mlp part              "
-          f"{per_op_ms(chain_of(mlp_only), 4, 16, (x,))*1000:8.0f} us",
-          flush=True)
+    sect("  attn part             %8.0f us",
+         lambda: per_op_ms(chain_of(attn_only), 4, 16, (x,)))
+    sect("  mlp part              %8.0f us",
+         lambda: per_op_ms(chain_of(mlp_only), 4, 16, (x,)))
 
     # flash attention variants
     qh = jax.random.normal(jax.random.PRNGKey(2), (Hh, T, S // Hh),
@@ -147,9 +151,8 @@ def main():
     def xla_attn(q3):
         return M.attention(q3, q3, q3, None, DT)
 
-    print(f"  xla attention         "
-          f"{per_op_ms(chain_of(xla_attn), 2, 8, (qh,))*1000:8.0f} us",
-          flush=True)
+    sect("  xla attention         %8.0f us",
+         lambda: per_op_ms(chain_of(xla_attn), 2, 8, (qh,)))
 
     # fused QKV variant: one (S -> 3S) matmul
     qkv_w = jnp.concatenate([blk["q_w"], blk["k_w"], blk["v_w"]], axis=1)
@@ -165,9 +168,12 @@ def main():
                                      for i in range(3)))
         return c + M._mm(M._merge_heads(out), blk["o_w"], DT) + blk["o_b"]
 
-    print(f"  attn fused-qkv        "
-          f"{per_op_ms(chain_of(attn_fused), 4, 16, (x,))*1000:8.0f} us",
-          flush=True)
+    sect("  attn fused-qkv        %8.0f us",
+         lambda: per_op_ms(chain_of(attn_fused), 4, 16, (x,)))
+
+    sect("encode full             %8.0f us",
+         lambda: per_op_ms(chain_of(
+             lambda m: M.encode(params, m, hp, dtype=DT)), 2, 5, (mel,)))
 
     # roofline context
     flops_blk = (4 * S * S + 2 * 4 * S * S) * T * 2 + 2 * 2 * T * T * S

@@ -395,14 +395,16 @@ def decode_step(params: Dict[str, Any],
         qh = _split_heads(q, n_head)
         if is_q8:
             # int8 KV cache: per-position scales factor out of both matmuls,
-            # so the attention is exact against the quantized rows
-            kq, ksn = _quantize_rows(qkv[..., n_state:2 * n_state])
-            vq, vsn = _quantize_rows(qkv[..., 2 * n_state:])
+            # so the attention is exact against the quantized rows.  K and V
+            # quantize in ONE pass over a (..., 2, S) view (the fused QKV
+            # projection already emits them adjacent) — the decode step is
+            # op-latency-bound, so halving the quantize op count matters
+            kv2 = qkv[..., n_state:].reshape(qkv.shape[:-1] + (2, n_state))
+            kvq, kvsn = _quantize_rows(kv2)          # (..., 2, S), (..., 2)
             kvf = lax.dynamic_update_slice(
-                kvf, jnp.stack([kq, vq], axis=-2)[None],
-                (l, 0, kv_head, 0, 0))
+                kvf, kvq[None], (l, 0, kv_head, 0, 0))
             sf = lax.dynamic_update_slice(
-                sf, jnp.stack([ksn, vsn], axis=-1)[None], (l, 0, kv_head, 0))
+                sf, kvsn[None], (l, 0, kv_head, 0))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
             s_l = lax.dynamic_index_in_dim(sf, l, 0, keepdims=False)
             kh = _split_heads(kv_l[..., 0, :].astype(dtype), n_head)
