@@ -25,11 +25,12 @@ def _round_up(a: int, b: int) -> int:
 def _block_sizes(tp: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    # tall-q/narrow-k tiling: at whisper's T=1536/D=64 a (768, 512) tile
-    # measures ~9% faster than the previous (256, full-T) config
-    # (tools/perf_encoder.py sweep, 64-iter chains: 183.8 vs 201.5 us)
+    # square (768, 768) tiling: best of a 20-config long-chain sweep at
+    # whisper's T=1536/D=64 (tools/perf_flash_sweep.py, 96-iter chains,
+    # 137.5 us vs 176.2 for the previous (768, 512) — 88 TFLOPS; the
+    # kernel is softmax/VPU-bound past that, not MXU-bound)
     bq = min(768, tp)
-    bk = min(512, tp)
+    bk = min(768, tp)
     return BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
