@@ -35,8 +35,8 @@ def test_q8_cache_decode_close_to_dense(mini_model_path):
         outs[itype] = np.asarray(logits, np.float32)
         if itype == "q8":
             assert cache2.kv.dtype == np.int8
-            assert cache2.scale.shape == (hp.n_text_layer, 1,
-                                          hp.n_text_ctx, 2)
+            assert cache2.scale.shape == (hp.n_text_layer, 1, 2,
+                                          hp.n_text_ctx)
 
     rel = (np.abs(outs["q8"] - outs["f16"]).max()
            / (np.abs(outs["f16"]).max() + 1e-9))

@@ -149,15 +149,16 @@ def test_sharded_window_decoder_tokens_exact(setup, tp):
 
 @pytest.mark.parametrize("tp", [2, 4])
 def test_sharded_kv_cache_layout_local_heads(setup, tp):
-    """The (L, B, C, 2, S) cache last-axis shard is a head shard: writing a
-    step and reading attention back must keep K/V of each head group intact
-    (guards against a layout that would split K from V)."""
+    """The head-major (L, B, H, 2, C, d) cache shards its explicit head
+    axis: writing a step and reading attention back must keep K/V of each
+    head group intact (guards against a layout that would split K from V
+    or slice inside a head)."""
     hp, params, mel = setup
     mesh = make_mesh(8 // tp, tp)
     cache = M.KVCache.zeros(hp, 2, jnp.float32)
     sharded = jax.device_put(cache.kv, NamedSharding(mesh, kv_cache_spec()))
-    # shard shapes: last axis divided by tp, all else whole
+    # shard shapes: head axis divided by tp, all else whole
     shard = next(iter(sharded.addressable_shards)).data
-    assert shard.shape == (hp.n_text_layer, 2, hp.n_text_ctx, 2,
-                           hp.n_text_state // tp)
-    assert hp.n_text_state // tp % (hp.n_text_state // hp.n_text_head) == 0
+    assert shard.shape == (hp.n_text_layer, 2, hp.n_text_head // tp, 2,
+                           hp.n_text_ctx, hp.n_text_state // hp.n_text_head)
+    assert hp.n_text_head % tp == 0

@@ -113,8 +113,10 @@ def main():
     import whisper_tpu.models.whisper.model as Mod
 
     def measure(mode):
+        hp_m = hp._replace(n_text_ctx=112) if mode == "ctx112" else hp
         orig_cross = Mod.cross_attend
         orig_mm = Mod._mm
+        orig_fused_g = Mod._mm_fused
         if mode == "no_cross":
             Mod.cross_attend = (
                 lambda qh, ck, cv, dtype, return_probs=False:
@@ -127,18 +129,28 @@ def main():
                                      jnp.float32)
                 return orig_mm(x, w, dtype)
             Mod._mm = mm
+
+            orig_fused = Mod._mm_fused
+
+            def mmf(x, w, dtype, **kw):
+                if isinstance(w, (QWeight, QWeightT)) and \
+                        w.shape[0] > 50000:
+                    return jnp.zeros(x.shape[:-1] + (w.shape[0],),
+                                     jnp.float32)
+                return orig_fused(x, w, dtype, **kw)
+            Mod._mm_fused = mmf
         try:
             @jax.jit
             def chain(K, params, xkb, xvb):
                 def body(i, carry):
                     cache, tok = carry
-                    pos = jnp.clip(i, 0, hp.n_text_ctx - 1) * jnp.ones(
+                    pos = jnp.clip(i, 0, hp_m.n_text_ctx - 1) * jnp.ones(
                         (W, 1), jnp.int32)
                     logits, cache = M.decode_step(
-                        params, tok, pos, i, cache, xkb, xvb, hp, dtype=DT)
+                        params, tok, pos, i, cache, xkb, xvb, hp_m, dtype=DT)
                     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     return cache, tok
-                cache0 = M.new_cache(hp, W, DT, itype="q8")
+                cache0 = M.new_cache(hp_m, W, DT, itype="q8")
                 cache, tok = jax.lax.fori_loop(
                     0, K, body, (cache0, jnp.zeros((W, 1), jnp.int32)))
                 # fold the cache into the output so DCE cannot delete the
@@ -150,8 +162,9 @@ def main():
         finally:
             Mod.cross_attend = orig_cross
             Mod._mm = orig_mm
+            Mod._mm_fused = orig_fused_g
 
-    for mode in ("full", "no_cross", "no_logits"):
+    for mode in ("full", "no_cross", "no_logits", "ctx112"):
         ms = measure(mode)
         print(f"{mode:10s} {ms:7.3f} ms/step  "
               f"({ms/W*1000:6.1f} us/tok/window)", flush=True)

@@ -86,6 +86,31 @@ def _mm(x: jax.Array, w, dtype) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
+def _mm_fused(x: jax.Array, w, dtype, *, ln=None, bias=None, res=None,
+              act=None, eps: float = 1e-5) -> jax.Array:
+    """act(LN(x) @ w + bias) + res — ONE Pallas call for packed QWeightT on
+    TPU (ops/qmm.py qmmt_fused); otherwise the reference op sequence.
+
+    Decode steps are op-latency-bound: each packed matmul's surrounding
+    bias/GELU/residual/layer-norm ops cannot fuse across the Pallas
+    custom-call boundary and cost a kernel launch each (~10 launches per
+    decoder layer removed by this — tools/perf_serving.py)."""
+    from ...ops.qmm import QWeightT, qmmt_fused_auto
+
+    if isinstance(w, QWeightT) and jax.default_backend() == "tpu":
+        return qmmt_fused_auto(x, w, dtype, ln=ln, bias=bias, residual=res,
+                               act=act, eps=eps)
+    h = layer_norm(x, ln[0], ln[1], eps) if ln is not None else x
+    y = _mm(h, w, dtype)
+    if bias is not None:
+        y = y + bias
+    if act == "gelu":
+        y = _gelu(y)
+    if res is not None:
+        y = y + res
+    return y
+
+
 def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
     """(..., T, n_state) -> (..., n_head, T, d_head)"""
     *lead, t, n_state = x.shape
@@ -253,28 +278,33 @@ def cross_attend(qh: jax.Array, ck, cv, dtype, return_probs: bool = False):
 # ---------------------------------------------------------------------------
 
 class KVCache(NamedTuple):
-    """Self-attention cache: one combined buffer
-    kv (n_layer, n_beam, n_text_ctx, 2, n_state) with K at [..., 0, :]
-    and V at [..., 1, :].
+    """Self-attention cache, HEAD-MAJOR:
+    kv (n_layer, n_beam, n_head, 2, n_text_ctx, d_head) with K at
+    [..., 0, :, :] and V at [..., 1, :, :].
 
-    K and V share a buffer because the fused QKV projection emits them
-    adjacent (qkv[..., n_state:]), so the per-step cache update is a SINGLE
-    in-place `dynamic_update_slice` of one column per layer — the decode
-    step is op-latency-bound on TPU and halving the update count (and
-    avoiding a concat) is a measured win over separate k/v buffers.
+    Why head-major: the decode step reads the WHOLE cache every token to
+    feed the attention matmuls, which want (B, H, C, d) operands.  The
+    earlier context-major layout (L, B, C, 2, S) needed a _split_heads
+    transpose of the full cache read per layer, which XLA materializes in
+    HBM — measured ~160 us/layer of pure relayout traffic at W=16
+    large-v3, the single largest cost in the serving step
+    (tools/perf_layer_mm.py vs perf_serving.py attribution).  Head-major
+    makes K and V contiguous (C, d) blocks per head that fuse directly
+    into the dots; the per-step write transposes only the NEW column
+    (B, n_tok, 2S — trivial), and the cache update stays ONE in-place
+    `dynamic_update_slice` per layer.
 
-    The explicit (2, n_state) trailing axes (memory-layout-identical to the
-    flat 2*n_state buffer) let tensor parallelism shard the LAST axis: since
-    n_state = n_head * d_head with heads contiguous, a 'tp' shard of the last
-    axis is a shard over head groups — cache writes and self-attention stay
-    device-local under TP (the analogue of the reference meta backend's
-    by-head KV splits, ggml-backend.h:369-401)."""
+    Tensor parallelism shards axis 2 (heads) — cache writes and the whole
+    self-attention stay device-local under TP, the analogue of the
+    reference meta backend's by-head KV splits (ggml-backend.h:369-401)."""
 
     kv: jax.Array
 
     @staticmethod
     def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache":
-        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2, hp.n_text_state)
+        h = hp.n_text_head
+        shape = (hp.n_text_layer, n_beam, h, 2, hp.n_text_ctx,
+                 hp.n_text_state // h)
         return KVCache(jnp.zeros(shape, dtype))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache":
@@ -287,24 +317,27 @@ class KVCache8(NamedTuple):
     """INT8 self-attention cache (the reference's quantized-`itype` kv_self).
 
     Rows quantize per position: code = round(127 x / amax), scale = amax/127
-    with K/V codes sharing one buffer kv (L, B, T, 2, S) int8 (K at
-    [..., 0, :]) and per-position scales (L, B, T, 2) f32 ([..., 0]=K,
-    [..., 1]=V).  Attention stays exact-factorable — scores =
+    with K/V codes sharing one head-major buffer
+    kv (L, B, H, 2, C, d) int8 (K at [..., 0, :, :] — see KVCache for why
+    head-major) and per-position scales (L, B, 2, C) f32 ([..., 0, :]=K,
+    [..., 1, :]=V).  Attention stays exact-factorable — scores =
     (q @ codes^T) * scale_j and out = (probs * scale_j) @ codes — so nothing
     is dequantized to a dense f16 cache; HBM cache traffic and memory halve.
-    The trailing (2, S) split lets TP shard the head axis (see KVCache);
-    the per-position scales are head-independent so sharded codes with
-    replicated scales stay exact.
+    TP shards the head axis (2); the per-position scales are
+    head-independent so sharded codes with replicated scales stay exact.
     """
 
-    kv: jax.Array      # int8 codes, (L, B, T, 2, S), K then V
-    scale: jax.Array   # (L, B, T, 2) f32
+    kv: jax.Array      # int8 codes, (L, B, H, 2, C, d), K then V
+    scale: jax.Array   # (L, B, 2, C) f32
 
     @staticmethod
     def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache8":
-        shape = (hp.n_text_layer, n_beam, hp.n_text_ctx, 2, hp.n_text_state)
+        h = hp.n_text_head
+        shape = (hp.n_text_layer, n_beam, h, 2, hp.n_text_ctx,
+                 hp.n_text_state // h)
         return KVCache8(jnp.zeros(shape, jnp.int8),
-                        jnp.zeros(shape[:-2] + (2,), jnp.float32))
+                        jnp.zeros((hp.n_text_layer, n_beam, 2,
+                                   hp.n_text_ctx), jnp.float32))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache8":
         return KVCache8(self.kv[:, beam_idx], self.scale[:, beam_idx])
@@ -388,54 +421,65 @@ def decode_step(params: Dict[str, Any],
 
     def layer_body(x, kvf, sf, blk, cxk, cxv, l):
         # self-attention; qkv fused: q = [..., :S], k/v = [..., S:] (adjacent
-        # so the cache column writes without a concat)
-        h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
-        qkv = _mm(h, blk["qkv_w"], dtype) + blk["qkv_b"]
+        # so the cache column writes without a concat).  All matmuls go
+        # through _mm_fused: for packed weights the layer-norm prologue and
+        # bias/GELU/residual epilogues ride inside the Pallas call
+        qkv = _mm_fused(x, blk["qkv_w"], dtype,
+                        ln=(blk["attn_ln_w"], blk["attn_ln_b"]),
+                        bias=blk["qkv_b"], eps=eps)
         q = qkv[..., :n_state]
         qh = _split_heads(q, n_head)
+        # new K/V column, head-major to match the cache layout: the fused
+        # QKV projection emits K|V adjacent, so (..., 2, S) reshapes to
+        # (B, T, 2, H, d) and relayouts to (B, H, 2, T, d) — a trivial
+        # transpose of ONE column (vs. transposing the whole cache on read,
+        # which the head-major layout exists to avoid)
+        def to_col(kv2d):                            # (B, T, 2, S) ->
+            return jnp.moveaxis(                     # (B, H, 2, T, d)
+                kv2d.reshape((n_beam, n_tok, 2, n_head,
+                              n_state // n_head)), (3, 2), (1, 2))
+
+        kv2 = qkv[..., n_state:].reshape(qkv.shape[:-1] + (2, n_state))
         if is_q8:
             # int8 KV cache: per-position scales factor out of both matmuls,
-            # so the attention is exact against the quantized rows.  K and V
-            # quantize in ONE pass over a (..., 2, S) view (the fused QKV
-            # projection already emits them adjacent) — the decode step is
-            # op-latency-bound, so halving the quantize op count matters
-            kv2 = qkv[..., n_state:].reshape(qkv.shape[:-1] + (2, n_state))
-            kvq, kvsn = _quantize_rows(kv2)          # (..., 2, S), (..., 2)
+            # so the attention is exact against the quantized rows.  Scales
+            # are per (position, K/V) — head-independent — and K/V quantize
+            # in ONE _quantize_rows pass over the (..., 2, S) view
+            kvq0, kvsn = _quantize_rows(kv2)         # (B,T,2,S), (B,T,2)
             kvf = lax.dynamic_update_slice(
-                kvf, kvq[None], (l, 0, kv_head, 0, 0))
+                kvf, to_col(kvq0)[None], (l, 0, 0, 0, kv_head, 0))
             sf = lax.dynamic_update_slice(
-                sf, kvsn[None], (l, 0, kv_head, 0))
+                sf, kvsn.transpose(0, 2, 1)[None], (l, 0, 0, kv_head))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
             s_l = lax.dynamic_index_in_dim(sf, l, 0, keepdims=False)
-            kh = _split_heads(kv_l[..., 0, :].astype(dtype), n_head)
-            vh = _split_heads(kv_l[..., 1, :].astype(dtype), n_head)
-            d = qh.shape[-1]
+            kh = kv_l[:, :, 0].astype(dtype)         # (B, H, C, d) — fuses
+            vh = kv_l[:, :, 1].astype(dtype)         # into the dots, no
+            d = qh.shape[-1]                         # cache-wide transpose
             scores = jnp.matmul(qh.astype(dtype), jnp.swapaxes(kh, -1, -2),
                                 preferred_element_type=jnp.float32)
-            scores = (scores * s_l[:, None, None, :, 0]
+            scores = (scores * s_l[:, None, None, 0, :]
                       / jnp.sqrt(jnp.float32(d)) + mask)
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-            probs = probs * s_l[:, None, None, :, 1]
+            probs = probs * s_l[:, None, None, 1, :]
             out = jnp.matmul(probs.astype(dtype), vh,
                              preferred_element_type=jnp.float32)
         else:
-            kv_col = qkv[..., n_state:].reshape(
-                qkv.shape[:-1] + (2, n_state)).astype(kvf.dtype)
             kvf = lax.dynamic_update_slice(
-                kvf, kv_col[None], (l, 0, kv_head, 0, 0))
+                kvf, to_col(kv2.astype(kvf.dtype))[None],
+                (l, 0, 0, 0, kv_head, 0))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
-            out = attention(qh, _split_heads(kv_l[..., 0, :], n_head),
-                            _split_heads(kv_l[..., 1, :], n_head),
-                            mask, dtype)
-        x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
+            out = attention(qh, kv_l[:, :, 0], kv_l[:, :, 1], mask, dtype)
+        x = _mm_fused(_merge_heads(out), blk["o_w"], dtype,
+                      bias=blk["o_b"], res=x)
         # cross-attention (dense or XK8 int8 planes).  When rows are
         # window-groups of xkv_group lanes (native windowxbeam batching,
         # decoding/device_loop.py), each group shares ONE per-window cross-KV
         # — queries reshape to (W, G, H, T, d) and xk/xv broadcast over the
         # lane axis instead of being materialized per lane (cross-KV is the
         # largest decode-time buffer; G-fold duplication would swamp HBM).
-        h = layer_norm(x, blk["xattn_ln_w"], blk["xattn_ln_b"], eps)
-        q = _mm(h, blk["xq_w"], dtype) + blk["xq_b"]
+        q = _mm_fused(x, blk["xq_w"], dtype,
+                      ln=(blk["xattn_ln_w"], blk["xattn_ln_b"]),
+                      bias=blk["xq_b"], eps=eps)
         qh = _split_heads(q, n_head)
         if xkv_group > 1:
             n_rows = qh.shape[0]
@@ -446,11 +490,13 @@ def decode_step(params: Dict[str, Any],
             out = out.reshape((n_rows,) + out.shape[2:])
         else:
             out = cross_attend(qh, cxk, cxv, dtype)
-        x = x + _mm(_merge_heads(out), blk["xo_w"], dtype) + blk["xo_b"]
+        x = _mm_fused(_merge_heads(out), blk["xo_w"], dtype,
+                      bias=blk["xo_b"], res=x)
         # MLP
-        h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
-        h = _gelu(_mm(h, blk["mlp0_w"], dtype) + blk["mlp0_b"])
-        x = x + _mm(h, blk["mlp1_w"], dtype) + blk["mlp1_b"]
+        h = _mm_fused(x, blk["mlp0_w"], dtype,
+                      ln=(blk["mlp_ln_w"], blk["mlp_ln_b"]),
+                      bias=blk["mlp0_b"], act="gelu", eps=eps)
+        x = _mm_fused(h, blk["mlp1_w"], dtype, bias=blk["mlp1_b"], res=x)
         return x, kvf, sf
 
     kvf = cache.kv
@@ -478,14 +524,20 @@ def decode_step(params: Dict[str, Any],
         (x, kvf, sf), _ = lax.scan(
             sbody, (x, kvf, sf),
             (dec["blocks"], xk, xv, jnp.arange(n_layer)))
-    x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
     if isinstance(tok_embd, QWeight):
         # logits head: prefer the transposed planes (Pallas streaming
         # kernel) — the one matmul big enough that XLA would materialize
-        # the dequantized weight
+        # the dequantized weight.  The final layer-norm rides inside the
+        # call as its prologue
         te_t = dec.get("tok_embd_t")
-        logits = _mm(x, te_t if te_t is not None else tok_embd, dtype)
+        if te_t is not None:
+            logits = _mm_fused(x, te_t, dtype,
+                               ln=(dec["ln_w"], dec["ln_b"]), eps=eps)
+        else:
+            x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
+            logits = _mm(x, tok_embd, dtype)
     else:
+        x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
         logits = _mm(x, tok_embd.T, dtype)     # (B, T, n_vocab)
     new_cache = KVCache8(kvf, sf) if is_q8 else KVCache(kvf)
     return logits.astype(jnp.float32), new_cache

@@ -243,6 +243,166 @@ def qmmt(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
     return out[:, :R]
 
 
+def _qmmt_fused_kernel(*refs, dtype, nopt, has_ln, has_bias, act, has_res,
+                       eps):
+    """qmmt with the surrounding elementwise ops folded in:
+
+        out = act(LN(x) @ dequant(codes_t, scales_t) + bias) + residual
+
+    Every Pallas call is an opaque custom-call boundary to XLA, so in the
+    unfused form each bias add / GELU / residual / layer-norm around a
+    packed matmul becomes its own tiny kernel launch; at decode shapes the
+    step is op-LATENCY-bound (~3-5 us per launch, ~12 launches per decoder
+    layer — tools/perf_serving.py) and folding them here removes ~10
+    launches per layer.  All elementwise math is f32, matching the exact
+    unfused formulas (model.layer_norm / jax.nn.gelu(approximate=True));
+    only the dot operands round to `dtype`, as in the unfused path."""
+    x_ref, codes_ref, scales_ref = refs[:3]
+    opt = list(refs[3:3 + nopt])
+    out_ref = refs[3 + nopt]
+    ln_w = opt.pop(0) if has_ln else None
+    ln_b = opt.pop(0) if has_ln else None
+    bias = opt.pop(0) if has_bias else None
+    res = opt.pop(0) if has_res else None
+
+    xb = x_ref[:].astype(jnp.float32)
+    if has_ln:
+        mean = jnp.mean(xb, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xb - mean), axis=-1, keepdims=True)
+        xb = (xb - mean) * jax.lax.rsqrt(var + eps)
+        xb = xb * ln_w[:].astype(jnp.float32) + ln_b[:].astype(jnp.float32)
+    xb = xb.astype(dtype)
+
+    nb = scales_ref.shape[0]
+    K = codes_ref.shape[0]
+    qk = K // nb
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for b in range(nb):
+        cb = codes_ref[b * qk:(b + 1) * qk, :].astype(dtype)
+        part = jnp.dot(xb[:, b * qk:(b + 1) * qk], cb,
+                       preferred_element_type=jnp.float32)
+        acc = acc + part * scales_ref[b, :][None, :]
+    if has_bias:
+        acc = acc + bias[:].astype(jnp.float32)
+    if act == "gelu":
+        acc = jax.nn.gelu(acc, approximate=True)
+    if has_res:
+        acc = acc + res[:].astype(jnp.float32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "dtype", "act",
+                                             "eps", "interpret"))
+def qmmt_fused(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
+               ln_w=None, ln_b=None, bias=None, residual=None,
+               act: Optional[str] = None, eps: float = 1e-5,
+               block_r: int = 4096, dtype=jnp.bfloat16,
+               interpret: bool = False) -> jax.Array:
+    """act(LN(x) @ dequant + bias) + residual as ONE Pallas call.
+
+    ln_w/ln_b: (K,) layer-norm affine applied to x rows first (or None).
+    bias: (R,).  residual: (T, R).  act: None | "gelu" (applied before the
+    residual, matching `x + gelu(h @ W + b)` never being used — the model's
+    orders are gelu(h@W+b) and x + (h@W+b)).  Output f32."""
+    T, K = x.shape
+    Kc, R = codes_t.shape
+    nb = scales_t.shape[0]
+    assert K == Kc and nb > 0 and K % nb == 0, (x.shape, codes_t.shape,
+                                                scales_t.shape)
+    assert (ln_w is None) == (ln_b is None)
+    qk = K // nb
+
+    def vmem(br):
+        return (2 * K * br + T * K * 4 + T * br * 4 + qk * br * 2
+                + (T * br * 4 if residual is not None else 0))
+
+    while block_r > 512 and vmem(block_r) > 13 * 2**20:
+        block_r //= 2
+    block_r = min(block_r, _round_up(R, 256))
+
+    Rp = _round_up(R, block_r)
+    if Rp != R:
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, Rp - R)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, Rp - R)))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, Rp - R))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, 0), (0, Rp - R)))
+
+    in_specs = [
+        pl.BlockSpec((T, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, block_r), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, block_r), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, codes_t, scales_t]
+    if ln_w is not None:
+        in_specs += [pl.BlockSpec((1, K), lambda j: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [ln_w.reshape(1, K), ln_b.reshape(1, K)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, block_r), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias.reshape(1, Rp))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((T, block_r), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(residual)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _qmmt_fused_kernel, dtype=dtype, nopt=len(operands) - 3,
+            has_ln=ln_w is not None, has_bias=bias is not None, act=act,
+            has_res=residual is not None, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((T, Rp), jnp.float32),
+        grid_spec=pl.GridSpec(grid=(Rp // block_r,), in_specs=in_specs,
+                              out_specs=pl.BlockSpec(
+                                  (T, block_r), lambda j: (0, j),
+                                  memory_space=pltpu.VMEM)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * Rp * K,
+            bytes_accessed=K * Rp + nb * Rp * 4 + T * K * 4 + T * Rp * 4,
+            transcendentals=T * Rp if act else 0),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :R]
+
+
+def qmmt_fused_auto(x: jax.Array, qw: QWeightT, dtype=jnp.bfloat16, *,
+                    ln=None, bias=None, residual=None,
+                    act: Optional[str] = None, eps: float = 1e-5,
+                    interpret: bool = False) -> jax.Array:
+    """Fused LN->matmul->bias->act->residual for arbitrary leading dims.
+
+    Off-TPU falls back to the exact unfused op sequence (the fused kernel
+    is numerically the same formulas; tests/test_qmm.py checks both)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    r2 = residual.reshape(-1, residual.shape[-1]) \
+        if residual is not None else None
+    if jax.default_backend() == "tpu" or interpret:
+        y = qmmt_fused(x2, qw.codes_t, qw.scales_t,
+                       ln_w=ln[0] if ln else None,
+                       ln_b=ln[1] if ln else None,
+                       bias=bias, residual=r2, act=act, eps=eps,
+                       dtype=dtype, interpret=interpret)
+    else:
+        h = x2.astype(jnp.float32)
+        if ln is not None:
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + eps) * ln[0] + ln[1]
+        y = qmmt_auto(h, qw, dtype)
+        if bias is not None:
+            y = y + bias
+        if act == "gelu":
+            y = jax.nn.gelu(y, approximate=True)
+        if r2 is not None:
+            y = y + r2
+    return y.reshape(*lead, y.shape[-1])
+
+
 def qmmt_auto(x: jax.Array, qw: QWeightT, dtype=jnp.bfloat16) -> jax.Array:
     """x @ dequant(qw) for arbitrary leading dims; dense fallback off-TPU."""
     lead = x.shape[:-1]

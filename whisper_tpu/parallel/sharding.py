@@ -85,17 +85,16 @@ def cross_kv_spec() -> P:
 
 
 def kv_cache_spec() -> P:
-    """(n_layer, n_beam, n_text_ctx, 2, n_state): shard the HEAD axis.
+    """(n_layer, n_beam, n_head, 2, n_text_ctx, d_head): shard HEADS.
 
-    n_state = n_head * d_head with heads contiguous, so a 'tp' shard of the
-    last axis is a shard over head groups (tp must divide n_head).  The
-    cache's (2, n_state) trailing split keeps K and V of the same heads
-    colocated, so both the per-step cache write and the whole self-attention
-    (scores, softmax, probs @ V) are device-local — matching the reference
-    meta backend's by-head KV splits (ggml-backend.h:369-401).  The psum per
-    layer happens after the row-sharded o_w projection, exactly where the
-    reference marks PARTIAL."""
-    return P(None, None, None, None, "tp")
+    The head-major cache layout (model.KVCache) carries an explicit head
+    axis, so 'tp' shards it directly (tp must divide n_head) — both the
+    per-step cache write and the whole self-attention (scores, softmax,
+    probs @ V) are device-local, matching the reference meta backend's
+    by-head KV splits (ggml-backend.h:369-401).  The psum per layer happens
+    after the row-sharded o_w projection, exactly where the reference marks
+    PARTIAL."""
+    return P(None, None, "tp", None, None, None)
 
 
 def shard_params(params, mesh: Mesh, hp):
