@@ -96,7 +96,7 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
                 cache, tok = carry
                 pos = jnp.clip(i, 0, hp.n_text_ctx - 1) * jnp.ones(
                     (n_beam, 1), jnp.int32)
-                logits, cache = M.decode_step(
+                logits, cache = M.decode_step_bucketed(
                     params, tok, pos, i, cache, xk, xv, hp, dtype=dtype)
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return cache, tok
@@ -182,8 +182,8 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
             cache, tok = carry
             pos = jnp.clip(i, 0, hp.n_text_ctx - 1) * jnp.ones((W, 1),
                                                                jnp.int32)
-            logits, cache = M.decode_step(params, tok, pos, i, cache,
-                                          xkb, xvb, hp, dtype=dtype)
+            logits, cache = M.decode_step_bucketed(params, tok, pos, i, cache,
+                                                   xkb, xvb, hp, dtype=dtype)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return cache, tok
 

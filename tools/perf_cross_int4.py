@@ -80,15 +80,33 @@ def main():
     print(f"int8  {ms8:7.3f} ms/step  ({gb/ms8*1000:6.1f} GB/s eff, "
           f"{gb:.2f} GB int8)", flush=True)
 
-    codes4 = codes8.astype(jnp.int4)  # clamps; values irrelevant to timing
-    ms4 = per_op_ms(chain, 2, 6, (q0, codes4, ks, codes4, vs))
+    # jnp.int4 arrays cannot be passed as jit arguments over this tunnel
+    # (device_put recursion on S4 layouts) — convert INSIDE the jit; the
+    # converted planes are loop-invariant temps that XLA stores packed in
+    # HBM, so the loop body still measures the int4 read rate.
+    @jax.jit
+    def chain4(K, q0, kc8, ks_, vc8, vs_):
+        kc4 = kc8.astype(jnp.int4)
+        vc4 = vc8.astype(jnp.int4)
+
+        def body(i, q):
+            def layer(l, acc):
+                out = attend(acc[:, :, None, :],
+                             kc4[l], ks_[l], vc4[l], vs_[l])
+                return acc + out[:, :, 0, :].astype(DT) * 1e-6
+            return jax.lax.fori_loop(0, L, layer, q)
+        return jax.lax.fori_loop(0, K, body, q0).sum()
+
+    ms4 = per_op_ms(chain4, 2, 6, (q0, codes8, ks, codes8, vs))
     print(f"int4  {ms4:7.3f} ms/step  ({gb/2/ms4*1000:6.1f} GB/s eff, "
           f"{gb/2:.2f} GB packed int4)", flush=True)
 
     # nibble-packed int8 variant: two int4 codes per int8 byte on the D
-    # axis, unpacked with shift/and on the VPU before the matmul
-    packed = (codes8.astype(jnp.int32) & 0xF)
-    packed = (packed[..., 0::2] | (packed[..., 1::2] << 4)).astype(jnp.int8)
+    # axis, unpacked with shift/and on the VPU before the matmul.  Code
+    # values are irrelevant to timing, so generate the packed planes
+    # directly at half size (packing codes8 eagerly OOMs on int32 temps).
+    packed = jax.random.randint(key, (L, W, H, T, D // 2), -128, 127,
+                                jnp.int8)
 
     def attend_nib(qh, kp, ks_, vp, vs_):
         def unpack(p):

@@ -13,6 +13,7 @@ attention kernel / 4-bit KV formats are worth building.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import sys
 import time
@@ -113,7 +114,8 @@ def main():
     import whisper_tpu.models.whisper.model as Mod
 
     def measure(mode):
-        hp_m = hp._replace(n_text_ctx=112) if mode == "ctx112" else hp
+        hp_m = (dataclasses.replace(hp, n_text_ctx=112)
+                if mode == "ctx112" else hp)
         orig_cross = Mod.cross_attend
         orig_mm = Mod._mm
         orig_fused_g = Mod._mm_fused

@@ -322,6 +322,12 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
     n_max = hp.n_text_ctx // 2 - 4
     eot, beg = vocab_eot, vocab_beg
     cache_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+    # prompt passes have STATIC occupancy (the prompt bucket), so they get a
+    # static attn_ctx; loop steps use decode_step_bucketed's lax.switch.
+    # Under vmap the switch's per-window index would make vmap execute every
+    # branch and select — only the scalar-index paths use buckets.
+    prompt_ctx = next(a for a in M.attn_ctx_buckets(hp.n_text_ctx)
+                      if a >= prompt_bucket)
 
     def decode_window(params, prompt, prompt_len, xk, xv, base_mask,
                       initial_mask, temperature, seek, seek_end, max_tokens,
@@ -336,7 +342,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                        hp.n_text_ctx - 1)[None, :]
         logits_all, cache1 = M.decode_step(
             params, prompt[None, :], pos, jnp.int32(0), cache1, xk, xv, hp,
-            dtype=compute_dtype, unroll=unroll_layers)
+            dtype=compute_dtype, unroll=unroll_layers, attn_ctx=prompt_ctx)
         last_row = lax.dynamic_index_in_dim(
             logits_all, prompt_len - 1, axis=1, keepdims=False)  # (1, V)
         prompt_probs = jax.nn.softmax(last_row[0].astype(jnp.float32))
@@ -457,7 +463,8 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             n_past = prompt_len + st.i
             step_pos = jnp.clip(n_past, 0, hp.n_text_ctx - 1) * jnp.ones(
                 (B, 1), jnp.int32)
-            logits_next, cache = M.decode_step(
+            step_fn = M.decode_step if vmap_windows else M.decode_step_bucketed
+            logits_next, cache = step_fn(
                 params, tok[:, None], step_pos, n_past, st.cache, xk, xv, hp,
                 dtype=compute_dtype, unroll=unroll_layers)
 
@@ -542,7 +549,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         logits_all, cache = M.decode_step(
             params, prompt_lp, pos, jnp.int32(0), cache, xk, xv, hp,
             dtype=compute_dtype, unroll=unroll_layers,
-            attn_mask=attn_mask_prompt)
+            attn_mask=attn_mask_prompt, attn_ctx=prompt_ctx)
         last_row = rep_lanes(logits_all[:, prompt_bucket - 1])          # (R, V)
         prompt_probs = jax.nn.softmax(
             logits_all[:, prompt_bucket - 1].astype(jnp.float32), axis=-1)
@@ -663,7 +670,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             # per-row true positions ----
             step_pos = jnp.clip(rep_lanes(prompt_lens) + st.i, 0,
                                 hp.n_text_ctx - 1)[:, None]
-            logits_next, cache = M.decode_step(
+            logits_next, cache = M.decode_step_bucketed(
                 params, tok[:, None], step_pos, prompt_bucket + st.i,
                 st.cache, xk, xv, hp, dtype=compute_dtype,
                 unroll=unroll_layers, attn_mask=attn_mask, xkv_group=G)

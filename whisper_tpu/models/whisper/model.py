@@ -371,7 +371,8 @@ def decode_step(params: Dict[str, Any],
                 dtype=jnp.bfloat16,
                 unroll: bool = True,
                 attn_mask=None,
-                xkv_group: int = 1) -> Tuple[jax.Array, KVCache]:
+                xkv_group: int = 1,
+                attn_ctx: Optional[int] = None) -> Tuple[jax.Array, KVCache]:
     """One batched decoder forward over all live beams.
 
     Mirrors whisper_build_graph_decoder (src/whisper.cpp:2464-2842): token+pos
@@ -406,16 +407,26 @@ def decode_step(params: Dict[str, Any],
     # f32 residual stream (matches the carry dtype the block bodies return)
     x = (emb + dec["pos_embd"][positions]).astype(jnp.float32)
 
+    # Self-attention context bound: cells >= kv_head + n_tok are ALWAYS
+    # -inf masked (never written yet), so when the caller promises
+    # kv_head + n_tok <= attn_ctx the attention can read just the first
+    # `attn_ctx` cache cells — bit-identical output (masked cells
+    # contribute exact zeros) at a fraction of the read/softmax cost.
+    # decode_step_bucketed picks attn_ctx dynamically per step; the
+    # static 448-cell cache otherwise costs ~40% of the W=16 serving
+    # step (tools/perf_serving.py ctx112 ablation).
+    A = n_ctx if attn_ctx is None else min(attn_ctx, n_ctx)
+
     # causal mask over the static cache: cell j visible to new token i iff
     # j < kv_head + i + 1  (cells are written in position order per beam)
-    j = jnp.arange(n_ctx)[None, None, :]
+    j = jnp.arange(A)[None, None, :]
     i = jnp.arange(n_tok)[None, :, None]
     visible = j < (kv_head + i + 1)
-    mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (1,1,T,n_ctx)
+    mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (1,1,T,A)
     if attn_mask is not None:
         # extra per-row additive mask (B,1,1,n_ctx): e.g. left-pad cells of a
         # natively window-batched prompt (decoding/device_loop.py)
-        mask = mask + attn_mask
+        mask = mask + attn_mask[..., :A]
 
     is_q8 = isinstance(cache, KVCache8)
 
@@ -452,15 +463,15 @@ def decode_step(params: Dict[str, Any],
                 sf, kvsn.transpose(0, 2, 1)[None], (l, 0, 0, kv_head))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
             s_l = lax.dynamic_index_in_dim(sf, l, 0, keepdims=False)
-            kh = kv_l[:, :, 0].astype(dtype)         # (B, H, C, d) — fuses
-            vh = kv_l[:, :, 1].astype(dtype)         # into the dots, no
+            kh = kv_l[:, :, 0, :A].astype(dtype)     # (B, H, A, d) — fuses
+            vh = kv_l[:, :, 1, :A].astype(dtype)     # into the dots, no
             d = qh.shape[-1]                         # cache-wide transpose
             scores = jnp.matmul(qh.astype(dtype), jnp.swapaxes(kh, -1, -2),
                                 preferred_element_type=jnp.float32)
-            scores = (scores * s_l[:, None, None, 0, :]
+            scores = (scores * s_l[:, None, None, 0, :A]
                       / jnp.sqrt(jnp.float32(d)) + mask)
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-            probs = probs * s_l[:, None, None, 1, :]
+            probs = probs * s_l[:, None, None, 1, :A]
             out = jnp.matmul(probs.astype(dtype), vh,
                              preferred_element_type=jnp.float32)
         else:
@@ -468,7 +479,8 @@ def decode_step(params: Dict[str, Any],
                 kvf, to_col(kv2.astype(kvf.dtype))[None],
                 (l, 0, 0, 0, kv_head, 0))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
-            out = attention(qh, kv_l[:, :, 0], kv_l[:, :, 1], mask, dtype)
+            out = attention(qh, kv_l[:, :, 0, :A], kv_l[:, :, 1, :A], mask,
+                            dtype)
         x = _mm_fused(_merge_heads(out), blk["o_w"], dtype,
                       bias=blk["o_b"], res=x)
         # cross-attention (dense or XK8 int8 planes).  When rows are
@@ -541,3 +553,65 @@ def decode_step(params: Dict[str, Any],
         logits = _mm(x, tok_embd.T, dtype)     # (B, T, n_vocab)
     new_cache = KVCache8(kvf, sf) if is_q8 else KVCache(kvf)
     return logits.astype(jnp.float32), new_cache
+
+
+def attn_ctx_buckets(n_ctx: int, n_buckets: int = 4) -> Tuple[int, ...]:
+    """Static self-attention context sizes for decode_step_bucketed:
+    quarters of n_ctx rounded up to the TPU lane width (128; a smaller
+    granule below 256 so tiny test contexts still bucket), deduped,
+    always ending at n_ctx.  For the whisper family (n_ctx=448):
+    (128, 256, 384, 448)."""
+    g = 128 if n_ctx >= 256 else 8
+    sizes = sorted({min(-(-(n_ctx * (k + 1) // n_buckets) // g) * g,
+                        n_ctx) for k in range(n_buckets)})
+    return tuple(sizes)
+
+
+def decode_step_bucketed(params: Dict[str, Any],
+                         tokens: jax.Array,
+                         positions: jax.Array,
+                         kv_head: jax.Array,
+                         cache,
+                         xk, xv,
+                         hp: WhisperHParams,
+                         dtype=jnp.bfloat16,
+                         unroll: bool = True,
+                         attn_mask=None,
+                         xkv_group: int = 1,
+                         n_buckets: int = 4):
+    """decode_step with a per-step BUCKETED self-attention context.
+
+    Cache cells at or beyond kv_head + n_tok are unwritten and -inf
+    masked, so the step only needs the first `occupancy` cells; a
+    `lax.switch` picks the smallest static bucket >= occupancy and runs
+    decode_step with that attn_ctx.  Output is numerically identical to
+    the full-context step (sliced-away cells contribute exact zeros
+    through the softmax), but early decode steps — the common case: a
+    window decodes ~64 tokens into the 448-cell cache, the reference's
+    fixed n_text_ctx (src/whisper.cpp:2464-2842) — skip ~3/4 of the
+    cache read and attention work.  Measured: the W=16 large-v3 q8
+    serving step is 10.2 ms at full context vs 6.2 ms at 128 cells
+    (tools/perf_serving.py), a 40% step saving.  Each bucket is a
+    separately traced branch of ONE jitted switch, so shapes stay
+    static; the bucket index is data-dependent, which is exactly what
+    lax.switch exists for."""
+    sizes = attn_ctx_buckets(hp.n_text_ctx, n_buckets)
+    if len(sizes) == 1:
+        return decode_step(params, tokens, positions, kv_head, cache, xk,
+                           xv, hp, dtype=dtype, unroll=unroll,
+                           attn_mask=attn_mask, xkv_group=xkv_group)
+    occ = kv_head + tokens.shape[1]
+    idx = jnp.searchsorted(jnp.asarray(sizes, jnp.int32),
+                           jnp.asarray(occ, jnp.int32), side="left")
+    idx = jnp.clip(idx, 0, len(sizes) - 1)
+
+    def make_branch(a):
+        def branch(tokens, positions, kv_head, cache):
+            return decode_step(params, tokens, positions, kv_head, cache,
+                               xk, xv, hp, dtype=dtype, unroll=unroll,
+                               attn_mask=attn_mask, xkv_group=xkv_group,
+                               attn_ctx=a)
+        return branch
+
+    return lax.switch(idx, [make_branch(a) for a in sizes],
+                      tokens, positions, kv_head, cache)

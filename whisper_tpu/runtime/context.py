@@ -195,7 +195,7 @@ class WhisperContext:
             @jax.jit
             def decode_fn(params, tokens, positions, kv_head, n_valid, cache,
                           xk, xv):
-                logits, cache = M.decode_step(
+                logits, cache = M.decode_step_bucketed(
                     params, tokens, positions, kv_head, cache, xk, xv, hp,
                     dtype=cd)
                 # logits for the last *valid* row only (reference downloads
