@@ -139,6 +139,25 @@ def test_native_window_batch_matches_single(mini_model_path, jfk):
     assert all(int(np.asarray(batched.n_tok)[i, 0]) >= 1 for i in range(W))
 
 
+def test_batcher_straggler_deadline():
+    """A queued request must dispatch after max_wait_s even when other live
+    workers never submit — one wedged stream cannot stall the server."""
+    import time
+
+    from whisper_tpu.runtime.batching import WindowBatcher
+
+    class _Ctx:
+        def _decode_window_exec(self, key, *args):
+            return ("ran", key, args)
+
+    b = WindowBatcher(_Ctx(), n_workers=2, max_wait_s=0.1)
+    t0 = time.perf_counter()
+    out = b.submit("k", (1, 2))  # second worker never arrives
+    elapsed = time.perf_counter() - t0
+    assert out == ("ran", "k", (1, 2))
+    assert elapsed < 2.0  # deadline fired (not a hang until worker_done)
+
+
 def _mk_decoder_pair(ctx, strategy, W, B, bucket):
     from whisper_tpu.decoding import device_loop as DL
 
