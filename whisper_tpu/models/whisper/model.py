@@ -167,8 +167,22 @@ def conv_stem(enc_params: Dict[str, Any], mel: jax.Array, dtype) -> jax.Array:
     return x[0].T  # (n_ctx, n_state)
 
 
+def _segment_mask(t_pad: int, true_len: int) -> jax.Array:
+    """Additive (1, T, T) mask splitting rows [0,true_len) and the junk
+    pad rows into two attention segments (the pad block attends itself so
+    no softmax row is fully masked -> no NaN)."""
+    real = jnp.arange(t_pad) < true_len
+    allow = real[:, None] == real[None, :]
+    return jnp.where(allow, 0.0, -1e9).astype(jnp.float32)[None]
+
+
 def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
-                   eps: float, dtype) -> jax.Array:
+                   eps: float, dtype, true_len: Optional[int] = None
+                   ) -> jax.Array:
+    """One pre-LN transformer block.  `true_len`: set when the residual
+    stream is padded-resident (rows true_len.. are junk kept only so every
+    matmul runs at an MXU-aligned M — see `encode`); attention then keeps
+    the junk rows in a separate segment."""
     # self-attention (pre-LN)
     h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], eps)
     q = _mm(h, blk["q_w"], dtype) + blk["q_b"]
@@ -178,7 +192,10 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
     from ...ops.attention import flash_self_attention, use_flash
 
     if use_flash(qh.shape[-2], dtype):
-        out = flash_self_attention(qh, kh, vh)
+        out = flash_self_attention(qh, kh, vh, true_len=true_len)
+    elif true_len is not None:
+        out = attention(qh, kh, vh, _segment_mask(qh.shape[-2], true_len),
+                        dtype)
     else:
         out = attention(qh, kh, vh, None, dtype)
     x = x + _mm(_merge_heads(out), blk["o_w"], dtype) + blk["o_b"]
@@ -191,22 +208,44 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
 
 def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
            dtype=jnp.bfloat16, n_audio_ctx: Optional[int] = None,
-           unroll: bool = True) -> jax.Array:
+           unroll: bool = True, pad_to: Optional[int] = None) -> jax.Array:
     """mel (n_mels, 2*n_ctx) -> encoder embeddings (n_ctx, n_state).
 
     Mirrors whisper_build_graph_encoder (src/whisper.cpp:2044-2275); position
     embedding uses the *first* n_ctx rows when audio_ctx is truncated
     (src/whisper.cpp:2088-2095).
+
+    Padded residency: on the flash path the residual stream is padded ONCE
+    to a 512 multiple (1500 -> 1536) for the whole block stack and sliced
+    back before ln_post.  M=1536 is MXU-tile aligned: the dominant
+    (T,1280)x(1280,5120) matmul measures 231 vs 146 TFLOPS at M=1500
+    (tools/perf_enc_pad.py), and the per-layer pad/slice copies inside
+    flash disappear.  Junk pad rows are masked into their own attention
+    segment, so real rows are numerically unaffected.  `pad_to` forces a
+    padded length (used by tests to exercise this path on CPU).
     """
+    from ...ops.attention import _round_up, use_flash
+
     enc = params["enc"]
     x = conv_stem(enc, mel, dtype)
     n_ctx = x.shape[0]
     x = x + enc["pos_embd"][:n_ctx]
 
+    tp = pad_to
+    if tp is None and use_flash(n_ctx, dtype):
+        tp = _round_up(max(n_ctx, 512), 512)
+    true_len = None
+    if tp is not None and tp > n_ctx:
+        x = jnp.pad(x, ((0, tp - n_ctx), (0, 0)))
+        true_len = n_ctx
+
     def body(carry, blk):
-        return _encoder_block(carry, blk, hp.n_audio_head, hp.eps, dtype), None
+        return _encoder_block(carry, blk, hp.n_audio_head, hp.eps, dtype,
+                              true_len=true_len), None
 
     x, _ = scan_layers(body, x, enc["blocks"], unroll)
+    if true_len is not None:
+        x = x[:n_ctx]
     x = layer_norm(x, enc["ln_post_w"], enc["ln_post_b"], hp.eps)
     return x
 
