@@ -468,6 +468,16 @@ def decode_step(params: Dict[str, Any],
         mask = mask + attn_mask[..., :A]
 
     is_q8 = isinstance(cache, KVCache8)
+    # fused Pallas decode attention (ops/decode_attn.py): reads the int8
+    # cache directly in VMEM — XLA's path materializes a bf16 expansion of
+    # every layer's cache slice to HBM (~3x the byte floor; serving-step
+    # ablation in tools/perf_serving.py).  The kernel wants one combined
+    # additive (B, G, A) mask, identical for every layer — build it once.
+    from ...ops.decode_attn import use_kernel as _use_dattn
+
+    use_dattn = is_q8 and unroll and _use_dattn()
+    if use_dattn:
+        kmask = jnp.broadcast_to(mask[:, 0], (n_beam, n_tok, A))
 
     def layer_body(x, kvf, sf, blk, cxk, cxv, l):
         # self-attention; qkv fused: q = [..., :S], k/v = [..., S:] (adjacent
@@ -500,19 +510,26 @@ def decode_step(params: Dict[str, Any],
                 kvf, to_col(kvq0)[None], (l, 0, 0, 0, kv_head, 0))
             sf = lax.dynamic_update_slice(
                 sf, kvsn.transpose(0, 2, 1)[None], (l, 0, 0, kv_head))
-            kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
-            s_l = lax.dynamic_index_in_dim(sf, l, 0, keepdims=False)
-            kh = kv_l[:, :, 0, :A].astype(dtype)     # (B, H, A, d) — fuses
-            vh = kv_l[:, :, 1, :A].astype(dtype)     # into the dots, no
-            d = qh.shape[-1]                         # cache-wide transpose
-            scores = jnp.matmul(qh.astype(dtype), jnp.swapaxes(kh, -1, -2),
-                                preferred_element_type=jnp.float32)
-            scores = (scores * s_l[:, None, None, 0, :A]
-                      / jnp.sqrt(jnp.float32(d)) + mask)
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-            probs = probs * s_l[:, None, None, 1, :A]
-            out = jnp.matmul(probs.astype(dtype), vh,
-                             preferred_element_type=jnp.float32)
+            if use_dattn:
+                from ...ops.decode_attn import self_attend_q8
+
+                out = self_attend_q8(kvf, sf, qh, kmask, l=l, attn_ctx=A,
+                                     dtype=dtype)
+            else:
+                kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
+                s_l = lax.dynamic_index_in_dim(sf, l, 0, keepdims=False)
+                kh = kv_l[:, :, 0, :A].astype(dtype)   # (B, H, A, d) — fuses
+                vh = kv_l[:, :, 1, :A].astype(dtype)   # into the dots, no
+                d = qh.shape[-1]                       # cache-wide transpose
+                scores = jnp.matmul(qh.astype(dtype),
+                                    jnp.swapaxes(kh, -1, -2),
+                                    preferred_element_type=jnp.float32)
+                scores = (scores * s_l[:, None, None, 0, :A]
+                          / jnp.sqrt(jnp.float32(d)) + mask)
+                probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+                probs = probs * s_l[:, None, None, 1, :A]
+                out = jnp.matmul(probs.astype(dtype), vh,
+                                 preferred_element_type=jnp.float32)
         else:
             kvf = lax.dynamic_update_slice(
                 kvf, to_col(kv2.astype(kvf.dtype))[None],
