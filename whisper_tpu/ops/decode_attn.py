@@ -27,6 +27,14 @@ cache cells per block — the grid never touches cells past the bucket.
 Reference role: ggml's flash-decoding path fuses the same chain on CUDA
 (ggml/src/ggml-cuda/fattn*.cu); this is the TPU-native equivalent shaped
 by VMEM blocking instead of warp tiling.
+
+TP note: GSPMD cannot partition a custom call, so a head-sharded q8
+cache (parallel/sharding.kv_cache_spec) reaching this kernel under pjit
+would be all-gathered.  Today no TP path uses a q8 cache (the TP
+harnesses run dense f16 caches, and single-chip serving is the
+production layout); if one is added, either wrap this call in
+shard_map over the head axis (the grid/blocks are already head-local)
+or set WTPU_DECODE_ATTN=xla for that path.
 """
 
 from __future__ import annotations
