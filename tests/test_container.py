@@ -31,7 +31,7 @@ def test_load_mini_model(mini_model):
     assert mini_model.filters.data.shape == (80, 201)
     assert not mini_model.is_empty
     enc = mini_model.params["enc"]
-    assert enc["blocks"]["q_w"].shape == (2, 64, 64)
+    assert enc["blocks"]["qkv_w"].shape == (2, 64, 192)
     assert enc["conv1_w"].shape == (64, 80, 3)
     dec = mini_model.params["dec"]
     assert dec["tok_embd"].shape == (51864, 64)

@@ -93,7 +93,7 @@ def test_convert_pt_roundtrip(tmp_path):
     assert not model.is_empty
     # spot-check a weight survives the f16 round trip
     src = checkpoint["model_state_dict"]["encoder.blocks.0.attn.query.weight"]
-    got = model.params["enc"]["blocks"]["q_w"][0]
+    got = model.params["enc"]["blocks"]["qkv_w"][0][:, :64]  # q slice of fused qkv
     np.testing.assert_allclose(np.asarray(got), src.T.astype(np.float16),
                                rtol=1e-3, atol=1e-3)
 

@@ -82,10 +82,10 @@ def flash_1536(qh, kh, vh, seg):
 def block_padded(x, blk, seg):
     """Encoder block on a (1536, S) f32 residual; pad rows are junk."""
     h = M.layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"], hp.eps)
-    q = M._mm(h, blk["q_w"], DT) + blk["q_b"]
-    k = M._mm(h, blk["k_w"], DT)
-    v = M._mm(h, blk["v_w"], DT) + blk["v_b"]
-    qh, kh, vh = (M._split_heads(t, Hh).astype(DT) for t in (q, k, v))
+    S = x.shape[-1]
+    qkv = M._mm(h, blk["qkv_w"], DT) + blk["qkv_b"]
+    qh, kh, vh = (M._split_heads(qkv[..., i * S:(i + 1) * S], Hh).astype(DT)
+                  for i in range(3))
     out = flash_1536(qh, kh, vh, seg).astype(jnp.float32)
     x = x + M._mm(M._merge_heads(out), blk["o_w"], DT) + blk["o_b"]
     h = M.layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], hp.eps)

@@ -56,6 +56,10 @@ def chain_of(fn):
 
 
 def main():
+    # section selection: pass names (stem/block/parts/flash/xla/fused/full)
+    # to run a subset; default skips the slow flash sweep (already tuned,
+    # commit d896bac) and the xla reference
+    want = set(sys.argv[1:]) or {"stem", "block", "parts", "fused", "full"}
     print(f"devices: {jax.devices()}", flush=True)
     params = synth_params(hp, DT)
     enc = params["enc"]
@@ -76,20 +80,28 @@ def main():
                   flush=True)
             return None
 
-    stem = sect("conv stem               %8.0f us",
-                lambda: per_op_ms(chain_of(
-                    lambda m: M.conv_stem(enc, m, DT)), 2, 8, (mel,)))
+    if "stem" in want:
+        sect("conv stem               %8.0f us",
+             lambda: per_op_ms(chain_of(
+                 lambda m: M.conv_stem(enc, m, DT)), 2, 8, (mel,)))
 
-    one = sect(f"one block (x{L})         %8.0f us",
-               lambda: per_op_ms(chain_of(
-                   lambda c: M._encoder_block(c, blk, Hh, hp.eps, DT)),
-                   4, 16, (x,)))
+    if "block" in want:
+        sect(f"one block (x{L})         %8.0f us",
+             lambda: per_op_ms(chain_of(
+                 lambda c: M._encoder_block(c, blk, Hh, hp.eps, DT)),
+                 4, 16, (x,)))
+
+    # un-fused baseline: three separate (S,S) projections (pre-round-2 layout)
+    sep = {n: blk["qkv_w"][:, i * S:(i + 1) * S] + 0 for i, n in
+           enumerate(("q_w", "k_w", "v_w"))}
+    sep.update({n: blk["qkv_b"][i * S:(i + 1) * S] + 0 for i, n in
+                enumerate(("q_b", "k_b", "v_b"))})
 
     def attn_only(c):
         h = M.layer_norm(c, blk["attn_ln_w"], blk["attn_ln_b"], hp.eps)
-        q = M._mm(h, blk["q_w"], DT) + blk["q_b"]
-        k = M._mm(h, blk["k_w"], DT)
-        v = M._mm(h, blk["v_w"], DT) + blk["v_b"]
+        q = M._mm(h, sep["q_w"], DT) + sep["q_b"]
+        k = M._mm(h, sep["k_w"], DT)
+        v = M._mm(h, sep["v_w"], DT) + sep["v_b"]
         from whisper_tpu.ops.attention import flash_self_attention
 
         out = flash_self_attention(*(M._split_heads(t, Hh)
@@ -101,10 +113,11 @@ def main():
         h = M._gelu(M._mm(h, blk["mlp0_w"], DT) + blk["mlp0_b"])
         return c + M._mm(h, blk["mlp1_w"], DT) + blk["mlp1_b"]
 
-    sect("  attn part             %8.0f us",
-         lambda: per_op_ms(chain_of(attn_only), 4, 16, (x,)))
-    sect("  mlp part              %8.0f us",
-         lambda: per_op_ms(chain_of(mlp_only), 4, 16, (x,)))
+    if "parts" in want:
+        sect("  attn part             %8.0f us",
+             lambda: per_op_ms(chain_of(attn_only), 4, 16, (x,)))
+        sect("  mlp part              %8.0f us",
+             lambda: per_op_ms(chain_of(mlp_only), 4, 16, (x,)))
 
     # flash attention variants
     qh = jax.random.normal(jax.random.PRNGKey(2), (Hh, T, S // Hh),
@@ -135,7 +148,7 @@ def main():
             return out[0, :, :T, :]
         return run
 
-    for bq in (256, 512, 768):
+    for bq in (256, 512, 768) if "flash" in want else ():
         for bk in (512, 768, 1536):
             if bk % 512 and bk != 768:
                 continue
@@ -151,29 +164,28 @@ def main():
     def xla_attn(q3):
         return M.attention(q3, q3, q3, None, DT)
 
-    sect("  xla attention         %8.0f us",
-         lambda: per_op_ms(chain_of(xla_attn), 2, 8, (qh,)))
+    if "xla" in want:
+        sect("  xla attention         %8.0f us",
+             lambda: per_op_ms(chain_of(xla_attn), 2, 8, (qh,)))
 
-    # fused QKV variant: one (S -> 3S) matmul
-    qkv_w = jnp.concatenate([blk["q_w"], blk["k_w"], blk["v_w"]], axis=1)
-    qkv_b = jnp.concatenate([blk["q_b"], jnp.zeros_like(blk["q_b"]),
-                             blk["v_b"]])
-
+    # fused QKV variant: one (S -> 3S) matmul (the production layout)
     def attn_fused(c):
         h = M.layer_norm(c, blk["attn_ln_w"], blk["attn_ln_b"], hp.eps)
-        qkv = M._mm(h, qkv_w, DT) + qkv_b
+        qkv = M._mm(h, blk["qkv_w"], DT) + blk["qkv_b"]
         from whisper_tpu.ops.attention import flash_self_attention
 
         out = flash_self_attention(*(M._split_heads(qkv[..., i*S:(i+1)*S], Hh)
                                      for i in range(3)))
         return c + M._mm(M._merge_heads(out), blk["o_w"], DT) + blk["o_b"]
 
-    sect("  attn fused-qkv        %8.0f us",
-         lambda: per_op_ms(chain_of(attn_fused), 4, 16, (x,)))
+    if "fused" in want:
+        sect("  attn fused-qkv        %8.0f us",
+             lambda: per_op_ms(chain_of(attn_fused), 4, 16, (x,)))
 
-    sect("encode full             %8.0f us",
-         lambda: per_op_ms(chain_of(
-             lambda m: M.encode(params, m, hp, dtype=DT)), 2, 5, (mel,)))
+    if "full" in want:
+        sect("encode full             %8.0f us",
+             lambda: per_op_ms(chain_of(
+                 lambda m: M.encode(params, m, hp, dtype=DT)), 2, 5, (mel,)))
 
     # roofline context
     flops_blk = (4 * S * S + 2 * 4 * S * S) * T * 2 + 2 * 2 * T * T * S

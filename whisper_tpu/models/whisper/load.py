@@ -145,14 +145,20 @@ def build_param_pytree(tensors: Dict[str, np.ndarray], hp: WhisperHParams) -> Di
     def T(name: str) -> np.ndarray:
         return tensors[name]
 
+    # encoder q/k/v fuse into ONE (in, 3*out) matmul at load time, like the
+    # decoder below: one (T,S)x(S,3S) projection beats three (S,S) matmuls
+    # by ~70 us/block at large-v3 dims on v5e (tools/perf_encoder.py).
+    # Concatenating output columns is bit-exact.
+    eq = _stack(tensors, "encoder.blocks.%d.attn.query.weight", hp.n_audio_layer, True)
+    ek = _stack(tensors, "encoder.blocks.%d.attn.key.weight", hp.n_audio_layer, True)
+    ev = _stack(tensors, "encoder.blocks.%d.attn.value.weight", hp.n_audio_layer, True)
+    eq_b = _stack(tensors, "encoder.blocks.%d.attn.query.bias", hp.n_audio_layer)
+    ev_b = _stack(tensors, "encoder.blocks.%d.attn.value.bias", hp.n_audio_layer)
     enc_blocks = {
         "attn_ln_w": _stack(tensors, "encoder.blocks.%d.attn_ln.weight", hp.n_audio_layer),
         "attn_ln_b": _stack(tensors, "encoder.blocks.%d.attn_ln.bias", hp.n_audio_layer),
-        "q_w": _stack(tensors, "encoder.blocks.%d.attn.query.weight", hp.n_audio_layer, True),
-        "q_b": _stack(tensors, "encoder.blocks.%d.attn.query.bias", hp.n_audio_layer),
-        "k_w": _stack(tensors, "encoder.blocks.%d.attn.key.weight", hp.n_audio_layer, True),
-        "v_w": _stack(tensors, "encoder.blocks.%d.attn.value.weight", hp.n_audio_layer, True),
-        "v_b": _stack(tensors, "encoder.blocks.%d.attn.value.bias", hp.n_audio_layer),
+        "qkv_w": np.concatenate([eq, ek, ev], axis=-1),
+        "qkv_b": np.concatenate([eq_b, np.zeros_like(eq_b), ev_b], axis=-1),
         "o_w": _stack(tensors, "encoder.blocks.%d.attn.out.weight", hp.n_audio_layer, True),
         "o_b": _stack(tensors, "encoder.blocks.%d.attn.out.bias", hp.n_audio_layer),
         "mlp_ln_w": _stack(tensors, "encoder.blocks.%d.mlp_ln.weight", hp.n_audio_layer),

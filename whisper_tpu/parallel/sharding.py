@@ -38,23 +38,17 @@ def param_specs(hp) -> Dict[str, Any]:
 
     enc_blocks = {
         "attn_ln_w": rep2, "attn_ln_b": rep2,
-        "q_w": col, "q_b": bias_sh,
-        "k_w": col,
-        "v_w": col, "v_b": bias_sh,
+        # fused qkv (both stacks): column sharding would split the [q|k|v]
+        # concatenation across devices (breaking head locality), so shard
+        # the INPUT dim — row parallel with a GSPMD-inserted psum after the
+        # projection
+        "qkv_w": row, "qkv_b": rep2,
         "o_w": row, "o_b": rep2,
         "mlp_ln_w": rep2, "mlp_ln_b": rep2,
         "mlp0_w": col, "mlp0_b": bias_sh,
         "mlp1_w": row, "mlp1_b": rep2,
     }
     dec_blocks = dict(enc_blocks)
-    for k in ("q_w", "q_b", "k_w", "v_w", "v_b"):
-        del dec_blocks[k]
-    dec_blocks.update({
-        # fused qkv: column sharding would split the [q|k|v] concatenation
-        # across devices (breaking head locality), so shard the INPUT dim —
-        # row parallel with a GSPMD-inserted psum after the projection
-        "qkv_w": row, "qkv_b": rep2,
-    })
     dec_blocks.update({
         "xattn_ln_w": rep2, "xattn_ln_b": rep2,
         "xq_w": col, "xq_b": bias_sh,

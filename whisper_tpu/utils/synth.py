@@ -33,18 +33,10 @@ def synth_params(hp: WhisperHParams, dtype=jnp.bfloat16, seed: int = 0):
             "mlp0_w": w(layers, n, 4 * n), "mlp0_b": w(layers, 4 * n),
             "mlp1_w": w(layers, 4 * n, n), "mlp1_b": w(layers, n),
         }
-        if cross:
-            # decoder: fused qkv (load.py concatenates q/k/v at load time)
-            b.update({
-                "qkv_w": w(layers, n, 3 * n), "qkv_b": w(layers, 3 * n),
-            })
-        else:
-            # encoder keeps separate projections (flash-attention path)
-            b.update({
-                "q_w": w(layers, n, n), "q_b": w(layers, n),
-                "k_w": w(layers, n, n),
-                "v_w": w(layers, n, n), "v_b": w(layers, n),
-            })
+        # fused qkv for BOTH stacks (load.py concatenates q/k/v at load time)
+        b.update({
+            "qkv_w": w(layers, n, 3 * n), "qkv_b": w(layers, 3 * n),
+        })
         if cross:
             b.update({
                 "xattn_ln_w": jnp.ones((layers, n), dtype),
