@@ -38,7 +38,7 @@ BASELINE_RTF = 30.0 / (0.09465 + 64 * 0.00660)  # V100 large-v2-q5_0
 
 DIMS = {
     "tiny": H.TINY, "base": H.BASE, "small": H.SMALL, "medium": H.MEDIUM,
-    "large-v3": H.LARGE_V3,
+    "large-v3": H.LARGE_V3, "large-v3-turbo": H.LARGE_V3_TURBO,
 }
 
 
@@ -96,8 +96,12 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
                 cache, tok = carry
                 pos = jnp.clip(i, 0, hp.n_text_ctx - 1) * jnp.ones(
                     (n_beam, 1), jnp.int32)
-                logits, cache = M.decode_step_bucketed(
-                    params, tok, pos, i, cache, xk, xv, hp, dtype=dtype)
+                # static first-bucket context, exactly what the production
+                # segmented loop (device_loop.segmented_loop) runs for the
+                # first 128 steps — this chain decodes <=128 tokens
+                logits, cache = M.decode_step(
+                    params, tok, pos, i, cache, xk, xv, hp, dtype=dtype,
+                    attn_ctx=M.attn_ctx_buckets(hp.n_text_ctx)[0])
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return cache, tok
 
@@ -182,8 +186,12 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
             cache, tok = carry
             pos = jnp.clip(i, 0, hp.n_text_ctx - 1) * jnp.ones((W, 1),
                                                                jnp.int32)
-            logits, cache = M.decode_step_bucketed(params, tok, pos, i, cache,
-                                                   xkb, xvb, hp, dtype=dtype)
+            # static first-bucket context (segmented-loop regime for a
+            # typical 64-token window; see device_loop.segmented_loop)
+            logits, cache = M.decode_step(params, tok, pos, i, cache,
+                                          xkb, xvb, hp, dtype=dtype,
+                                          attn_ctx=M.attn_ctx_buckets(
+                                              hp.n_text_ctx)[0])
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return cache, tok
 

@@ -323,11 +323,32 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
     eot, beg = vocab_eot, vocab_beg
     cache_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
     # prompt passes have STATIC occupancy (the prompt bucket), so they get a
-    # static attn_ctx; loop steps use decode_step_bucketed's lax.switch.
-    # Under vmap the switch's per-window index would make vmap execute every
-    # branch and select — only the scalar-index paths use buckets.
+    # static attn_ctx.  Loop steps bucket the attention context by running
+    # the token while_loop in SEGMENTS — one while_loop per static bucket,
+    # entered while occupancy (<= prompt_bucket + i + 1) fits the bucket.
+    # NOT decode_step_bucketed's lax.switch: a conditional's cache results
+    # cannot alias in place, so every switch step paid a full cache copy
+    # (measured +6 ms/step at W=16 large-v3, tools/perf_bucket.py); loop
+    # carries alias for free, and the segment bounds are static ints so
+    # this also buckets the vmapped path.
     prompt_ctx = next(a for a in M.attn_ctx_buckets(hp.n_text_ctx)
                       if a >= prompt_bucket)
+    seg_sizes = ([a for a in M.attn_ctx_buckets(hp.n_text_ctx)
+                  if a > prompt_bucket] or [hp.n_text_ctx])
+
+    def segmented_loop(cond, body, st):
+        """while_loop(cond, body, st), split at attention-bucket
+        boundaries; `body(st, attn_ctx)` decodes with that static ctx."""
+        final = st
+        for a in seg_sizes:
+            seg_body = (lambda _a: lambda s: body(s, _a))(a)
+            if a == seg_sizes[-1]:
+                c = cond
+            else:
+                c = (lambda e: lambda s: cond(s) & (s.i < e))(
+                    a - prompt_bucket)
+            final = lax.while_loop(c, seg_body, final)
+        return final
 
     def decode_window(params, prompt, prompt_len, xk, xv, base_mask,
                       initial_mask, temperature, seek, seek_end, max_tokens,
@@ -374,7 +395,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         def cond(st: LoopState):
             return (st.i < n_max) & ~jnp.all(st.completed | st.failed)
 
-        def body(st: LoopState) -> LoopState:
+        def body(st: LoopState, attn_ctx: int) -> LoopState:
             live = ~(st.completed | st.failed)
             logits, logprobs, probs = _apply_filters(
                 st.logits_row, st.i, st.last_id, st.penult_id, st.has_ts,
@@ -463,10 +484,10 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             n_past = prompt_len + st.i
             step_pos = jnp.clip(n_past, 0, hp.n_text_ctx - 1) * jnp.ones(
                 (B, 1), jnp.int32)
-            step_fn = M.decode_step if vmap_windows else M.decode_step_bucketed
-            logits_next, cache = step_fn(
+            logits_next, cache = M.decode_step(
                 params, tok[:, None], step_pos, n_past, st.cache, xk, xv, hp,
-                dtype=compute_dtype, unroll=unroll_layers)
+                dtype=compute_dtype, unroll=unroll_layers,
+                attn_ctx=attn_ctx)
 
             return LoopState(
                 i=st.i + 1, cache=cache, logits_row=logits_next[:, 0],
@@ -480,7 +501,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 tok_plog=tok_plog, tok_pt=tok_pt, tok_ptsum=tok_ptsum,
                 n_tok=n_tok)
 
-        final = lax.while_loop(cond, body, st)
+        final = segmented_loop(cond, body, st)
 
         return WindowResult(
             tok_id=final.tok_id, tok_tid=final.tok_tid, tok_p=final.tok_p,
@@ -584,7 +605,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         def cond(st: LoopState):
             return (st.i < n_max) & ~jnp.all(st.completed | st.failed)
 
-        def body(st: LoopState) -> LoopState:
+        def body(st: LoopState, attn_ctx: int) -> LoopState:
             live = ~(st.completed | st.failed)
             logits, logprobs, probs = _apply_filters(
                 st.logits_row, st.i, st.last_id, st.penult_id, st.has_ts,
@@ -670,10 +691,11 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             # per-row true positions ----
             step_pos = jnp.clip(rep_lanes(prompt_lens) + st.i, 0,
                                 hp.n_text_ctx - 1)[:, None]
-            logits_next, cache = M.decode_step_bucketed(
+            logits_next, cache = M.decode_step(
                 params, tok[:, None], step_pos, prompt_bucket + st.i,
                 st.cache, xk, xv, hp, dtype=compute_dtype,
-                unroll=unroll_layers, attn_mask=attn_mask, xkv_group=G)
+                unroll=unroll_layers, attn_mask=attn_mask, xkv_group=G,
+                attn_ctx=attn_ctx)
 
             return LoopState(
                 i=st.i + 1, cache=cache, logits_row=logits_next[:, 0],
@@ -687,7 +709,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 tok_plog=tok_plog, tok_pt=tok_pt, tok_ptsum=tok_ptsum,
                 n_tok=n_tok)
 
-        final = lax.while_loop(cond, body, st)
+        final = segmented_loop(cond, body, st)
 
         def per_window(a):  # (W*G, ...) -> (W, G, ...) matching vmapped layout
             return a.reshape((W, G) + a.shape[1:])

@@ -37,7 +37,10 @@ class WhisperHParams:
     def model_name(self) -> str:
         name = MODEL_NAMES.get(self.n_audio_layer, "unknown")
         if name == "large" and self.n_vocab == 51866:
-            name = "large-v3"
+            # the distilled turbo variant keeps large-v3's encoder but only
+            # 4 decoder layers
+            name = ("large-v3-turbo" if self.n_text_layer == 4
+                    else "large-v3")
         return name
 
     @property
@@ -67,5 +70,13 @@ MEDIUM = WhisperHParams(
 LARGE_V3 = WhisperHParams(
     n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
     n_text_state=1280, n_text_head=20, n_text_layer=32, n_vocab=51866,
+    n_mels=128,
+)
+# distilled 4-layer decoder variant (reference models/convert-h5-to-ggml.py
+# output for openai/whisper-large-v3-turbo; bench row
+# scripts/bench-all-gg.txt:411)
+LARGE_V3_TURBO = WhisperHParams(
+    n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+    n_text_state=1280, n_text_head=20, n_text_layer=4, n_vocab=51866,
     n_mels=128,
 )

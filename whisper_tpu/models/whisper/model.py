@@ -656,15 +656,19 @@ def decode_step_bucketed(params: Dict[str, Any],
     `lax.switch` picks the smallest static bucket >= occupancy and runs
     decode_step with that attn_ctx.  Output is numerically identical to
     the full-context step (sliced-away cells contribute exact zeros
-    through the softmax), but early decode steps — the common case: a
-    window decodes ~64 tokens into the 448-cell cache, the reference's
-    fixed n_text_ctx (src/whisper.cpp:2464-2842) — skip ~3/4 of the
-    cache read and attention work.  Measured: the W=16 large-v3 q8
-    serving step is 10.2 ms at full context vs 6.2 ms at 128 cells
-    (tools/perf_serving.py), a 40% step saving.  Each bucket is a
-    separately traced branch of ONE jitted switch, so shapes stay
-    static; the bucket index is data-dependent, which is exactly what
-    lax.switch exists for."""
+    through the softmax).
+
+    WARNING — do NOT call this inside a decode loop: a conditional's
+    results cannot alias its operands in place, so every switch step
+    pays a full cache copy at the branch merge (measured +6 ms/step at
+    W=16 large-v3 vs the plain full-context step, tools/perf_bucket.py
+    — MORE than bucketing saves).  The production paths bucket without
+    a switch: host-driven steps pick a static attn_ctx in Python
+    (runtime/context.py _get_decode) and the on-device window loops run
+    one while_loop per bucket segment (device_loop.segmented_loop),
+    where loop carries alias for free.  This function remains for
+    single-shot calls with a traced occupancy and as the numeric
+    reference for the bucketing tests (tests/test_bucketed_ctx.py)."""
     sizes = attn_ctx_buckets(hp.n_text_ctx, n_buckets)
     if len(sizes) == 1:
         return decode_step(params, tokens, positions, kv_head, cache, xk,

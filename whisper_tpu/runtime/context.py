@@ -186,8 +186,8 @@ class WhisperContext:
             fn = self._encode_jit[n_audio_ctx] = encode_fn
         return fn
 
-    def _get_decode(self, n_beam: int, n_tok: int):
-        key = (n_beam, n_tok)
+    def _get_decode(self, n_beam: int, n_tok: int, attn_ctx: int):
+        key = (n_beam, n_tok, attn_ctx)
         fn = self._decode_jit.get(key)
         if fn is None:
             hp, cd = self.hp, self.compute_dtype
@@ -195,9 +195,12 @@ class WhisperContext:
             @jax.jit
             def decode_fn(params, tokens, positions, kv_head, n_valid, cache,
                           xk, xv):
-                logits, cache = M.decode_step_bucketed(
+                # attn_ctx is picked ON HOST per call (n_past is a host
+                # int), so the bucket is STATIC here — no lax.switch, whose
+                # cache results can't alias in place (tools/perf_bucket.py)
+                logits, cache = M.decode_step(
                     params, tokens, positions, kv_head, cache, xk, xv, hp,
-                    dtype=cd)
+                    dtype=cd, attn_ctx=attn_ctx)
                 # logits for the last *valid* row only (reference downloads
                 # only rows flagged in batch.logits, src/whisper.cpp:2972)
                 last = jax.lax.dynamic_index_in_dim(
@@ -304,7 +307,9 @@ class WhisperContext:
         pos = np.clip(n_past + np.arange(bt, dtype=np.int32),
                       0, self.hp.n_text_ctx - 1)[None, :].repeat(n_beam, 0)
         t0 = time.perf_counter()
-        fn = self._get_decode(n_beam, bt)
+        attn_ctx = next(a for a in M.attn_ctx_buckets(self.hp.n_text_ctx)
+                        if a >= min(n_past + bt, self.hp.n_text_ctx))
+        fn = self._get_decode(n_beam, bt, attn_ctx)
         logits, cache = fn(self.params, jnp.asarray(toks), jnp.asarray(pos),
                            jnp.int32(n_past), jnp.int32(n_tok), cache,
                            self.xk, self.xv)
