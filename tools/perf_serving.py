@@ -149,7 +149,9 @@ def main():
                     pos = jnp.clip(i, 0, hp_m.n_text_ctx - 1) * jnp.ones(
                         (W, 1), jnp.int32)
                     logits, cache = M.decode_step(
-                        params, tok, pos, i, cache, xkb, xvb, hp_m, dtype=DT)
+                        params, tok, pos, i, cache, xkb, xvb, hp_m, dtype=DT,
+                        attn_ctx=None if mode == "full448" else min(
+                            128, hp_m.n_text_ctx))
                     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     return cache, tok
                 cache0 = M.new_cache(hp_m, W, DT, itype="q8")
@@ -166,7 +168,9 @@ def main():
             Mod._mm = orig_mm
             Mod._mm_fused = orig_fused_g
 
-    for mode in ("full", "no_cross", "no_logits", "ctx112"):
+    # all modes except full448 run the production bucket-128 regime
+    # (device_loop.segmented_loop's first segment)
+    for mode in ("full448", "full", "no_cross", "no_logits", "ctx112"):
         ms = measure(mode)
         print(f"{mode:10s} {ms:7.3f} ms/step  "
               f"({ms/W*1000:6.1f} us/tok/window)", flush=True)

@@ -146,5 +146,9 @@ def self_attention_qkv(qkv: jax.Array, n_head: int,
             out_specs=pl.BlockSpec((bq, bl), lambda g, i: (i, g),
                                    memory_space=pltpu.VMEM),
         ),
+        # every grid step writes a disjoint output block -> fully parallel,
+        # letting Mosaic overlap the next blocks' DMA with compute
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=_interpret(),
     )(qkv, qkv, qkv)
