@@ -110,6 +110,9 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
             return tok.sum()
         return chain
 
+    # chain lengths must stay within the first bucket the chains decode at
+    # (occupancy at step i is i+1; the longest chain runs K=128 steps)
+    assert 128 <= M.attn_ctx_buckets(hp.n_text_ctx)[0], hp.n_text_ctx
     dec_ms = _per_op_ms(make_dec_chain(1), 32, 128, lambda: (params, xk, xv))
     bch5_ms = _per_op_ms(make_dec_chain(5), 16, 64, lambda: (params, xk, xv))
 

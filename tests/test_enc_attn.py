@@ -68,3 +68,24 @@ def test_encode_wiring_matches_flash_path(monkeypatch):
     err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                 - ref.astype(jnp.float32))))
     assert err < 0.05, err
+
+
+def test_odd_head_count_keeps_fallback(monkeypatch):
+    """d=64 heads pair up in the kernel's 128-lane blocks, so an ODD head
+    count must route to the flash/XLA fallback instead of crashing."""
+    from whisper_tpu.models.whisper.hparams import WhisperHParams
+    from whisper_tpu.models.whisper import model as M
+    from whisper_tpu.utils.synth import synth_params
+
+    hp = WhisperHParams(
+        n_vocab=100, n_audio_ctx=384, n_audio_state=192, n_audio_head=3,
+        n_audio_layer=1, n_text_ctx=64, n_text_state=192, n_text_head=3,
+        n_text_layer=1, n_mels=80)
+    params = synth_params(hp, jnp.bfloat16)
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (hp.n_mels, 2 * hp.n_audio_ctx),
+                            jnp.float32) * 0.1
+    monkeypatch.setenv("WTPU_ENC_ATTN", "pallas")
+    out = M.encode(params, mel, hp, dtype=jnp.bfloat16, pad_to=512)
+    assert out.shape == (hp.n_audio_ctx, hp.n_audio_state)
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))

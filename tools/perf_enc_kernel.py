@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _timing import per_op_ms
+
 from whisper_tpu.models.whisper import hparams as H
 from whisper_tpu.models.whisper import model as M
 from whisper_tpu.ops.attention import flash_self_attention
@@ -34,21 +36,6 @@ hp = H.LARGE_V3
 DT = jnp.bfloat16
 TP, TL = 1536, 1500
 
-
-def _timed(fn, *args, reps=4):
-    np.asarray(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def per_op_ms(chain, k1, k2, args):
-    t1 = _timed(chain, jnp.int32(k1), *args)
-    t2 = _timed(chain, jnp.int32(k2), *args)
-    return max(0.0, (t2 - t1) / (k2 - k1)) * 1000
 
 
 def chain_of(fn):

@@ -333,8 +333,19 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
     # this also buckets the vmapped path.
     prompt_ctx = next(a for a in M.attn_ctx_buckets(hp.n_text_ctx)
                       if a >= prompt_bucket)
-    seg_sizes = ([a for a in M.attn_ctx_buckets(hp.n_text_ctx)
-                  if a > prompt_bucket] or [hp.n_text_ctx])
+    # bucket segments, pruned to those actually reachable: segment a is
+    # entered at i = prev_a - prompt_bucket, and the loop runs i < n_max,
+    # so trailing buckets whose entry point is past n_max would trace (and
+    # compile) a full decode graph that can never execute.  The last kept
+    # bucket always covers the max occupancy prompt_bucket + n_max.
+    seg_sizes, _entry = [], 0
+    for _a in M.attn_ctx_buckets(hp.n_text_ctx):
+        if _a <= prompt_bucket or _entry >= n_max:
+            continue
+        seg_sizes.append(_a)
+        _entry = _a - prompt_bucket
+    if not seg_sizes:
+        seg_sizes = [hp.n_text_ctx]
 
     def segmented_loop(cond, body, st):
         """while_loop(cond, body, st), split at attention-bucket

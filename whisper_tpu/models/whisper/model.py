@@ -192,8 +192,12 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
     from ...ops.enc_attn import self_attention_qkv, use_kernel
 
     t_pad = qkv.shape[-2]
+    d_head = n_state // n_head
     if (use_kernel() and dtype == jnp.bfloat16 and t_pad % 512 == 0
-            and (n_state // n_head) in (64, 128)):
+            and d_head in (64, 128)
+            # d=64 heads ride the kernel in PAIRS (128-lane blocks) — an
+            # odd head count must keep the flash/XLA fallback
+            and n_head % max(1, 128 // d_head) == 0):
         # fused-buffer Pallas attention: reads q/k/v per head-pair straight
         # from the projection output — no head transposes, no lane slices
         # (ops/enc_attn.py; 303 vs 350 us/block on v5e), merged (T, S) out

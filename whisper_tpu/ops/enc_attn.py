@@ -48,15 +48,19 @@ def _interpret() -> bool:
 def use_kernel() -> bool:
     """Route encoder self-attention through this kernel?
 
-    Default: only on real TPU.  WTPU_ENC_ATTN=pallas forces it anywhere
-    (tests exercise it via interpret mode); =xla / =flash disables it.
+    Default: only on a SINGLE real TPU chip.  Under a multi-device mesh
+    the pallas_call is opaque to GSPMD — the qkv operand would be
+    all-gathered and every chip would compute all heads — while the
+    flash/XLA fallback partitions by head, so multichip runs keep the
+    fallback.  WTPU_ENC_ATTN=pallas forces the kernel anywhere (tests
+    exercise it via interpret mode); =xla / =flash disables it.
     """
     mode = os.environ.get("WTPU_ENC_ATTN", "auto")
     if mode == "pallas":
         return True
     if mode in ("xla", "flash"):
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, true_len: int,
