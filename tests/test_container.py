@@ -38,6 +38,15 @@ def test_load_mini_model(mini_model):
     assert dec["blocks"]["mlp0_w"].shape == (2, 64, 256)
 
 
+def test_turbo_hparams_naming():
+    from whisper_tpu.models.whisper import hparams as H
+
+    assert H.LARGE_V3.model_name == "large-v3"
+    assert H.LARGE_V3_TURBO.model_name == "large-v3-turbo"
+    assert H.LARGE_V3_TURBO.n_text_layer == 4
+    assert H.LARGE_V3_TURBO.n_audio_layer == H.LARGE_V3.n_audio_layer
+
+
 def test_load_header_only_model():
     from whisper_tpu.models.whisper.load import load_model
 
