@@ -27,8 +27,10 @@
 #include <cstdarg>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <mutex>
 #include <string>
+#include <vector>
 
 namespace {
 
@@ -104,10 +106,76 @@ long call_long(const char * name, long fallback,
     return out;
 }
 
+double call_double(const char * name, double fallback,
+                   const char * fmt, ...) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * args = nullptr;
+    if (fmt) {
+        va_list ap;
+        va_start(ap, fmt);
+        args = Py_VaBuildValue(fmt, ap);
+        va_end(ap);
+    }
+    PyObject * res = call(name, args);
+    double out = fallback;
+    if (res && res != Py_None) {
+        out = PyFloat_AsDouble(res);
+        if (PyErr_Occurred()) {
+            PyErr_Clear();
+            out = fallback;
+        }
+    }
+    Py_XDECREF(res);
+    PyGILState_Release(gil);
+    return out;
+}
+
 // per-thread scratch for returned C strings (stable until the next
 // string-returning call on the same thread, like the reference's internal
 // buffers)
 thread_local std::string g_str_scratch;
+
+// wrap a C float buffer as a numpy f32 view (borrowed memory; only valid
+// for the duration of the call it is passed to)
+PyObject * np_f32_view(const float * data, Py_ssize_t n) {
+    PyObject * mem = PyMemoryView_FromMemory(
+        (char *) data, n * 4, PyBUF_READ);
+    if (!mem) return nullptr;
+    PyObject * np_mod = PyImport_ImportModule("numpy");
+    PyObject * arr = nullptr;
+    if (np_mod) {
+        arr = PyObject_CallMethod(np_mod, "frombuffer", "Os", mem, "<f4");
+        Py_DECREF(np_mod);
+    }
+    Py_DECREF(mem);
+    return arr;
+}
+
+// call a capi function returning bytes; copy into out (up to cap bytes);
+// returns bytes copied or -1
+long call_bytes_out(const char * name, char * out, long cap,
+                    const char * fmt, ...) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * args = nullptr;
+    if (fmt) {
+        va_list ap;
+        va_start(ap, fmt);
+        args = Py_VaBuildValue(fmt, ap);
+        va_end(ap);
+    }
+    PyObject * res = call(name, args);
+    long n = -1;
+    if (res && PyBytes_Check(res)) {
+        n = (long) PyBytes_GET_SIZE(res);
+        if (n > cap) n = cap;
+        memcpy(out, PyBytes_AS_STRING(res), (size_t) n);
+    }
+    Py_XDECREF(res);
+    PyGILState_Release(gil);
+    return n;
+}
 
 const char * call_str(const char * name, const char * fmt, ...) {
     ensure_runtime();
@@ -236,6 +304,420 @@ const char * whisper_print_system_info(void) {
 
 void whisper_print_timings(struct whisper_context * ctx) {
     call_long("print_timings", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+void whisper_reset_timings(struct whisper_context * ctx) {
+    call_long("reset_timings", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+const char * whisper_version(void) {
+    return call_str("version", nullptr);
+}
+
+// ---- init variants (whisper.h:216) ------------------------------------
+
+struct whisper_context * whisper_init_from_buffer(void * buffer,
+                                                  size_t buffer_size) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * res = call("init_from_buffer",
+                          Py_BuildValue("(y#)", (char *) buffer,
+                                        (Py_ssize_t) buffer_size));
+    intptr_t h = 0;
+    if (res) {
+        h = (intptr_t) PyLong_AsLong(res);
+        Py_DECREF(res);
+    }
+    PyGILState_Release(gil);
+    return (struct whisper_context *) h;
+}
+
+// ---- decode states (whisper.h:214, 650) --------------------------------
+
+struct whisper_state;  // opaque; the pointer value IS the python handle
+
+struct whisper_state * whisper_init_state(struct whisper_context * ctx) {
+    return (struct whisper_state *) (intptr_t) call_long(
+        "init_state", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+void whisper_free_state(struct whisper_state * state) {
+    if (!state) return;
+    call_long("free_state", 0, "(l)", (long) (intptr_t) state);
+}
+
+int whisper_full_with_state(struct whisper_context * ctx,
+                            struct whisper_state * state,
+                            const char * params_json,
+                            const float * samples, int n_samples) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call(
+            "full_with_state",
+            Py_BuildValue("(l, l, s, O)", (long) (intptr_t) ctx,
+                          (long) (intptr_t) state, params_json, arr));
+        if (res) {
+            rc = (int) PyLong_AsLong(res);
+            Py_DECREF(res);
+        }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int whisper_full_n_segments_from_state(struct whisper_state * state) {
+    return (int) call_long("full_n_segments_from_state", 0, "(l)",
+                           (long) (intptr_t) state);
+}
+
+int64_t whisper_full_get_segment_t0_from_state(struct whisper_state * state,
+                                               int i) {
+    return call_long("full_get_segment_t0_from_state", 0, "(l,i)",
+                     (long) (intptr_t) state, i);
+}
+
+int64_t whisper_full_get_segment_t1_from_state(struct whisper_state * state,
+                                               int i) {
+    return call_long("full_get_segment_t1_from_state", 0, "(l,i)",
+                     (long) (intptr_t) state, i);
+}
+
+const char * whisper_full_get_segment_text_from_state(
+        struct whisper_state * state, int i) {
+    return call_str("full_get_segment_text_from_state", "(l,i)",
+                    (long) (intptr_t) state, i);
+}
+
+bool whisper_full_get_segment_speaker_turn_next_from_state(
+        struct whisper_state * state, int i) {
+    return call_long("full_get_segment_speaker_turn_next_from_state", 0,
+                     "(l,i)", (long) (intptr_t) state, i) != 0;
+}
+
+float whisper_full_get_segment_no_speech_prob_from_state(
+        struct whisper_state * state, int i) {
+    return (float) call_double(
+        "full_get_segment_no_speech_prob_from_state", 0.0, "(l,i)",
+        (long) (intptr_t) state, i);
+}
+
+int whisper_full_n_tokens_from_state(struct whisper_state * state, int i) {
+    return (int) call_long("full_n_tokens_from_state", 0, "(l,i)",
+                           (long) (intptr_t) state, i);
+}
+
+int whisper_full_get_token_id_from_state(struct whisper_state * state,
+                                         int i, int j) {
+    return (int) call_long("full_get_token_id_from_state", -1, "(l,i,i)",
+                           (long) (intptr_t) state, i, j);
+}
+
+float whisper_full_get_token_p_from_state(struct whisper_state * state,
+                                          int i, int j) {
+    return (float) call_double("full_get_token_p_from_state", 0.0,
+                               "(l,i,i)", (long) (intptr_t) state, i, j);
+}
+
+int whisper_full_lang_id_from_state(struct whisper_state * state) {
+    return (int) call_long("full_lang_id_from_state", -1, "(l)",
+                           (long) (intptr_t) state);
+}
+
+// ---- segment/token accessors (whisper.h:700-745) ------------------------
+
+bool whisper_full_get_segment_speaker_turn_next(struct whisper_context * ctx,
+                                                int i) {
+    return call_long("full_get_segment_speaker_turn_next", 0, "(l,i)",
+                     (long) (intptr_t) ctx, i) != 0;
+}
+
+float whisper_full_get_segment_no_speech_prob(struct whisper_context * ctx,
+                                              int i) {
+    return (float) call_double("full_get_segment_no_speech_prob", 0.0,
+                               "(l,i)", (long) (intptr_t) ctx, i);
+}
+
+float whisper_full_get_token_p(struct whisper_context * ctx, int i, int j) {
+    return (float) call_double("full_get_token_p", 0.0, "(l,i,i)",
+                               (long) (intptr_t) ctx, i, j);
+}
+
+const char * whisper_full_get_token_text(struct whisper_context * ctx,
+                                         int i, int j) {
+    return call_str("full_get_token_text", "(l,i,i)",
+                    (long) (intptr_t) ctx, i, j);
+}
+
+int64_t whisper_full_get_token_t0(struct whisper_context * ctx,
+                                  int i, int j) {
+    return call_long("full_get_token_t0", -1, "(l,i,i)",
+                     (long) (intptr_t) ctx, i, j);
+}
+
+int64_t whisper_full_get_token_t1(struct whisper_context * ctx,
+                                  int i, int j) {
+    return call_long("full_get_token_t1", -1, "(l,i,i)",
+                     (long) (intptr_t) ctx, i, j);
+}
+
+// whisper_full_get_token_data (whisper.h:733): the whisper_token_data
+// struct crosses as JSON, like params
+const char * whisper_full_get_token_data_json(struct whisper_context * ctx,
+                                              int i, int j) {
+    return call_str("full_get_token_data_json", "(l,i,i)",
+                    (long) (intptr_t) ctx, i, j);
+}
+
+int whisper_full_lang_id(struct whisper_context * ctx) {
+    return (int) call_long("full_lang_id", -1, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+// ---- model / vocab introspection (whisper.h:270-330) --------------------
+
+#define WTPU_INT_ACCESSOR(NAME)                                          \
+    int whisper_##NAME(struct whisper_context * ctx) {                   \
+        return (int) call_long(#NAME, -1, "(l)", (long) (intptr_t) ctx); \
+    }
+
+WTPU_INT_ACCESSOR(n_len)
+WTPU_INT_ACCESSOR(n_vocab)
+WTPU_INT_ACCESSOR(n_text_ctx)
+WTPU_INT_ACCESSOR(n_audio_ctx)
+WTPU_INT_ACCESSOR(is_multilingual)
+WTPU_INT_ACCESSOR(model_n_vocab)
+WTPU_INT_ACCESSOR(model_n_audio_ctx)
+WTPU_INT_ACCESSOR(model_n_audio_state)
+WTPU_INT_ACCESSOR(model_n_audio_head)
+WTPU_INT_ACCESSOR(model_n_audio_layer)
+WTPU_INT_ACCESSOR(model_n_text_ctx)
+WTPU_INT_ACCESSOR(model_n_text_state)
+WTPU_INT_ACCESSOR(model_n_text_head)
+WTPU_INT_ACCESSOR(model_n_text_layer)
+WTPU_INT_ACCESSOR(model_n_mels)
+WTPU_INT_ACCESSOR(model_ftype)
+WTPU_INT_ACCESSOR(model_type)
+WTPU_INT_ACCESSOR(token_eot)
+WTPU_INT_ACCESSOR(token_sot)
+WTPU_INT_ACCESSOR(token_solm)
+WTPU_INT_ACCESSOR(token_prev)
+WTPU_INT_ACCESSOR(token_nosp)
+WTPU_INT_ACCESSOR(token_not)
+WTPU_INT_ACCESSOR(token_beg)
+WTPU_INT_ACCESSOR(token_translate)
+WTPU_INT_ACCESSOR(token_transcribe)
+
+#undef WTPU_INT_ACCESSOR
+
+const char * whisper_model_type_readable(struct whisper_context * ctx) {
+    return call_str("model_type_readable", "(l)", (long) (intptr_t) ctx);
+}
+
+int whisper_token_lang(struct whisper_context * ctx, int lang_id) {
+    return (int) call_long("token_lang", -1, "(l,i)",
+                           (long) (intptr_t) ctx, lang_id);
+}
+
+const char * whisper_token_to_str(struct whisper_context * ctx, int token) {
+    return call_str("token_to_str", "(l,i)", (long) (intptr_t) ctx, token);
+}
+
+// whisper_tokenize (whisper.h:357): fills tokens (<= n_max_tokens);
+// returns the count, or -(count) if the text needed more room
+int whisper_tokenize(struct whisper_context * ctx, const char * text,
+                     int * tokens, int n_max_tokens) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * res = call("tokenize",
+                          Py_BuildValue("(l,s)", (long) (intptr_t) ctx,
+                                        text));
+    int n = -1;
+    if (res && PyList_Check(res)) {
+        n = (int) PyList_GET_SIZE(res);
+        if (n > n_max_tokens) {
+            n = -n;  // like the reference: negative count on overflow
+        } else {
+            for (int k = 0; k < n; k++) {
+                tokens[k] = (int) PyLong_AsLong(PyList_GET_ITEM(res, k));
+            }
+        }
+    }
+    Py_XDECREF(res);
+    PyGILState_Release(gil);
+    return n;
+}
+
+int whisper_token_count(struct whisper_context * ctx, const char * text) {
+    return (int) call_long("token_count", -1, "(l,s)",
+                           (long) (intptr_t) ctx, text);
+}
+
+// ---- low-level compute (whisper.h:262-345) -------------------------------
+
+int whisper_pcm_to_mel(struct whisper_context * ctx, const float * samples,
+                       int n_samples, int n_threads) {
+    (void) n_threads;  // XLA owns threading
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call("pcm_to_mel",
+                              Py_BuildValue("(l,O)", (long) (intptr_t) ctx,
+                                            arr));
+        if (res) {
+            rc = (int) PyLong_AsLong(res);
+            Py_DECREF(res);
+        }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int whisper_set_mel(struct whisper_context * ctx, const float * data,
+                    int n_len, int n_mel) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(data, (Py_ssize_t) n_len * n_mel);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call("set_mel",
+                              Py_BuildValue("(l,O,i,i)",
+                                            (long) (intptr_t) ctx, arr,
+                                            n_len, n_mel));
+        if (res) {
+            rc = (int) PyLong_AsLong(res);
+            Py_DECREF(res);
+        }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int whisper_encode(struct whisper_context * ctx, int offset, int n_threads) {
+    (void) n_threads;
+    return (int) call_long("encode", -1, "(l,i)",
+                           (long) (intptr_t) ctx, offset);
+}
+
+int whisper_decode(struct whisper_context * ctx, const int * tokens,
+                   int n_tokens, int n_past, int n_threads) {
+    (void) n_threads;
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * lst = PyList_New(n_tokens);
+    for (int k = 0; k < n_tokens; k++) {
+        PyList_SET_ITEM(lst, k, PyLong_FromLong(tokens[k]));
+    }
+    PyObject * res = call("decode",
+                          Py_BuildValue("(l,O,i)", (long) (intptr_t) ctx,
+                                        lst, n_past));
+    Py_DECREF(lst);
+    int rc = -1;
+    if (res) {
+        rc = (int) PyLong_AsLong(res);
+        Py_DECREF(res);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+// logits of the final position of the last whisper_decode (n_vocab floats;
+// buffer owned per context, valid until the next whisper_decode/free)
+const float * whisper_get_logits(struct whisper_context * ctx) {
+    static std::mutex mu;
+    static std::map<long, std::vector<float>> bufs;
+    long h = (long) (intptr_t) ctx;
+    long nv = call_long("n_vocab", 0, "(l)", h);
+    std::lock_guard<std::mutex> lock(mu);
+    std::vector<float> & buf = bufs[h];
+    buf.resize((size_t) (nv > 0 ? nv : 0));
+    if (nv > 0) {
+        call_bytes_out("get_logits_bytes", (char *) buf.data(), nv * 4,
+                       "(l)", h);
+    }
+    return buf.data();
+}
+
+int whisper_lang_auto_detect(struct whisper_context * ctx,
+                             int offset_ms, int n_threads,
+                             float * lang_probs) {
+    (void) n_threads;
+    int lid = (int) call_long("lang_auto_detect", -1, "(l,i)",
+                              (long) (intptr_t) ctx, offset_ms);
+    if (lid >= 0 && lang_probs) {
+        long n = call_long("lang_max_id", -1, nullptr) + 1;
+        call_bytes_out("get_lang_probs_bytes", (char *) lang_probs, n * 4,
+                       "(l)", (long) (intptr_t) ctx);
+    }
+    return lid;
+}
+
+// whisper_full_default_params_by_ref (whisper.h:587): defaults as JSON —
+// edit fields and pass the string to whisper_full
+const char * whisper_full_default_params_json(int strategy) {
+    return call_str("full_default_params_json", "(i)", strategy);
+}
+
+// ---- VAD (whisper.h:699-756) --------------------------------------------
+
+struct whisper_vad_context;  // opaque python handle
+
+struct whisper_vad_context * whisper_vad_init_from_file(const char * path) {
+    return (struct whisper_vad_context *) (intptr_t) call_long(
+        "vad_init_from_file", 0, "(s)", path);
+}
+
+void whisper_vad_free(struct whisper_vad_context * vctx) {
+    if (!vctx) return;
+    call_long("vad_free", 0, "(l)", (long) (intptr_t) vctx);
+}
+
+// detect + segment in one call; segments live on the vad context
+int whisper_vad_segments_from_samples(struct whisper_vad_context * vctx,
+                                      const char * params_json,
+                                      const float * samples,
+                                      int n_samples) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call(
+            "vad_segments_from_samples",
+            Py_BuildValue("(l,s,O)", (long) (intptr_t) vctx, params_json,
+                          arr));
+        if (res) {
+            rc = (int) PyLong_AsLong(res);
+            Py_DECREF(res);
+        }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int whisper_vad_segments_n_segments(struct whisper_vad_context * vctx) {
+    return (int) call_long("vad_segments_n_segments", 0, "(l)",
+                           (long) (intptr_t) vctx);
+}
+
+float whisper_vad_segments_get_segment_t0(struct whisper_vad_context * vctx,
+                                          int i) {
+    return (float) call_double("vad_segments_get_segment_t0", -1.0, "(l,i)",
+                               (long) (intptr_t) vctx, i);
+}
+
+float whisper_vad_segments_get_segment_t1(struct whisper_vad_context * vctx,
+                                          int i) {
+    return (float) call_double("vad_segments_get_segment_t1", -1.0, "(l,i)",
+                               (long) (intptr_t) vctx, i);
 }
 
 }  // extern "C"

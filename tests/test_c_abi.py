@@ -89,3 +89,122 @@ def test_capi_python_surface(mini_model_path):
         assert capi.full_get_segment_t1(h, i) >= capi.full_get_segment_t0(h, i)
     capi.free(h)
     assert capi.full_n_segments(h) == 0
+
+
+def test_capi_introspection_and_tokens(mini_model_path):
+    """whisper.h:270-436 accessor parity over handles."""
+    import json
+
+    from whisper_tpu import capi
+
+    h = capi.init_from_file(str(mini_model_path))
+    assert h > 0
+    hp_pairs = [
+        (capi.n_vocab, capi.model_n_vocab),
+        (capi.n_audio_ctx, capi.model_n_audio_ctx),
+        (capi.n_text_ctx, capi.model_n_text_ctx),
+    ]
+    for fa, fb in hp_pairs:
+        assert fa(h) > 0 and fa(h) >= fb(h) - 1  # vocab may be synthesized
+    for f in (capi.model_n_audio_state, capi.model_n_audio_head,
+              capi.model_n_audio_layer, capi.model_n_text_state,
+              capi.model_n_text_head, capi.model_n_text_layer,
+              capi.model_n_mels):
+        assert f(h) > 0
+    assert capi.model_type_readable(h) in (
+        "tiny", "base", "small", "medium", "large", "unknown")
+    assert isinstance(capi.version(), str) and capi.version()
+
+    # special tokens ordered like the reference vocab
+    assert capi.token_sot(h) == capi.token_eot(h) + 1
+    assert capi.token_beg(h) > capi.token_sot(h)
+    for f in (capi.token_prev, capi.token_solm, capi.token_nosp,
+              capi.token_not, capi.token_translate, capi.token_transcribe):
+        assert f(h) > 0
+
+    # tokenizer round trip
+    toks = capi.tokenize(h, " and")
+    assert toks and capi.token_count(h, " and") == len(toks)
+    assert isinstance(capi.token_to_str(h, toks[0]), str)
+
+    # default params JSON is loadable and carries reference field names
+    dp = json.loads(capi.full_default_params_json(1))
+    assert dp["strategy"] == 1
+    assert dp["beam_search.beam_size"] == 5
+    assert "temperature_inc" in dp and "no_speech_thold" in dp
+    capi.free(h)
+
+
+def test_capi_lowlevel_drive_and_state(mini_model_path):
+    """pcm_to_mel -> encode -> decode -> logits, plus the state API
+    (whisper.h:262-345, 650)."""
+    from whisper_tpu import capi
+
+    h = capi.init_from_file(str(mini_model_path))
+    samples = np.zeros(16000, np.float32)
+    assert capi.pcm_to_mel(h, samples) == 0
+    assert capi.n_len(h) > 0
+    assert capi.encode(h, 0) == 0
+    assert capi.decode(h, [capi.token_sot(h)], 0) == 0
+    logits = capi.get_logits(h)
+    assert logits.shape == (capi.n_vocab(h),)
+    assert np.isfinite(logits).all()
+    # a second step at n_past=1 reuses the handle's cache
+    assert capi.decode(h, [int(logits.argmax())], 1) == 0
+
+    lid = capi.lang_auto_detect(h, 0)
+    assert lid >= 0
+    probs = np.frombuffer(capi.get_lang_probs_bytes(h), "<f4")
+    assert len(probs) == capi.lang_max_id() + 1
+    assert abs(float(probs.sum()) - 1.0) < 1e-3
+
+    # state API: results land on the state, not the context
+    sh = capi.init_state(h)
+    assert sh > 0
+    rc = capi.full_with_state(
+        h, sh, '{"language": "en", "temperature_inc": 0.0}', samples)
+    assert rc == 0
+    ns = capi.full_n_segments_from_state(sh)
+    for i in range(ns):
+        assert isinstance(capi.full_get_segment_text_from_state(sh, i), str)
+        assert (capi.full_get_segment_t1_from_state(sh, i)
+                >= capi.full_get_segment_t0_from_state(sh, i))
+        for j in range(capi.full_n_tokens_from_state(sh, i)):
+            assert capi.full_get_token_id_from_state(sh, i, j) >= 0
+    capi.free_state(sh)
+    assert capi.full_n_segments_from_state(sh) == 0
+    capi.free(h)
+
+
+def test_capi_init_from_buffer(mini_model_path):
+    from whisper_tpu import capi
+
+    data = mini_model_path.read_bytes()
+    h = capi.init_from_buffer(data)
+    assert h > 0
+    assert capi.n_vocab(h) > 0
+    capi.free(h)
+    assert capi.init_from_buffer(b"not a model") == 0
+
+
+def test_capi_vad_surface():
+    """whisper_vad_* handle API (whisper.h:699-756)."""
+    from whisper_tpu import capi
+
+    silero = pathlib.Path(
+        "/root/reference/models/for-tests-silero-v6.2.0-ggml.bin")
+    if not silero.exists():
+        pytest.skip("silero test model not available")
+    h = capi.vad_init_from_file(str(silero))
+    assert h > 0
+    t = np.arange(16000 * 2, dtype=np.float32) / 16000.0
+    voice = (np.sin(2 * np.pi * 220 * t) * np.hanning(len(t))).astype(
+        np.float32)
+    n = capi.vad_segments_from_samples(h, None, voice)
+    assert n >= 0
+    assert capi.vad_segments_n_segments(h) == n
+    for i in range(n):
+        assert (capi.vad_segments_get_segment_t1(h, i)
+                >= capi.vad_segments_get_segment_t0(h, i))
+    capi.vad_free(h)
+    assert capi.vad_init_from_file("/nonexistent.bin") == 0

@@ -23,6 +23,13 @@ import numpy as np
 
 _contexts: Dict[int, object] = {}
 _segments: Dict[int, list] = {}
+# state handles (whisper_init_state, whisper.h:214): a state is a cloned
+# context sharing the parent's weights, with its own mel/KV/segment results
+_states: Dict[int, object] = {}
+_state_segments: Dict[int, list] = {}
+# per-handle scratch from compute entry points (decode logits, lang probs,
+# the 1-beam KV cache whisper_decode threads between calls)
+_scratch: Dict[int, dict] = {}
 _handle = itertools.count(1)
 
 
@@ -41,10 +48,49 @@ def init_from_file(path: str) -> int:
     return h
 
 
+def init_from_buffer(data: bytes) -> int:
+    """whisper_init_from_buffer_with_params (whisper.h:216): loads a model
+    from an in-memory byte buffer."""
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".bin")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(bytes(data))
+        return init_from_file(path)
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 def free(h: int) -> None:
     """whisper_free (whisper.h:253)."""
     _contexts.pop(h, None)
     _segments.pop(h, None)
+    _scratch.pop(h, None)
+
+
+def init_state(h: int) -> int:
+    """whisper_init_state (whisper.h:214): a decode state sharing the
+    context's weights.  Implemented as WhisperContext.clone_state (shares
+    params; fresh mel/KV/timings) + a per-state segment list."""
+    ctx = _contexts.get(h)
+    if ctx is None:
+        return 0
+    sh = next(_handle)
+    _states[sh] = ctx.clone_state()
+    _state_segments[sh] = []
+    return sh
+
+
+def free_state(sh: int) -> None:
+    """whisper_free_state (whisper.h:255)."""
+    _states.pop(sh, None)
+    _state_segments.pop(sh, None)
+    _scratch.pop(sh, None)
 
 
 def _params_from_json(spec: Optional[str]):
@@ -158,8 +204,450 @@ def print_timings(h: int) -> None:
         ctx.timings.print()
 
 
+def reset_timings(h: int) -> None:
+    """whisper_reset_timings (whisper.h:763)."""
+    from .runtime.timings import Timings
+
+    ctx = _contexts.get(h)
+    if ctx is not None:
+        ctx.timings = Timings()
+
+
 def system_info() -> str:
     import jax
 
     return f"whisper_tpu | backend = {jax.default_backend()} | " \
            f"devices = {len(jax.devices())}"
+
+
+def version() -> str:
+    """whisper_version (whisper.h:767)."""
+    from . import __version__
+
+    return __version__
+
+
+# ---------------------------------------------------------------------------
+# state-based results (whisper_full_with_state + *_from_state accessors,
+# whisper.h:650, 680-745).  A state handle owns its own mel/KV/segments, so
+# several transcriptions can run against one weight set.
+# ---------------------------------------------------------------------------
+
+def full_with_state(h: int, sh: int, params_json: Optional[str],
+                    samples: np.ndarray) -> int:
+    """whisper_full_with_state (whisper.h:650)."""
+    from .decoding.full import full_with_state as _full
+
+    state = _states.get(sh)
+    if _contexts.get(h) is None or state is None:
+        return -1
+    try:
+        p = _params_from_json(params_json)
+        segs = _full(state, p, np.asarray(samples, np.float32))
+    except Exception:
+        return -6
+    _state_segments[sh] = segs
+    return 0
+
+
+def full_n_segments_from_state(sh: int) -> int:
+    return len(_state_segments.get(sh, []))
+
+
+def full_get_segment_t0_from_state(sh: int, i: int) -> int:
+    return int(_state_segments[sh][i].t0)
+
+
+def full_get_segment_t1_from_state(sh: int, i: int) -> int:
+    return int(_state_segments[sh][i].t1)
+
+
+def full_get_segment_text_from_state(sh: int, i: int) -> str:
+    return _state_segments[sh][i].text
+
+
+def full_get_segment_speaker_turn_next_from_state(sh: int, i: int) -> bool:
+    return bool(getattr(_state_segments[sh][i], "speaker_turn_next", False))
+
+
+def full_get_segment_no_speech_prob_from_state(sh: int, i: int) -> float:
+    return float(_state_segments[sh][i].no_speech_prob)
+
+
+def full_n_tokens_from_state(sh: int, i: int) -> int:
+    return len(_state_segments[sh][i].tokens)
+
+
+def full_get_token_id_from_state(sh: int, i: int, j: int) -> int:
+    return int(_state_segments[sh][i].tokens[j].id)
+
+
+def full_get_token_p_from_state(sh: int, i: int, j: int) -> float:
+    return float(_state_segments[sh][i].tokens[j].p)
+
+
+def full_lang_id_from_state(sh: int) -> int:
+    state = _states.get(sh)
+    return int(getattr(state, "lang_id", 0)) if state is not None else -1
+
+
+# ---------------------------------------------------------------------------
+# segment/token accessors beyond the basics (whisper.h:700-745)
+# ---------------------------------------------------------------------------
+
+def full_get_segment_no_speech_prob(h: int, i: int) -> float:
+    """whisper_full_get_segment_no_speech_prob (whisper.h:712)."""
+    return float(_segments[h][i].no_speech_prob)
+
+
+def full_get_token_text(h: int, i: int, j: int) -> str:
+    """whisper_full_get_token_text (whisper.h:729)."""
+    ctx = _contexts[h]
+    return ctx.vocab.token_str(_segments[h][i].tokens[j].id)
+
+
+def full_get_token_t0(h: int, i: int, j: int) -> int:
+    return int(_segments[h][i].tokens[j].t0)
+
+
+def full_get_token_t1(h: int, i: int, j: int) -> int:
+    return int(_segments[h][i].tokens[j].t1)
+
+
+def full_get_token_data_json(h: int, i: int, j: int) -> str:
+    """whisper_full_get_token_data (whisper.h:733) — the whisper_token_data
+    struct crosses the FFI as JSON (same no-struct-coupling rule as
+    params)."""
+    import dataclasses
+
+    return json.dumps(dataclasses.asdict(_segments[h][i].tokens[j]))
+
+
+def full_lang_id(h: int) -> int:
+    """whisper_full_lang_id (whisper.h:676)."""
+    ctx = _contexts.get(h)
+    return int(getattr(ctx, "lang_id", 0)) if ctx is not None else -1
+
+
+# ---------------------------------------------------------------------------
+# model / vocab introspection (whisper.h:270-330, 420-436)
+# ---------------------------------------------------------------------------
+
+def _hp(h: int):
+    return _contexts[h].hp
+
+
+def n_vocab(h: int) -> int:
+    return int(_contexts[h].vocab.n_vocab)
+
+
+def n_len(h: int) -> int:
+    """whisper_n_len: current mel length in frames."""
+    return int(_contexts[h].n_len)
+
+
+def n_audio_ctx(h: int) -> int:
+    return int(_hp(h).n_audio_ctx)
+
+
+def n_text_ctx(h: int) -> int:
+    return int(_hp(h).n_text_ctx)
+
+
+def is_multilingual(h: int) -> int:
+    return 1 if _contexts[h].vocab.is_multilingual else 0
+
+
+def model_n_vocab(h: int) -> int:
+    return int(_hp(h).n_vocab)
+
+
+def model_n_audio_ctx(h: int) -> int:
+    return int(_hp(h).n_audio_ctx)
+
+
+def model_n_audio_state(h: int) -> int:
+    return int(_hp(h).n_audio_state)
+
+
+def model_n_audio_head(h: int) -> int:
+    return int(_hp(h).n_audio_head)
+
+
+def model_n_audio_layer(h: int) -> int:
+    return int(_hp(h).n_audio_layer)
+
+
+def model_n_text_ctx(h: int) -> int:
+    return int(_hp(h).n_text_ctx)
+
+
+def model_n_text_state(h: int) -> int:
+    return int(_hp(h).n_text_state)
+
+
+def model_n_text_head(h: int) -> int:
+    return int(_hp(h).n_text_head)
+
+
+def model_n_text_layer(h: int) -> int:
+    return int(_hp(h).n_text_layer)
+
+
+def model_n_mels(h: int) -> int:
+    return int(_hp(h).n_mels)
+
+
+def model_ftype(h: int) -> int:
+    return int(_contexts[h].model.wtype)
+
+
+def model_type(h: int) -> int:
+    """whisper_model_type (e_model from n_audio_layer,
+    src/whisper.cpp:1525-1547)."""
+    return {4: 1, 6: 2, 12: 3, 24: 4, 32: 5}.get(
+        int(_hp(h).n_audio_layer), 0)
+
+
+def model_type_readable(h: int) -> str:
+    return {4: "tiny", 6: "base", 12: "small", 24: "medium",
+            32: "large"}.get(int(_hp(h).n_audio_layer), "unknown")
+
+
+# ---------------------------------------------------------------------------
+# special tokens + tokenizer (whisper.h:350-436)
+# ---------------------------------------------------------------------------
+
+def token_eot(h: int) -> int:
+    return int(_contexts[h].vocab.token_eot)
+
+
+def token_sot(h: int) -> int:
+    return int(_contexts[h].vocab.token_sot)
+
+
+def token_solm(h: int) -> int:
+    return int(_contexts[h].vocab.token_solm)
+
+
+def token_prev(h: int) -> int:
+    return int(_contexts[h].vocab.token_prev)
+
+
+def token_nosp(h: int) -> int:
+    return int(_contexts[h].vocab.token_nosp)
+
+
+def token_not(h: int) -> int:
+    return int(_contexts[h].vocab.token_not)
+
+
+def token_beg(h: int) -> int:
+    return int(_contexts[h].vocab.token_beg)
+
+
+def token_lang(h: int, lid: int) -> int:
+    return int(_contexts[h].vocab.lang_token(lid))
+
+
+def token_translate(h: int) -> int:
+    return int(_contexts[h].vocab.token_translate)
+
+
+def token_transcribe(h: int) -> int:
+    return int(_contexts[h].vocab.token_transcribe)
+
+
+def token_to_str(h: int, tid: int) -> str:
+    """whisper_token_to_str (whisper.h:424)."""
+    return _contexts[h].vocab.token_str(int(tid))
+
+
+def tokenize(h: int, text: str) -> list:
+    """whisper_tokenize (whisper.h:357): returns the token ids (the C shim
+    copies into the caller's buffer and applies its n_max_tokens cap)."""
+    return [int(t) for t in _contexts[h].vocab.tokenize(text)]
+
+
+def token_count(h: int, text: str) -> int:
+    """whisper_token_count (whisper.h:365)."""
+    return len(_contexts[h].vocab.tokenize(text))
+
+
+# ---------------------------------------------------------------------------
+# low-level compute drivers (whisper.h:262-345): pcm->mel, encode, decode,
+# logits, language detect.  whisper_decode threads a 1-beam KV cache between
+# calls on the handle, mirroring the reference's stateful decoder.
+# ---------------------------------------------------------------------------
+
+def pcm_to_mel(h: int, samples: np.ndarray) -> int:
+    """whisper_pcm_to_mel (whisper.h:262)."""
+    ctx = _contexts.get(h)
+    if ctx is None:
+        return -1
+    ctx.pcm_to_mel(np.asarray(samples, np.float32))
+    return 0
+
+
+def set_mel(h: int, mel_flat: np.ndarray, n_len: int, n_mel: int) -> int:
+    """whisper_set_mel (whisper.h:277): caller-provided mel, row-major
+    (n_mel, n_len) like the reference."""
+    ctx = _contexts.get(h)
+    if ctx is None or n_mel != ctx.hp.n_mels:
+        return -1
+    mel = np.asarray(mel_flat, np.float32).reshape(n_mel, n_len)
+    ctx.set_mel(mel)
+    return 0
+
+
+def encode(h: int, offset: int) -> int:
+    """whisper_encode (whisper.h:289): runs the encoder + cross-KV
+    precompute on the mel window starting at frame `offset`."""
+    ctx = _contexts.get(h)
+    if ctx is None or ctx.mel is None:
+        return -1
+    try:
+        ctx.encode_window(int(offset))
+    except Exception:
+        return -1
+    return 0
+
+
+def decode(h: int, tokens, n_past: int) -> int:
+    """whisper_decode (whisper.h:301): single-decoder batch over `tokens`
+    at positions n_past.., updating the handle's KV cache; logits retrieved
+    via get_logits."""
+    ctx = _contexts.get(h)
+    if ctx is None or ctx.xk is None:
+        return -1
+    sc = _scratch.setdefault(h, {})
+    if "cache" not in sc or n_past == 0:
+        sc["cache"] = ctx.new_cache(1, ctx.compute_dtype)
+    toks = np.asarray(list(tokens), np.int32)[None, :]
+    try:
+        logits, sc["cache"] = ctx.decode(toks, int(n_past), sc["cache"])
+    except Exception:
+        return -1
+    sc["logits"] = np.asarray(logits[0], np.float32)
+    return 0
+
+
+def get_logits(h: int) -> np.ndarray:
+    """whisper_get_logits (whisper.h:412): logits of the last decode's
+    final position (n_vocab,)."""
+    sc = _scratch.get(h, {})
+    return sc.get("logits", np.zeros(0, np.float32))
+
+
+def get_logits_bytes(h: int) -> bytes:
+    """C-shim marshalling helper for whisper_get_logits."""
+    return get_logits(h).astype("<f4").tobytes()
+
+
+def lang_auto_detect(h: int, offset_ms: int) -> int:
+    """whisper_lang_auto_detect (whisper.h:334): returns the top language
+    id; per-language probs retrievable via get_lang_probs."""
+    from .decoding.full import lang_auto_detect as _detect
+
+    ctx = _contexts.get(h)
+    if ctx is None or ctx.mel is None:
+        return -1
+    try:
+        lid, probs = _detect(ctx, int(offset_ms))
+    except Exception:
+        return -1
+    _scratch.setdefault(h, {})["lang_probs"] = probs
+    ctx.lang_id = lid
+    return lid
+
+
+def get_lang_probs_bytes(h: int) -> bytes:
+    """Marshals the last lang_auto_detect's per-language probabilities
+    (f32, lang_max_id+1 entries) for the C shim to copy out."""
+    sc = _scratch.get(h, {})
+    probs = sc.get("lang_probs")
+    if probs is None:
+        probs = np.zeros(lang_max_id() + 1, np.float32)
+    return np.asarray(probs, "<f4").tobytes()
+
+
+def full_default_params_json(strategy: int) -> str:
+    """whisper_full_default_params_by_ref (whisper.h:587) — the defaults as
+    a JSON object of whisper_full_params field names, editable and passed
+    back to full()."""
+    import dataclasses
+
+    from .decoding.params import SamplingStrategy, TranscribeParams
+
+    p = TranscribeParams.default(
+        SamplingStrategy.BEAM_SEARCH if strategy == 1
+        else SamplingStrategy.GREEDY)
+    out = {"strategy": int(strategy),
+           "greedy.best_of": p.greedy.best_of,
+           "beam_search.beam_size": p.beam_search.beam_size}
+    for f in dataclasses.fields(p):
+        v = getattr(p, f.name)
+        if isinstance(v, (bool, int, float, str)) and f.name != "strategy":
+            out[f.name] = v
+    return json.dumps(out)
+
+
+# ---------------------------------------------------------------------------
+# VAD surface (whisper_vad_*, whisper.h:699-756): standalone Silero-VAD
+# segment detection over PCM samples.
+# ---------------------------------------------------------------------------
+
+def vad_init_from_file(path: str) -> int:
+    """whisper_vad_init_from_file_with_params (whisper.h:711)."""
+    from .models.vad.silero import VadContext
+
+    try:
+        ctx = VadContext.from_file(path)
+    except Exception:
+        return 0
+    h = next(_handle)
+    _contexts[h] = ctx
+    return h
+
+
+def vad_free(h: int) -> None:
+    _contexts.pop(h, None)
+    _scratch.pop(h, None)
+
+
+def vad_segments_from_samples(h: int, params_json: Optional[str],
+                              samples: np.ndarray) -> int:
+    """whisper_vad_segments_from_samples (whisper.h:744): detect + segment;
+    returns the segment count (<0 on error), accessors below."""
+    from .decoding.params import VadParams
+    from .models.vad.silero import segments_from_probs
+
+    ctx = _contexts.get(h)
+    if ctx is None:
+        return -1
+    vp = VadParams()
+    for key, val in (json.loads(params_json) if params_json else {}).items():
+        if hasattr(vp, key):
+            setattr(vp, key, val)
+    try:
+        ctx.reset_state()
+        probs = ctx.detect_speech(np.asarray(samples, np.float32))
+        segs = segments_from_probs(np.asarray(probs), vp)
+    except Exception:
+        return -1
+    _scratch.setdefault(h, {})["vad_segments"] = segs
+    return len(segs)
+
+
+def vad_segments_n_segments(h: int) -> int:
+    return len(_scratch.get(h, {}).get("vad_segments", []))
+
+
+def vad_segments_get_segment_t0(h: int, i: int) -> float:
+    """In centiseconds, like the reference (whisper.h:746 'probably
+    best to use 1/100th of a second')."""
+    return float(_scratch[h]["vad_segments"][i].start)
+
+
+def vad_segments_get_segment_t1(h: int, i: int) -> float:
+    return float(_scratch[h]["vad_segments"][i].end)
