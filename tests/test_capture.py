@@ -22,7 +22,10 @@ for _ in range(40):
 """]
 
 
-def _wait(pred, timeout=10.0):
+def _wait(pred, timeout=60.0):
+    # generous deadline: predicates fire in <1 s when healthy, but a
+    # saturated CI box (parallel jit compiles) can starve the fake-mic
+    # subprocess for tens of seconds
     t0 = time.monotonic()
     while not pred():
         if time.monotonic() - t0 > timeout:
