@@ -2,14 +2,13 @@
 implementation in libggml-base via ctypes."""
 
 import ctypes
-import pathlib
 
 import numpy as np
 import pytest
 
 from whisper_tpu.formats import gguf, quants
 
-LIB = pathlib.Path("/root/repo/.oracle/build/bin/libggml-base.so")
+from oracle_paths import require_bin
 
 
 def _sample_file(path):
@@ -58,12 +57,10 @@ def test_roundtrip(tmp_path):
 
 def test_reference_reads_our_gguf(tmp_path):
     """The REFERENCE gguf implementation must accept our files."""
-    if not LIB.exists():
-        pytest.skip("reference libggml not built")
     p = tmp_path / "x.gguf"
     kv, tensors = _sample_file(p)
 
-    lib = ctypes.CDLL(str(LIB))
+    lib = ctypes.CDLL(str(require_bin("libggml-base.so")))
 
     class InitParams(ctypes.Structure):
         _fields_ = [("no_alloc", ctypes.c_bool),

@@ -4,14 +4,13 @@ ctypes (same oracle pattern as test_kquants.py): our bytes must equal
 `dequantize_row_*` bit-for-bit on reference-produced bytes."""
 
 import ctypes
-import pathlib
 
 import numpy as np
 import pytest
 
 from whisper_tpu.formats import quants
 
-LIB = pathlib.Path("/root/repo/.oracle/build/bin/libggml-base.so")
+from oracle_paths import require_bin
 
 TYPES = {
     "iq4_nl": quants.GGML_TYPE_IQ4_NL,
@@ -25,9 +24,7 @@ TYPES = {
 
 @pytest.fixture(scope="module")
 def ggml():
-    if not LIB.exists():
-        pytest.skip("reference libggml not built")
-    lib = ctypes.CDLL(str(LIB))
+    lib = ctypes.CDLL(str(require_bin("libggml-base.so")))
     lib.ggml_quantize_chunk.restype = ctypes.c_size_t
     lib.ggml_quantize_chunk.argtypes = [
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,

@@ -7,14 +7,13 @@ quality matching its own quantizer.
 """
 
 import ctypes
-import pathlib
 
 import numpy as np
 import pytest
 
 from whisper_tpu.formats import quants
 
-LIB = pathlib.Path("/root/repo/.oracle/build/bin/libggml-base.so")
+from oracle_paths import require_bin
 
 KTYPES = {
     "q2_k": quants.GGML_TYPE_Q2_K,
@@ -27,9 +26,7 @@ KTYPES = {
 
 @pytest.fixture(scope="module")
 def ggml():
-    if not LIB.exists():
-        pytest.skip("reference libggml not built")
-    lib = ctypes.CDLL(str(LIB))
+    lib = ctypes.CDLL(str(require_bin("libggml-base.so")))
     lib.ggml_quantize_chunk.restype = ctypes.c_size_t
     lib.ggml_quantize_chunk.argtypes = [
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,

@@ -159,8 +159,9 @@ def test_vad_segments_cli_matches_reference():
 
     model = "/root/reference/models/for-tests-silero-v6.2.0-ggml.bin"
     jfk = "/root/reference/samples/jfk.wav"
-    oracle = pathlib.Path("/root/repo/.oracle/build/bin/"
-                          "whisper-vad-speech-segments")
+    from oracle_paths import find_bin
+
+    oracle = find_bin("whisper-vad-speech-segments")
     if not (pathlib.Path(model).exists() and pathlib.Path(jfk).exists()):
         pytest.skip("fixtures not available")
 
@@ -171,7 +172,7 @@ def test_vad_segments_cli_matches_reference():
         assert main(["-vm", model, "-f", jfk, "-np"]) == 0
     ours = buf.getvalue()
     assert "Detected 4 speech segments:" in ours
-    if oracle.exists():
+    if oracle is not None:
         ref = subprocess.run([str(oracle), "-vm", model, "-f", jfk, "-np"],
                              capture_output=True, text=True).stdout
         assert ours == ref

@@ -41,11 +41,21 @@ int main(int argc, char ** argv) {
 
     struct whisper_context_params cparams = whisper_context_default_params();
     cparams.use_gpu = false;
+    // argv[5] == "noflash": trace the non-flash-attention graph (the
+    // precision-matched parity mode emulates its f16 rounding points)
+    if (argc > 5 && strcmp(argv[5], "noflash") == 0) cparams.flash_attn = false;
     struct whisper_context * ctx = whisper_init_from_file_with_params(model_path, cparams);
     if (!ctx) return 1;
 
     std::vector<float> pcm = read_f32(pcm_path);
 
+    // argv[6] == "mel": argv[2] is a dumped (n_mel, n_len) f32 mel (row-major,
+    // mel-major) fed via whisper_set_mel instead of pcm — isolates
+    // mel-frontend differences from encoder/decoder differences
+    if (argc > 6 && strcmp(argv[6], "mel") == 0) {
+        const int n_mel = whisper_model_n_mels(ctx);
+        if (whisper_set_mel(ctx, pcm.data(), (int) (pcm.size() / n_mel), n_mel) != 0) return 1;
+    } else
     if (whisper_pcm_to_mel(ctx, pcm.data(), (int) pcm.size(), 4) != 0) return 1;
 
     // encode window 0
