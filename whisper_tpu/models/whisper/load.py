@@ -259,6 +259,63 @@ def build_qweight_overlay(qplanes: Dict[str, "quants.QTensor"],
     return out
 
 
+# every matmul weight of the transformer stacks, keyed by pytree leaf →
+# file tensor names concatenated along the OUT axis (mirrors the dense
+# load-time qkv fusion, which concatenates output rows)
+_PARITY_ENC_KEYS = {
+    "qkv_w": ("attn.query.weight", "attn.key.weight", "attn.value.weight"),
+    "o_w": ("attn.out.weight",),
+    "mlp0_w": ("mlp.0.weight",), "mlp1_w": ("mlp.2.weight",),
+}
+_PARITY_DEC_KEYS = {
+    **PACKED_DEC_KEYS,
+    "xk_w": ("cross_attn.key.weight",), "xv_w": ("cross_attn.value.weight",),
+}
+
+
+def build_parity_overlay(qplanes: Dict[str, "quants.QTensor"],
+                         hp: WhisperHParams) -> Dict[str, Any]:
+    """ggml-CPU-parity planes for EVERY quantized matmul weight.
+
+    The ggml CPU backend never dequantizes q8_0-family weights: mul_mat
+    quantizes the activation rows to Q8_0 and runs integer block dots
+    (ggml/src/ggml-cpu/quants.c ggml_vec_dot_q{4,5,8}_0_q8_0).  The parity
+    decode path (model.py `_mm_ggml_q`) reproduces that bit-for-bit from
+    these centered-code/scale planes.  Symmetric formats only — exactly the
+    set whisper-quantize emits by default plus what the text-parity
+    fixtures use."""
+    def planes(fmt: str, keys: Dict[str, tuple], n_layer: int):
+        out = {}
+        for key, fnames in keys.items():
+            names = [[fmt % i + "." + f for f in fnames]
+                     for i in range(n_layer)]
+            missing = [n for row in names for n in row
+                       if n not in qplanes or qplanes[n].mins is not None]
+            if missing:
+                raise ValueError(
+                    f"ggml_cpu_f16 parity needs symmetric quant planes for "
+                    f"{missing[:2]} (q4_0/q5_0/q8_0 files only)")
+            out[key] = (
+                np.stack([np.concatenate([qplanes[n].codes for n in row])
+                          for row in names]).astype(np.float32),
+                np.stack([np.concatenate([qplanes[n].scales for n in row])
+                          for row in names]))
+        return out
+
+    overlay = {
+        "enc_blocks": planes("encoder.blocks.%d", _PARITY_ENC_KEYS,
+                             hp.n_audio_layer),
+        "dec_blocks": planes("decoder.blocks.%d", _PARITY_DEC_KEYS,
+                             hp.n_text_layer),
+    }
+    te = qplanes.get("decoder.token_embedding.weight")
+    if te is None or te.mins is not None:
+        raise ValueError("ggml_cpu_f16 parity: quantized token embedding "
+                         "with symmetric codes required")
+    overlay["tok_embd"] = (te.codes.astype(np.float32), te.scales)
+    return overlay
+
+
 def load_model(path: str, dtype: Any = np.float32) -> WhisperModel:
     """Read a legacy ggml whisper file.  Quantized tensors are dequantized to
     `dtype` (dense path); the packed planes are additionally preserved in

@@ -33,8 +33,15 @@ from jax import lax
 from .hparams import WhisperHParams
 
 
-def _gelu(x: jax.Array) -> jax.Array:
+def _gelu(x: jax.Array, parity: bool = False) -> jax.Array:
     # ggml_gelu is the tanh approximation (ggml/src/ggml-cpu/ops.cpp GELU LUT)
+    if parity:
+        # GGML_GELU_FP16 table emulation (ggml/src/ggml-cpu/vec.h:987-1001):
+        # y = f16(gelu(f32(f16(x)))) with hard 0/x clamps outside [-10, 10]
+        xr = x.astype(jnp.float16).astype(jnp.float32)
+        y = jax.nn.gelu(xr, approximate=True).astype(
+            jnp.float16).astype(jnp.float32)
+        return jnp.where(x <= -10.0, 0.0, jnp.where(x >= 10.0, x, y))
     return jax.nn.gelu(x, approximate=True)
 
 
@@ -68,16 +75,55 @@ def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-5) -> j
     return normed * w + b
 
 
+class QWGGML(NamedTuple):
+    """ggml-CPU-parity quantized weight: centered integer codes in FILE
+    orientation (out, in) held as exact f32 ints, plus per-32-block f32
+    scales (f16-exact values).  `_mm` reproduces ggml's quantized mul_mat
+    bit-for-bit from these (see `_mm_ggml_q`)."""
+
+    codes: jax.Array   # (out, in) f32 integer codes
+    scales: jax.Array  # (out, in//32) f32
+
+
+def _round_half_away(v: jax.Array) -> jax.Array:
+    # C roundf(): halves round away from zero (jnp.round is half-to-even)
+    return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+
+
+def _mm_ggml_q(x: jax.Array, w: QWGGML) -> jax.Array:
+    """ggml CPU quantized mul_mat, bit-faithfully: activation rows quantize
+    to Q8_0 (quantize_row_q8_0_ref semantics — d=amax/127, id=1/d before the
+    f16 rounding of d, roundf codes), then per-32-block INTEGER dots scaled
+    by f32(f16(d_w))*f32(f16(d_x)) accumulate in f32
+    (ggml/src/ggml-cpu/quants.c ggml_vec_dot_q5_0_q8_0_generic).  The
+    integer block dots are exact in f32 (|sumi| < 2^24)."""
+    out_dim, in_dim = w.codes.shape
+    nb = in_dim // 32
+    xb = x.astype(jnp.float32).reshape(x.shape[:-1] + (nb, 32))
+    amax = jnp.max(jnp.abs(xb), axis=-1)
+    d = amax / 127.0
+    idd = jnp.where(d > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+    q = _round_half_away(xb * idd[..., None])
+    dx = d.astype(jnp.float16).astype(jnp.float32)
+    part = jnp.einsum("...bk,obk->...ob", q,
+                      w.codes.reshape(out_dim, nb, 32),
+                      preferred_element_type=jnp.float32)
+    return jnp.sum(part * w.scales * dx[..., None, :], axis=-1)
+
+
 def _mm(x: jax.Array, w, dtype) -> jax.Array:
     """x @ w with f32 accumulation; inputs cast to `dtype` for the MXU.
 
     `w` may be a packed QWeight ((out, in) file orientation; XLA-fused
     dequant) or QWeightT (transposed planes; Pallas streaming kernel for
     the logits head) — either way x @ W^T reads 1.125 B/elem of weights
-    from HBM instead of bf16's 2 (ops/qmm.py).
+    from HBM instead of bf16's 2 (ops/qmm.py) — or a QWGGML (ggml-CPU
+    parity emulation).
     """
     from ...ops.qmm import QWeight, QWeightT, qmm_auto, qmmt_auto
 
+    if isinstance(w, QWGGML):
+        return _mm_ggml_q(x, w)
     if isinstance(w, QWeightT):
         return qmmt_auto(x, w, dtype)
     if isinstance(w, QWeight):
@@ -87,7 +133,7 @@ def _mm(x: jax.Array, w, dtype) -> jax.Array:
 
 
 def _mm_fused(x: jax.Array, w, dtype, *, ln=None, bias=None, res=None,
-              act=None, eps: float = 1e-5) -> jax.Array:
+              act=None, eps: float = 1e-5, parity: bool = False) -> jax.Array:
     """act(LN(x) @ w + bias) + res — ONE Pallas call for packed QWeightT on
     TPU (ops/qmm.py qmmt_fused); otherwise the reference op sequence.
 
@@ -105,7 +151,7 @@ def _mm_fused(x: jax.Array, w, dtype, *, ln=None, bias=None, res=None,
     if bias is not None:
         y = y + bias
     if act == "gelu":
-        y = _gelu(y)
+        y = _gelu(y, parity)
     if res is not None:
         y = y + res
     return y
@@ -126,10 +172,15 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
-              mask: Optional[jax.Array], dtype) -> jax.Array:
-    """q:(...,H,Tq,d) k,v:(...,H,Tk,d) mask additive f32 (...,1,Tq,Tk) or None."""
+              mask: Optional[jax.Array], dtype,
+              scale: Optional[float] = None) -> jax.Array:
+    """q:(...,H,Tq,d) k,v:(...,H,Tk,d) mask additive f32 (...,1,Tq,Tk) or None.
+
+    `scale` overrides the default 1/sqrt(d) score scale (the ggml-parity
+    decode path pre-scales q and k by d^-0.25 each and passes 1.0)."""
     d = q.shape[-1]
-    scale = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d))
+    if scale is None:
+        scale = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d))
     scores = jnp.matmul(q.astype(dtype), jnp.swapaxes(k, -1, -2).astype(dtype),
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
@@ -144,10 +195,15 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # Encoder
 # ---------------------------------------------------------------------------
 
-def conv_stem(enc_params: Dict[str, Any], mel: jax.Array, dtype) -> jax.Array:
+def conv_stem(enc_params: Dict[str, Any], mel: jax.Array, dtype,
+              parity: bool = False) -> jax.Array:
     """2x conv1d + GELU (whisper_build_graph_conv, src/whisper.cpp:2009-2021).
 
     mel: (n_mels, 2*n_ctx) -> (n_ctx, n_state)
+
+    parity: emulate the ggml CPU precision exactly — conv inputs round to
+    f16 (im2col emits the weight's vec_dot type) and GELU goes through the
+    f16 table (see `_gelu`); dtype must be float16.
     """
     x = mel[None, :, :]  # (N=1, C=n_mels, W)
     w1 = enc_params["conv1_w"]  # (n_state, n_mels, 3)
@@ -156,14 +212,14 @@ def conv_stem(enc_params: Dict[str, Any], mel: jax.Array, dtype) -> jax.Array:
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32,
     )
-    x = _gelu(x + enc_params["conv1_b"][None, :, None])
+    x = _gelu(x + enc_params["conv1_b"][None, :, None], parity)
     w2 = enc_params["conv2_w"]  # (n_state, n_state, 3)
     x = lax.conv_general_dilated(
         x.astype(dtype), w2.astype(dtype), window_strides=(2,), padding=[(1, 1)],
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32,
     )
-    x = _gelu(x + enc_params["conv2_b"][None, :, None])
+    x = _gelu(x + enc_params["conv2_b"][None, :, None], parity)
     return x[0].T  # (n_ctx, n_state)
 
 
@@ -177,8 +233,8 @@ def _segment_mask(t_pad: int, true_len: int) -> jax.Array:
 
 
 def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
-                   eps: float, dtype, true_len: Optional[int] = None
-                   ) -> jax.Array:
+                   eps: float, dtype, true_len: Optional[int] = None,
+                   parity: bool = False) -> jax.Array:
     """One pre-LN transformer block.  `true_len`: set when the residual
     stream is padded-resident (rows true_len.. are junk kept only so every
     matmul runs at an MXU-aligned M — see `encode`); attention then keeps
@@ -193,7 +249,17 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
 
     t_pad = qkv.shape[-2]
     d_head = n_state // n_head
-    if (use_kernel() and dtype == jnp.bfloat16 and t_pad % 512 == 0
+    if parity:
+        # ggml parity: the reference's non-flash encoder attention CASTS
+        # K and V to f16 (ggml_cast to wctx.itype, src/whisper.cpp:2170-2193),
+        # which also rounds Q and the softmax probs to f16 at the two
+        # mul_mats (vec_dot_type f16); the d^-0.5 scale rides inside
+        # soft_max_ext in f32 — exactly `attention` with dtype=f16
+        qh, kh, vh = (_split_heads(qkv[..., i * n_state:(i + 1) * n_state],
+                                   n_head) for i in range(3))
+        m = _segment_mask(qh.shape[-2], true_len) if true_len is not None else None
+        merged = _merge_heads(attention(qh, kh, vh, m, jnp.float16))
+    elif (use_kernel() and dtype == jnp.bfloat16 and t_pad % 512 == 0
             and d_head in (64, 128)
             # d=64 heads ride the kernel in PAIRS (128-lane blocks) — an
             # odd head count must keep the flash/XLA fallback
@@ -219,14 +285,15 @@ def _encoder_block(x: jax.Array, blk: Dict[str, jax.Array], n_head: int,
     x = x + _mm(merged, blk["o_w"], dtype) + blk["o_b"]
     # MLP (pre-LN)
     h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"], eps)
-    h = _gelu(_mm(h, blk["mlp0_w"], dtype) + blk["mlp0_b"])
+    h = _gelu(_mm(h, blk["mlp0_w"], dtype) + blk["mlp0_b"], parity)
     x = x + _mm(h, blk["mlp1_w"], dtype) + blk["mlp1_b"]
     return x
 
 
 def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
            dtype=jnp.bfloat16, n_audio_ctx: Optional[int] = None,
-           unroll: bool = True, pad_to: Optional[int] = None) -> jax.Array:
+           unroll: bool = True, pad_to: Optional[int] = None,
+           parity: bool = False) -> jax.Array:
     """mel (n_mels, 2*n_ctx) -> encoder embeddings (n_ctx, n_state).
 
     Mirrors whisper_build_graph_encoder (src/whisper.cpp:2044-2275); position
@@ -245,12 +312,12 @@ def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
     from ...ops.attention import _round_up, use_flash
 
     enc = params["enc"]
-    x = conv_stem(enc, mel, dtype)
+    x = conv_stem(enc, mel, dtype, parity)
     n_ctx = x.shape[0]
     x = x + enc["pos_embd"][:n_ctx]
 
     tp = pad_to
-    if tp is None and use_flash(n_ctx, dtype):
+    if tp is None and not parity and use_flash(n_ctx, dtype):
         tp = _round_up(max(n_ctx, 512), 512)
     true_len = None
     if tp is not None and tp > n_ctx:
@@ -259,7 +326,7 @@ def encode(params: Dict[str, Any], mel: jax.Array, hp: WhisperHParams,
 
     def body(carry, blk):
         return _encoder_block(carry, blk, hp.n_audio_head, hp.eps, dtype,
-                              true_len=true_len), None
+                              true_len=true_len, parity=parity), None
 
     x, _ = scan_layers(body, x, enc["blocks"], unroll)
     if true_len is not None:
@@ -283,13 +350,18 @@ class XK8(NamedTuple):
 
 def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
                      hp: WhisperHParams, dtype=jnp.bfloat16,
-                     unroll: bool = True, itype: str = "f16"):
+                     unroll: bool = True, itype: str = "f16",
+                     parity: bool = False):
     """Precompute cross-attention K/V for every decoder layer
     (whisper_build_graph_cross, src/whisper.cpp:2278-2352).
 
     Returns (xk, xv) with shape (n_text_layer, n_head, n_audio_ctx, d_head)
     — as dense arrays (itype='f16') or XK8 int8 planes (itype='q8').
     K is *unscaled* here; the 1/sqrt(d) lives in `attention`.
+
+    parity: ggml-CPU emulation — K is pre-scaled by d^-0.25 (the reference
+    scales BEFORE the f16 kv_cross store, src/whisper.cpp:2304-2314) and
+    both planes round to f16 exactly like the kv_cross cpy.
     """
     blocks = params["dec"]["blocks"]
 
@@ -299,6 +371,11 @@ def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
         return None, (_split_heads(k, hp.n_text_head), _split_heads(v, hp.n_text_head))
 
     _, (xk, xv) = scan_layers(body, None, blocks, unroll)
+    if parity:
+        d_head = hp.n_text_state // hp.n_text_head
+        kq_scale = jnp.float32(float(d_head) ** -0.25)
+        return ((xk * kq_scale).astype(jnp.float16),
+                xv.astype(jnp.float16))
     if itype == "q8":
         kq, ks = _quantize_rows(xk)
         vq, vs = _quantize_rows(xv)
@@ -306,11 +383,17 @@ def compute_cross_kv(params: Dict[str, Any], enc_out: jax.Array,
     return xk, xv
 
 
-def cross_attend(qh: jax.Array, ck, cv, dtype, return_probs: bool = False):
+def cross_attend(qh: jax.Array, ck, cv, dtype, return_probs: bool = False,
+                 scale: Optional[float] = None):
     """Cross-attention against dense (H, Tc, d) or XK8 int8 planes; qh is
-    (..., H, Tq, d).  No mask — all encoder positions are visible."""
+    (..., H, Tq, d).  No mask — all encoder positions are visible.
+
+    `scale` overrides 1/sqrt(d): the ggml-parity path stores K pre-scaled
+    by d^-0.25 and applies the second d^-0.25 inside the softmax
+    (soft_max_ext's scale arg, src/whisper.cpp:2723)."""
     d = qh.shape[-1]
-    scale = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d))
+    if scale is None:
+        scale = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d))
     if isinstance(ck, XK8):
         scores = jnp.matmul(
             qh.astype(dtype), jnp.swapaxes(ck.codes, -1, -2).astype(dtype),
@@ -429,7 +512,8 @@ def decode_step(params: Dict[str, Any],
                 unroll: bool = True,
                 attn_mask=None,
                 xkv_group: int = 1,
-                attn_ctx: Optional[int] = None) -> Tuple[jax.Array, KVCache]:
+                attn_ctx: Optional[int] = None,
+                parity: bool = False) -> Tuple[jax.Array, KVCache]:
     """One batched decoder forward over all live beams.
 
     Mirrors whisper_build_graph_decoder (src/whisper.cpp:2464-2842): token+pos
@@ -447,6 +531,14 @@ def decode_step(params: Dict[str, Any],
     multi-GB cache every step).
 
     Returns (logits (n_beam, n_tok, n_vocab) f32, updated cache).
+
+    parity: ggml-CPU f16 emulation (dtype must be float16, cache dtype
+    float16): q and the new K column are pre-scaled by d^-0.25 *before*
+    their f16 roundings — matching ggml_scale-then-cpy into the f16
+    kv_self (src/whisper.cpp:2549-2565) — so self-attention runs with
+    scale=1; cross-attention K arrives pre-scaled from compute_cross_kv
+    and the second d^-0.25 is applied on the scores; GELU goes through
+    the f16 table.
     """
     dec = params["dec"]
     n_beam, n_tok = tokens.shape
@@ -459,8 +551,17 @@ def decode_step(params: Dict[str, Any],
     from ...ops.qmm import QWeight, embed_lookup
 
     tok_embd = dec["tok_embd"]
-    emb = (embed_lookup(tok_embd, tokens) if isinstance(tok_embd, QWeight)
-           else tok_embd[tokens])
+    if isinstance(tok_embd, QWGGML):
+        # ggml get_rows dequantizes the quantized embedding rows exactly:
+        # value = code * f32(f16(d)) per 32-block
+        rows = tok_embd.codes[tokens]
+        scl = tok_embd.scales[tokens]
+        emb = (rows.reshape(rows.shape[:-1] + (scl.shape[-1], 32))
+               * scl[..., None]).reshape(rows.shape)
+    elif isinstance(tok_embd, QWeight):
+        emb = embed_lookup(tok_embd, tokens)
+    else:
+        emb = tok_embd[tokens]
     # f32 residual stream (matches the carry dtype the block bodies return)
     x = (emb + dec["pos_embd"][positions]).astype(jnp.float32)
 
@@ -505,7 +606,10 @@ def decode_step(params: Dict[str, Any],
         qkv = _mm_fused(x, blk["qkv_w"], dtype,
                         ln=(blk["attn_ln_w"], blk["attn_ln_b"]),
                         bias=blk["qkv_b"], eps=eps)
+        kq_scale = jnp.float32(float(n_state // n_head) ** -0.25)
         q = qkv[..., :n_state]
+        if parity:
+            q = q * kq_scale
         qh = _split_heads(q, n_head)
         # new K/V column, head-major to match the cache layout: the fused
         # QKV projection emits K|V adjacent, so (..., 2, S) reshapes to
@@ -518,6 +622,11 @@ def decode_step(params: Dict[str, Any],
                               n_state // n_head)), (3, 2), (1, 2))
 
         kv2 = qkv[..., n_state:].reshape(qkv.shape[:-1] + (2, n_state))
+        if parity:
+            # scale the K half before the f16 cache store (ggml scales Kcur
+            # then cpys into the f16 kv_self)
+            kv2 = kv2 * jnp.array([kq_scale, 1.0],
+                                  jnp.float32)[None, None, :, None]
         if is_q8:
             # int8 KV cache: per-position scales factor out of both matmuls,
             # so the attention is exact against the quantized rows.  Scales
@@ -554,7 +663,7 @@ def decode_step(params: Dict[str, Any],
                 (l, 0, 0, 0, kv_head, 0))
             kv_l = lax.dynamic_index_in_dim(kvf, l, 0, keepdims=False)
             out = attention(qh, kv_l[:, :, 0, :A], kv_l[:, :, 1, :A], mask,
-                            dtype)
+                            dtype, scale=jnp.float32(1.0) if parity else None)
         x = _mm_fused(_merge_heads(out), blk["o_w"], dtype,
                       bias=blk["o_b"], res=x)
         # cross-attention (dense or XK8 int8 planes).  When rows are
@@ -572,16 +681,18 @@ def decode_step(params: Dict[str, Any],
             qh_g = qh.reshape((n_rows // xkv_group, xkv_group) + qh.shape[1:])
             cxk_g, cxv_g = jax.tree_util.tree_map(
                 lambda a: a[:, None], (cxk, cxv))
-            out = cross_attend(qh_g, cxk_g, cxv_g, dtype)
+            out = cross_attend(qh_g, cxk_g, cxv_g, dtype,
+                               scale=kq_scale if parity else None)
             out = out.reshape((n_rows,) + out.shape[2:])
         else:
-            out = cross_attend(qh, cxk, cxv, dtype)
+            out = cross_attend(qh, cxk, cxv, dtype,
+                               scale=kq_scale if parity else None)
         x = _mm_fused(_merge_heads(out), blk["xo_w"], dtype,
                       bias=blk["xo_b"], res=x)
         # MLP
         h = _mm_fused(x, blk["mlp0_w"], dtype,
                       ln=(blk["mlp_ln_w"], blk["mlp_ln_b"]),
-                      bias=blk["mlp0_b"], act="gelu", eps=eps)
+                      bias=blk["mlp0_b"], act="gelu", eps=eps, parity=parity)
         x = _mm_fused(h, blk["mlp1_w"], dtype, bias=blk["mlp1_b"], res=x)
         return x, kvf, sf
 
@@ -610,7 +721,10 @@ def decode_step(params: Dict[str, Any],
         (x, kvf, sf), _ = lax.scan(
             sbody, (x, kvf, sf),
             (dec["blocks"], xk, xv, jnp.arange(n_layer)))
-    if isinstance(tok_embd, QWeight):
+    if isinstance(tok_embd, QWGGML):
+        x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
+        logits = _mm(x, tok_embd, dtype)
+    elif isinstance(tok_embd, QWeight):
         # logits head: prefer the transposed planes (Pallas streaming
         # kernel) — the one matmul big enough that XLA would materialize
         # the dequantized weight.  The final layer-norm rides inside the

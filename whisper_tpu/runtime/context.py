@@ -40,16 +40,30 @@ def _bucket(n: int) -> int:
 class WhisperContext:
     def __init__(self, model: WhisperModel, dtype=jnp.float32,
                  compute_dtype=None, use_packed_weights=None,
-                 kv_itype: str = "f16", cross_itype: str = "f16"):
+                 kv_itype: str = "f16", cross_itype: str = "f16",
+                 precision: Optional[str] = None):
         self.model = model
         self.hp = model.hparams
         self.vocab = model.vocab
         self.is_empty = model.is_empty
+        # precision="ggml_cpu_f16": emulate the reference CPU backend's
+        # numerics exactly — f16 weight storage (file bytes), f16 rounding
+        # of every weight-matmul activation input (ggml's vec_dot_type
+        # conversion), f16 kv_self/kv_cross storage, f16 GELU table —
+        # so whisper_full output can be text-diffed against the reference
+        # binary (tests/test_text_parity.py; VERDICT r2 items 1+6).
+        self.parity = precision == "ggml_cpu_f16"
+        if precision not in (None, "default", "ggml_cpu_f16"):
+            raise ValueError(f"unknown precision mode {precision!r}")
         # compute_dtype: MXU input precision (bf16 on TPU default)
         if compute_dtype is None:
             compute_dtype = (
+                jnp.float16 if self.parity else
                 jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
         self.compute_dtype = compute_dtype
+        self.cache_dtype = jnp.float16 if self.parity else jnp.float32
+        if self.parity:
+            use_packed_weights = False
         # kv_self storage: 'f16' (dense, compute dtype) or 'q8' (int8 codes
         # with per-position scales — the reference's quantized itype cache)
         self.kv_itype = kv_itype
@@ -59,6 +73,23 @@ class WhisperContext:
         self.params = (
             None if model.is_empty else jax.tree.map(
                 lambda a: jnp.asarray(a, dtype), model.params))
+
+        if self.parity and model.qparams:
+            # ggml-CPU parity on a quantized file: replace every quantized
+            # matmul weight with its centered-code planes so model._mm runs
+            # the reference's exact q8_0-activation integer dots instead of
+            # a dense dequant matmul (model.py _mm_ggml_q)
+            from ..models.whisper.load import build_parity_overlay
+            from ..models.whisper.model import QWGGML
+
+            ov = build_parity_overlay(model.qparams, self.hp)
+            for part, key in (("enc", "enc_blocks"), ("dec", "dec_blocks")):
+                for k, (codes, scales) in ov[key].items():
+                    self.params[part]["blocks"][k] = QWGGML(
+                        jnp.asarray(codes), jnp.asarray(scales))
+            codes, scales = ov["tok_embd"]
+            self.params["dec"]["tok_embd"] = QWGGML(
+                jnp.asarray(codes), jnp.asarray(scales))
 
         # packed path for quantized files: the decode-loop weights stay
         # block-quantized in HBM — layer matmuls dequantize via an XLA-fused
@@ -178,9 +209,10 @@ class WhisperContext:
             @jax.jit
             def encode_fn(params, mel_window):
                 enc = M.encode(params, mel_window, hp, dtype=cd,
-                               n_audio_ctx=n_audio_ctx)
+                               n_audio_ctx=n_audio_ctx, parity=self.parity)
                 xk, xv = M.compute_cross_kv(params, enc, hp, dtype=cd,
-                                            itype=self.cross_itype)
+                                            itype=self.cross_itype,
+                                            parity=self.parity)
                 return enc, xk, xv
 
             fn = self._encode_jit[n_audio_ctx] = encode_fn
@@ -200,7 +232,7 @@ class WhisperContext:
                 # cache results can't alias in place (tools/perf_bucket.py)
                 logits, cache = M.decode_step(
                     params, tokens, positions, kv_head, cache, xk, xv, hp,
-                    dtype=cd, attn_ctx=attn_ctx)
+                    dtype=cd, attn_ctx=attn_ctx, parity=self.parity)
                 # logits for the last *valid* row only (reference downloads
                 # only rows flagged in batch.logits, src/whisper.cpp:2972)
                 last = jax.lax.dynamic_index_in_dim(
@@ -230,7 +262,9 @@ class WhisperContext:
         self.timings.n_encode += 1
         self.filter_tables = LogitFilterTables(self.vocab, n_ctx)
 
-    def new_cache(self, n_beam: int, dtype=jnp.float32):
+    def new_cache(self, n_beam: int, dtype=None):
+        if dtype is None:
+            dtype = self.cache_dtype
         return M.new_cache(self.hp, n_beam, dtype, itype=self.kv_itype)
 
     def decode_window_device(self, prompt, n_beams: int, temperature: float,
