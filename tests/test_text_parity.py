@@ -1,0 +1,163 @@
+"""Full-pipeline TEXT parity vs the reference whisper-cli binary.
+
+The reference's correctness contract for its decoding state machine is
+committed transcript diffs (tests/run-tests.sh:92-160, tests/en-{0,1,2}-ref.txt
+and per-model whisper-cli ctest rows).  This is the network-free analogue:
+committed transcripts in tests/data/text_parity/*.json were produced by the
+REFERENCE binary (tools/make_text_refs.py) on deterministic DECISIVE mini
+models (tools/make_test_model.py --decisive: argmax margins ~100x any
+cross-implementation rounding noise — see whisper_tpu/evals/text_parity.py),
+and whisper_tpu's full `transcribe()` must reproduce every segment's text
+and t0/t1 EXACTLY — across greedy, beam-5, f16/q5_0/q8_0, a VAD-prefiltered
+run, and a >30 s seek-loop run.
+
+The fixtures are hermetic: the f16 model is regenerated from its seed, the
+quantized models are produced by OUR whisper-quantize, and each file's
+SHA-256 must equal the one recorded when the reference binary transcribed it
+— simultaneously proving our quantizer writes byte-identical model files.
+
+This caught a real divergence on first run: the reference forces
+no_timestamps for ANY 2-text-layer model (first-release distil rule,
+src/whisper.cpp:7005-7014) where our port had an extra n_audio_layer
+condition.
+"""
+
+import hashlib
+import json
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+from whisper_tpu.evals import text_parity as TP
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+FIXTURES = REPO / ".fixtures"
+REF_DIR = REPO / "tests" / "data" / "text_parity"
+JFK = pathlib.Path("/root/reference/samples/jfk.wav")
+
+
+def _sha(p: pathlib.Path) -> str:
+    return hashlib.sha256(p.read_bytes()).hexdigest()
+
+
+@pytest.fixture(scope="session")
+def dec_models():
+    """Build the decisive mini models exactly as the refs were made —
+    f16 from seed, quantized files with OUR tool."""
+    if not JFK.exists():
+        pytest.skip("reference samples not available")
+    f16 = FIXTURES / TP.model_filename("f16")
+    if not f16.exists():
+        FIXTURES.mkdir(exist_ok=True)
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+             "--header-from",
+             "/root/reference/models/for-tests-ggml-tiny.en.bin",
+             "--out", str(f16), *TP.MODEL_ARGS],
+            check=True, env=None)
+    models = {"f16": f16}
+    from whisper_tpu.cli.quantize import quantize_model
+    from whisper_tpu.formats import requant
+
+    for q in ("q5_0", "q8_0"):
+        out = FIXTURES / TP.model_filename(q)
+        if not out.exists():
+            quantize_model(str(f16), str(out), requant.parse_ftype(q),
+                           verbose=False)
+        models[q] = out
+    return models
+
+
+@pytest.fixture(scope="session")
+def parity_audio():
+    from whisper_tpu.audio.io import load_audio
+
+    jfk3 = TP.make_long_audio(str(JFK), FIXTURES / "jfk3.wav")
+    return {"jfk": (load_audio(str(JFK))[0], JFK),
+            "jfk3": (load_audio(str(jfk3))[0], jfk3)}
+
+
+_CTX_CACHE = {}
+
+
+def _ctx_for(model_path):
+    """One WhisperContext per model file, shared across cases so the jit
+    cache is reused (the contexts are stateless between transcribe calls
+    with the default no_context=True)."""
+    from whisper_tpu.runtime.context import WhisperContext
+
+    key = str(model_path)
+    if key not in _CTX_CACHE:
+        _CTX_CACHE[key] = WhisperContext.from_file(key)
+    return _CTX_CACHE[key]
+
+
+@pytest.mark.parametrize("case", TP.CASES, ids=lambda c: c.name)
+def test_text_parity(case, dec_models, parity_audio):
+    from whisper_tpu.decoding.full import transcribe
+
+    ref_file = REF_DIR / f"{case.name}.json"
+    assert ref_file.exists(), (
+        f"missing committed reference {ref_file}; regenerate with "
+        "tools/make_text_refs.py")
+    ref = json.loads(ref_file.read_text())
+
+    model = dec_models[case.model]
+    samples, wav_path = parity_audio[case.audio]
+    # the transcribed inputs must be byte-identical to what the reference
+    # binary saw (also proves our quantize tool writes identical files)
+    assert _sha(model) == ref["model_sha256"], (
+        f"{model.name} differs from the file the reference transcribed")
+    assert _sha(wav_path) == ref["audio_sha256"]
+    if case.vad and not pathlib.Path(TP.SILERO_MODEL).exists():
+        pytest.skip("silero test model not available")
+
+    segs = transcribe(_ctx_for(model), TP.transcribe_params(case), samples)
+    got = TP.segments_to_rows(segs)
+
+    stats = TP.compare(ref["segments"], got)
+    assert got == ref["segments"], (
+        f"{case.name}: segments differ from the reference binary "
+        f"(similarity={stats['similarity']:.3f}, "
+        f"exact prefix {stats['n_exact_prefix_segments']}/"
+        f"{stats['n_ref_segments']})\nref: {ref['segments']}\ngot: {got}")
+
+
+def test_decisive_margins(dec_models, parity_audio):
+    """Document WHY the exact gate is safe: at every greedy step the
+    top1-top2 gap of the filtered logits is far above the measured
+    cross-implementation rounding noise (~1e-3 relative, i.e. ~0.03
+    absolute at these logit scales — docs/VERIFICATION.md)."""
+    import numpy as np
+
+    from whisper_tpu.decoding import logits as LF
+
+    ctx = _ctx_for(dec_models["f16"])
+    ctx.pcm_to_mel(parity_audio["jfk"][0])
+    ctx.encode_window(0)
+    ctx.filter_tables = LF.LogitFilterTables(ctx.vocab, ctx.hp.n_audio_ctx)
+    params = TP.transcribe_params(next(c for c in TP.CASES
+                                       if c.name == "f16-greedy"))
+    cache = ctx.new_cache(1)
+    tok = ctx.vocab.token_sot
+    toks = []
+    gaps = []
+    seek_delta, has_ts = 3000, False
+    for step in range(12):
+        raw, cache = ctx.decode(np.array([[tok]], np.int32), step, cache)
+        lg, lp, pr = LF.process_logits(raw[0], ctx.filter_tables, params,
+                                       0.0, toks, has_ts, seek_delta, None)
+        top2 = np.sort(lg[np.isfinite(lg)])[-2:]
+        gaps.append(float(top2[1] - top2[0]))
+        tok = int(lg.argmax())
+        if tok == ctx.vocab.token_eot:
+            break
+        if tok > ctx.vocab.token_beg:
+            seek_delta, has_ts = 2 * (tok - ctx.vocab.token_beg), True
+        from whisper_tpu.decoding.sampling import TokenData
+
+        toks.append(TokenData(id=tok, tid=0, p=1.0, plog=0.0, pt=0.0,
+                              ptsum=0.0))
+    assert gaps and min(gaps) > 0.3, gaps

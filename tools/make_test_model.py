@@ -94,6 +94,66 @@ def synth_tensors(hp: WhisperHParams, seed: int = 0):
     return tensors
 
 
+def make_decisive(tensors, hp: WhisperHParams, seed: int,
+                  n_text_active: int = 64, ts_stride: int = 25,
+                  boost: float = 25.0, eot_boost: float = 1.15) -> None:
+    """Rescale decoder token-embedding rows so greedy/beam decoding has
+    LARGE argmax margins (gap >> any cross-implementation rounding noise).
+
+    A plain random embedding gives near-uniform logits over 51864 tokens
+    whose top-1/top-2 gap (~4% of max) sits within reach of the f16-vs-f32
+    rounding differences between this implementation and the reference CPU
+    backend (~1e-3 rel), so full-pipeline text diffs flip chaotically.
+    Boosting a small 'active' set — N text tokens, every `ts_stride`-th
+    timestamp token, and EOT (slightly more, so sequences terminate) —
+    makes the argmax race run between ~128 well-separated candidates:
+    gaps are ~15-25% of the max logit, 100x any rounding noise, while the
+    trajectory still varies with the audio and exercises the timestamp
+    rules, segmentation and EOT paths.  tests/test_text_parity.py asserts
+    the margins hold on every sampled step."""
+    W = tensors["decoder.token_embedding.weight"]
+    n_vocab = W.shape[0]
+    # special-token ids for the tiny.en-style vocab (non-multilingual,
+    # n_vocab=51864): eot=50256, beg=50363 (src/whisper.cpp:1625-1672)
+    token_eot = 50256
+    token_beg = 50363
+    rng = np.random.default_rng(seed + 7777)
+    active = rng.choice(np.arange(1000, 50000), size=n_text_active,
+                        replace=False)
+    ts_active = np.arange(token_beg, n_vocab, ts_stride)
+    W[active] *= boost
+    W[ts_active] *= boost
+    W[token_eot] *= boost * eot_boost
+    # Position-scripted dynamics: mix one boosted row's direction into each
+    # positional-embedding row.  The residual stream carries the positional
+    # input to the logits head (tied embedding), so position p's mixed-in
+    # token wins the argmax by a margin of order ||row||^2 * mix — without
+    # this the deterministic token->token map collapses into a fixed point
+    # and every window degenerates to one repeated token.  The mix pool is
+    # mostly text with some timestamps (exercising the timestamp-pair /
+    # monotonicity rules and mid-window segmentation) and a few EOTs (so
+    # sequences terminate at varied lengths and the seek loop advances).
+    P = tensors["decoder.positional_embedding"]
+    n_pos = P.shape[0]
+    # one nondecreasing timestamp row per position, mixed in WEAKLY at every
+    # position: whenever a rule forces a timestamp sample (pair rule, ptsum)
+    # or a token's `tid` is computed (argmax over the timestamp range —
+    # it seeds segment t0), THIS row wins by a decisive margin instead of a
+    # noise-level tie among the boosted timestamp rows.  Nondecreasing in p
+    # keeps the monotonic-timestamp rule from suppressing the winner.
+    ts_choice = ts_active[np.clip(
+        (np.arange(n_pos) * len(ts_active)) // n_pos
+        + rng.integers(0, 3, n_pos), 0, len(ts_active) - 1)]
+    pool = np.concatenate([
+        rng.choice(active, size=n_pos),               # text filler
+        ts_choice,                                    # timestamp positions
+        np.full(n_pos, token_eot),
+    ]).reshape(3, -1)
+    kind = rng.choice(3, size=n_pos, p=[0.80, 0.17, 0.03])
+    script = pool[kind, np.arange(n_pos)]
+    P += 3.0 * W[script] + 1.2 * W[ts_choice]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--header-from", required=True,
@@ -108,6 +168,10 @@ def main():
                     help="keep the header file's own dims (e.g. real tiny)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--decisive", action="store_true",
+                    help="boost a small active token set so decode text is "
+                         "robust to cross-implementation rounding noise "
+                         "(full-pipeline text-parity fixtures)")
     args = ap.parse_args()
 
     with open(args.header_from, "rb") as f:
@@ -125,6 +189,8 @@ def main():
         )
 
     tensors = synth_tensors(hp, args.seed)
+    if args.decisive:
+        make_decisive(tensors, hp, args.seed)
     vocab_tokens = [vocab.id_to_token[i] for i in range(n_vocab_read)]
     write_model_file(args.out, hp, filters, vocab_tokens, tensors,
                      use_f16=not args.f32)

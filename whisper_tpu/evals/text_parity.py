@@ -1,0 +1,155 @@
+"""Full-pipeline TEXT parity cases vs the reference `whisper-cli` binary.
+
+The reference's correctness contract for the decoding state machine is
+committed transcript diffs (tests/run-tests.sh:92-160, tests/en-{0,1,2}-ref.txt
+and tests/CMakeLists.txt ctest rows running whisper-cli per model).  This
+module is the network-free analogue: deterministic random-weight mini models
+(tools/make_test_model.py, seed 0) are transcribed by the REFERENCE
+whisper-cli (tools/make_text_refs.py → tests/data/text_parity/*.json,
+committed) and whisper_tpu must reproduce the segment text + t0/t1 through
+its own full `transcribe()` pipeline — greedy AND beam-5, with timestamps,
+across f16/q5_0/q8_0, plus a VAD-prefiltered run and a >30 s seek-loop run.
+
+All cases run `-nf` (no fallback): at temperature 0 both implementations are
+deterministic; the fallback ladder samples with an RNG and is covered by its
+own unit tests instead.
+
+The mini models are DECISIVE (make_test_model.py --decisive): a plain
+random-weight model has near-uniform logits over 51864 tokens whose top-2
+gap sits inside the f16-vs-f32 rounding difference between implementations
+(~1e-3 rel; docs/VERIFICATION.md), so its full-pipeline text is chaotic.
+Decisive models boost a small active token set and script the argmax
+through the positional embedding, making every sampled step's margin ~100x
+any rounding noise — the reference binary produces IDENTICAL text across
+its own flash/non-flash and f16/q5_0/q8_0 configurations on them, and
+whisper_tpu must match segment text and t0/t1 EXACTLY.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+SILERO_MODEL = "/root/reference/models/for-tests-silero-v6.2.0-ggml.bin"
+
+# mini-model generation recipe shared by tools/make_text_refs.py (oracle
+# side) and tests/test_text_parity.py (hermetic rebuild + SHA check)
+MODEL_ARGS = ["--decisive", "--n-layer", "3", "--seed", "2"]
+
+
+def model_filename(quant: str) -> str:
+    return f"mini-dec-{quant}.bin"
+
+
+@dataclass(frozen=True)
+class Case:
+    name: str
+    model: str          # "f16" | "q5_0" | "q8_0"  (mini-dec-<model>.bin)
+    beam_size: int = 0  # 0 = greedy (best_of 1)
+    audio: str = "jfk"  # "jfk" (11 s) | "jfk3" (3x concat, 33 s seek loop)
+    vad: bool = False
+
+
+CASES: Tuple[Case, ...] = (
+    Case("f16-greedy", "f16"),
+    Case("f16-beam5", "f16", beam_size=5),
+    Case("q5_0-greedy", "q5_0"),
+    Case("q5_0-beam5", "q5_0", beam_size=5),
+    Case("q8_0-greedy", "q8_0"),
+    Case("q8_0-beam5", "q8_0", beam_size=5),
+    Case("f16-greedy-vad", "f16", vad=True),
+    Case("f16-greedy-long", "f16", audio="jfk3"),
+)
+
+
+def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
+    """whisper-cli invocation reproducing the case (examples/cli/cli.cpp)."""
+    args = ["-m", str(model), "-f", str(audio), "-nf", "-np",
+            "-oj", "-of", str(out_base)]
+    if case.beam_size > 0:
+        args += ["-bs", str(case.beam_size)]
+    else:
+        args += ["-bo", "1"]
+    if case.vad:
+        args += ["--vad", "-vm", SILERO_MODEL]
+    return args
+
+
+def transcribe_params(case: Case):
+    """The TranscribeParams equivalent of `cli_args` (cli.cpp:1041-1106)."""
+    from ..decoding.params import (BeamSearchParams, GreedyParams,
+                                   SamplingStrategy, TranscribeParams)
+
+    p = TranscribeParams(print_progress=False)
+    if case.beam_size > 0:
+        p.strategy = SamplingStrategy.BEAM_SEARCH
+        p.beam_search = BeamSearchParams(beam_size=case.beam_size)
+    else:
+        p.greedy = GreedyParams(best_of=1)
+    p.temperature_inc = 0.0          # -nf
+    p.language = "en"
+    if case.vad:
+        p.vad = True
+        p.vad_model_path = SILERO_MODEL
+    return p
+
+
+def make_long_audio(jfk_wav: str, out_wav: Path, repeats: int = 3) -> Path:
+    """Deterministic >30 s input: jfk.wav int16 frames concatenated
+    `repeats` times (byte-exact samples, no float round-trip)."""
+    import wave
+
+    if out_wav.exists():
+        return out_wav
+    with wave.open(jfk_wav, "rb") as r:
+        params = r.getparams()
+        frames = r.readframes(r.getnframes())
+    out_wav.parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(out_wav), "wb") as w:
+        w.setparams(params)
+        for _ in range(repeats):
+            w.writeframes(frames)
+    return out_wav
+
+
+def parse_cli_json(path: Path) -> List[dict]:
+    """whisper-cli -oj output → [{t0_ms, t1_ms, text}] (cli.cpp output_json)."""
+    # strict=False: random-weight tokens can contain raw control characters
+    # which whisper-cli's JSON writer does not escape
+    doc = json.loads(Path(path).read_text(), strict=False)
+    return [{"t0_ms": s["offsets"]["from"], "t1_ms": s["offsets"]["to"],
+             "text": s["text"]}
+            for s in doc["transcription"]]
+
+
+def segments_to_rows(segments) -> List[dict]:
+    """whisper_tpu Segment list → the same normalized rows (ticks are 10 ms)."""
+    return [{"t0_ms": seg.t0 * 10, "t1_ms": seg.t1 * 10, "text": seg.text}
+            for seg in segments]
+
+
+def similarity(a: str, b: str) -> float:
+    import difflib
+
+    return difflib.SequenceMatcher(None, a, b).ratio()
+
+
+def compare(ref_rows: List[dict], got_rows: List[dict]) -> dict:
+    """Text similarity + exact-match prefix stats for reporting/gating."""
+    ref_text = "".join(r["text"] for r in ref_rows)
+    got_text = "".join(r["text"] for r in got_rows)
+    n_prefix = 0
+    for r, g in zip(ref_rows, got_rows):
+        if (r["text"] == g["text"] and r["t0_ms"] == g["t0_ms"]
+                and r["t1_ms"] == g["t1_ms"]):
+            n_prefix += 1
+        else:
+            break
+    return {
+        "similarity": similarity(ref_text, got_text),
+        "n_ref_segments": len(ref_rows),
+        "n_got_segments": len(got_rows),
+        "n_exact_prefix_segments": n_prefix,
+    }
