@@ -9,8 +9,17 @@ there; Python stdlib ThreadingHTTPServer here).  Endpoints:
   GET  {request_path}/health              liveness probe
 
 Response formats: json (default), text, srt, vtt, verbose_json
-(server.cpp:1000-1162).  A lock serializes model access like the reference's
-whisper_mutex (server.cpp:1219).
+(server.cpp:1000-1162).
+
+Concurrency model — deliberately BETTER than the reference, whose
+whisper_mutex serializes whole requests (server.cpp:1219): here the lock
+guards only model load/hot-swap, while concurrent /inference requests run
+against a shared read-only context and their per-window decodes COALESCE
+through one server-wide WindowBatcher into lockstep batched device calls
+(runtime/batching.py) — N clients cost ~one client's decode time per round
+instead of N×.  `-p/--processors` additionally chunk-splits each single
+request, the whisper_full_parallel role (server.cpp:211,990), with the
+chunks joining the same batcher.
 """
 
 from __future__ import annotations
@@ -106,20 +115,41 @@ _VAD_FIELDS = {
 
 
 class ServerState:
-    def __init__(self, model_path: str, defaults: Optional[dict] = None):
-        self.lock = threading.Lock()  # whisper_mutex (server.cpp:1219)
+    def __init__(self, model_path: str, defaults: Optional[dict] = None,
+                 n_processors: int = 1, batch_wait_s: float = 0.05):
+        # guards load/hot-swap only; inference runs lock-free on a snapshot
+        self.lock = threading.Lock()
         self.model_path = model_path
         self.ctx: Optional[WhisperContext] = None
+        self.batcher = None
         self.defaults = defaults or {}
+        self.n_processors = max(1, n_processors)
+        self.batch_wait_s = batch_wait_s
 
+    def get(self):
+        """(ctx, batcher) snapshot; in-flight requests keep using the pair
+        they grabbed even across a /load hot-swap."""
+        from ..runtime.batching import WindowBatcher
+
+        with self.lock:
+            if self.ctx is None:
+                self.ctx = WhisperContext.from_file(self.model_path)
+                self.batcher = WindowBatcher(self.ctx, 0,
+                                             max_wait_s=self.batch_wait_s)
+            return self.ctx, self.batcher
+
+    # kept for tests/back-compat
     def ensure_loaded(self):
-        if self.ctx is None:
-            self.ctx = WhisperContext.from_file(self.model_path)
-        return self.ctx
+        return self.get()[0]
 
     def load(self, model_path: str):
-        self.ctx = WhisperContext.from_file(model_path)
-        self.model_path = model_path
+        from ..runtime.batching import WindowBatcher
+
+        ctx = WhisperContext.from_file(model_path)
+        with self.lock:
+            self.ctx = ctx
+            self.batcher = WindowBatcher(ctx, 0, max_wait_s=self.batch_wait_s)
+            self.model_path = model_path
 
 
 def build_params(fields: Dict[str, Tuple[str, bytes]],
@@ -227,6 +257,8 @@ def format_verbose_json(ctx, segments, params, extra, pcm, stereo) -> dict:
         "segments": [],
     }
     if not extra.get("no_language_probabilities") and not ctx.is_empty:
+        if ctx.mel is None:
+            ctx.pcm_to_mel(pcm)
         lid, probs = lang_auto_detect(ctx)
         jres["detected_language"] = lang_str_full(lid)
         jres["detected_language_probability"] = float(probs[lid])
@@ -355,8 +387,7 @@ def make_handler(state: ServerState, request_path: str, inference_path: str):
                     {"error": f"model file not found: {path}"}),
                     "application/json")
                 return
-            with state.lock:
-                state.load(path)
+            state.load(path)
             self._send(200, json.dumps({"status": "ok", "model": path}),
                        "application/json")
 
@@ -385,39 +416,51 @@ def make_handler(state: ServerState, request_path: str, inference_path: str):
 
             params, extra = build_params(fields, state.defaults)
             fmt = extra["response_format"]
-            with state.lock:
-                ctx = state.ensure_loaded()
-                segments = transcribe(ctx, params, pcm)
+            ctx, batcher = state.get()
+            if state.n_processors > 1:
+                from ..decoding.parallel import transcribe_parallel
 
-                if fmt == "text":
-                    self._send(200, output_str(segments, extra["diarize"],
-                                               stereo),
-                               "text/html; charset=utf-8")
-                elif fmt == "srt":
-                    self._send(200, format_srt(segments, extra["diarize"],
-                                               stereo, extra["offset_n"]),
-                               "application/x-subrip")
-                elif fmt == "vtt":
-                    self._send(200, format_vtt(segments, extra["diarize"],
-                                               stereo), "text/vtt")
-                elif fmt == "verbose_json":
-                    self._send(200, json.dumps(
-                        format_verbose_json(ctx, segments, params, extra,
-                                            pcm, stereo),
-                        ensure_ascii=False), "application/json")
-                else:
-                    self._send(200, json.dumps(
-                        {"text": output_str(segments, extra["diarize"],
-                                            stereo)},
-                        ensure_ascii=False), "application/json")
+                segments = transcribe_parallel(
+                    ctx, params, pcm, state.n_processors, batcher=batcher)
+                # per-request clone for verbose_json's language probe —
+                # the shared ctx must stay mutation-free across requests
+                req_ctx = ctx.clone_state()
+            else:
+                from ..runtime.batching import transcribe_joining
+
+                segments, req_ctx = transcribe_joining(ctx, params, pcm,
+                                                       batcher)
+
+            if fmt == "text":
+                self._send(200, output_str(segments, extra["diarize"],
+                                           stereo),
+                           "text/html; charset=utf-8")
+            elif fmt == "srt":
+                self._send(200, format_srt(segments, extra["diarize"],
+                                           stereo, extra["offset_n"]),
+                           "application/x-subrip")
+            elif fmt == "vtt":
+                self._send(200, format_vtt(segments, extra["diarize"],
+                                           stereo), "text/vtt")
+            elif fmt == "verbose_json":
+                self._send(200, json.dumps(
+                    format_verbose_json(req_ctx, segments, params, extra,
+                                        pcm, stereo),
+                    ensure_ascii=False), "application/json")
+            else:
+                self._send(200, json.dumps(
+                    {"text": output_str(segments, extra["diarize"],
+                                        stereo)},
+                    ensure_ascii=False), "application/json")
 
     return Handler
 
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           request_path: str = "", inference_path: str = "/inference",
-          defaults: Optional[dict] = None) -> ThreadingHTTPServer:
-    state = ServerState(model_path, defaults)
+          defaults: Optional[dict] = None,
+          n_processors: int = 1) -> ThreadingHTTPServer:
+    state = ServerState(model_path, defaults, n_processors=n_processors)
     handler = make_handler(state, request_path, inference_path)
     httpd = ThreadingHTTPServer((host, port), handler)
     httpd.whisper_state = state  # for tests
@@ -433,13 +476,18 @@ def main(argv=None) -> int:
     ap.add_argument("--inference-path", default="/inference")
     ap.add_argument("-l", "--language", default="en")
     ap.add_argument("-vm", "--vad-model", default=None)
+    ap.add_argument("-p", "--processors", type=int, default=1,
+                    help="chunk-split each request across N parallel decode "
+                         "states (whisper_full_parallel role, "
+                         "server.cpp:211)")
     args = ap.parse_args(argv)
 
     defaults = {"language": args.language}
     if args.vad_model:
         defaults["vad_model_path"] = args.vad_model
     httpd = serve(args.model, args.host, args.port, args.request_path,
-                  args.inference_path, defaults)
+                  args.inference_path, defaults,
+                  n_processors=args.processors)
     httpd.whisper_state.ensure_loaded()
     print(f"whisper server listening at http://{args.host}:{args.port}",
           file=sys.stderr)

@@ -25,10 +25,17 @@ SAMPLE_RATE = 16000
 
 def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
                         n_processors: int,
-                        batched: Optional[bool] = None) -> List[Segment]:
+                        batched: Optional[bool] = None,
+                        batcher=None) -> List[Segment]:
+    """`batcher`: optional shared WindowBatcher (server-wide lockstep
+    coalescing across concurrent requests — runtime/batching.py)."""
     if n_processors <= 1:
         from .full import transcribe
 
+        if batcher is not None:
+            from ..runtime.batching import transcribe_joining
+
+            return transcribe_joining(ctx, params, samples, batcher)[0]
         return transcribe(ctx, params, samples)
 
     if params.vad:
@@ -57,7 +64,8 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
     if batched and eligible:
         from ..runtime.batching import transcribe_batched
 
-        return transcribe_batched(ctx, params, samples, n_processors)
+        return transcribe_batched(ctx, params, samples, n_processors,
+                                  batcher=batcher)
 
     n_samples = len(samples)
     offset_samples = (SAMPLE_RATE * params.offset_ms) // 1000

@@ -57,8 +57,20 @@ class WindowBatcher:
         # (the late worker simply runs in the next round), so one slow or
         # wedged stream cannot stall the whole server
         self.max_wait_s = max_wait_s
+        # dispatch stats (observability + tests): rounds run, rounds with
+        # >1 request coalesced, max requests in one round
+        self.n_rounds = 0
+        self.n_coalesced_rounds = 0
+        self.max_round_size = 0
 
     # -- worker side -----------------------------------------------------------
+
+    def worker_enter(self):
+        """Register a dynamically-arriving worker (server requests join and
+        leave at any time; whisper_full_parallel-style workers are counted
+        up front via n_workers)."""
+        with self.lock:
+            self.n_live += 1
 
     def submit(self, key, args):
         """Queue a decode_window request; blocks until its batch ran.
@@ -96,6 +108,10 @@ class WindowBatcher:
 
     def _dispatch_locked(self):
         batch, self.pending = self.pending, []
+        self.n_rounds += 1
+        if len(batch) > 1:
+            self.n_coalesced_rounds += 1
+        self.max_round_size = max(self.max_round_size, len(batch))
         groups: Dict[Any, List[_Request]] = defaultdict(list)
         for r in batch:
             groups[r.key].append(r)
@@ -153,9 +169,14 @@ class WindowBatcher:
 
 
 def transcribe_batched(ctx, params, samples: np.ndarray,
-                       n_processors: int):
+                       n_processors: int,
+                       batcher: Optional[WindowBatcher] = None):
     """Lockstep data-parallel transcription: N chunks, one device batch per
-    decode round.  Same splitting/merge semantics as transcribe_parallel."""
+    decode round.  Same splitting/merge semantics as transcribe_parallel.
+
+    `batcher`: join an external (e.g. server-wide) WindowBatcher so this
+    call's chunk workers coalesce with OTHER concurrent transcriptions'
+    window decodes; by default a private batcher covers just this call."""
     from ..decoding.full import full_with_state
     from ..decoding.parallel import SAMPLE_RATE, replace_params
 
@@ -163,7 +184,11 @@ def transcribe_batched(ctx, params, samples: np.ndarray,
     offset_samples = (SAMPLE_RATE * params.offset_ms) // 1000
     n_per = (n_samples - offset_samples) // n_processors
 
-    batcher = WindowBatcher(ctx, n_processors)
+    if batcher is not None:
+        for _ in range(n_processors):
+            batcher.worker_enter()
+    else:
+        batcher = WindowBatcher(ctx, n_processors)
     workers = []
     results: List[Any] = [None] * n_processors
     errors: List[Any] = [None] * n_processors
@@ -197,6 +222,7 @@ def transcribe_batched(ctx, params, samples: np.ndarray,
             raise e
 
     # merge with offset fix-up + non-overlap clamp (src/whisper.cpp:7900-7933)
+    # (note: with an external batcher, workers re-register next call)
     all_segments = list(results[0] or [])
     offset_t = params.offset_ms // 10
     for i in range(1, n_processors):
@@ -210,3 +236,21 @@ def transcribe_batched(ctx, params, samples: np.ndarray,
             if params.new_segment_callback:
                 params.new_segment_callback(ctx, all_segments, 1)
     return all_segments
+
+
+def transcribe_joining(ctx, params, samples: np.ndarray,
+                       batcher: WindowBatcher):
+    """One transcription whose window decodes join a SHARED (server-wide)
+    batcher: concurrent requests' windows coalesce into one lockstep device
+    call instead of serializing (the reference server serializes on
+    whisper_mutex, examples/server/server.cpp:1219 — this is the TPU-first
+    improvement over parity).  Returns (segments, per-request ctx clone)."""
+    from ..decoding.full import transcribe
+
+    sub = ctx.clone_state()
+    sub.batcher = batcher
+    batcher.worker_enter()
+    try:
+        return transcribe(sub, params, samples), sub
+    finally:
+        batcher.worker_done()
