@@ -668,3 +668,79 @@ def dequantize_q3_k(buf: bytes, n: int) -> np.ndarray:
                 is_ += 1
             m <<= 1
     return y.reshape(-1)[:n]
+
+
+# --------------------------------------------------------------------------
+# struct-of-arrays planes (quants.unpack_to_planes K-quant leg): codes +
+# per-sub-block scale (and min for the affine formats) such that
+# dequant == codes * scale (+ min).  Feeds the packed decode paths
+# (whisper ops/qmm, parakeet model.PQW).
+# --------------------------------------------------------------------------
+
+def to_planes(buf: bytes, ggml_type: int, rows: int, cols: int):
+    """-> (codes (rows, cols) f32-exact ints, scales (rows, cols//grain),
+    mins (rows, cols//grain) or None).  Grain: 32 for q4_k/q5_k (affine,
+    mins NEGATIVE so value = c*s + m), 16 for q6_k (symmetric)."""
+    from .quants import GGML_TYPE_Q4_K, GGML_TYPE_Q5_K, GGML_TYPE_Q6_K
+
+    n = rows * cols
+    if ggml_type == GGML_TYPE_Q4_K:
+        raw = np.frombuffer(buf, np.uint8).reshape(-1, 144)
+        nb = raw.shape[0]
+        d = _f16_bytes_to_f32(raw[:, 0:2].copy())[:, 0]
+        dmin = _f16_bytes_to_f32(raw[:, 2:4].copy())[:, 0]
+        ls, lm = _unpack_scales_k4(raw[:, 4:16])
+        q = raw[:, 16:]
+        codes = np.empty((nb, 8, 32), np.float32)
+        for jj in range(4):
+            qs = q[:, 32 * jj: 32 * jj + 32]
+            codes[:, 2 * jj] = qs & 0xF
+            codes[:, 2 * jj + 1] = qs >> 4
+        scales = d[:, None] * ls
+        mins = -(dmin[:, None] * lm)
+    elif ggml_type == GGML_TYPE_Q5_K:
+        raw = np.frombuffer(buf, np.uint8).reshape(-1, 176)
+        nb = raw.shape[0]
+        d = _f16_bytes_to_f32(raw[:, 0:2].copy())[:, 0]
+        dmin = _f16_bytes_to_f32(raw[:, 2:4].copy())[:, 0]
+        ls, lm = _unpack_scales_k4(raw[:, 4:16])
+        qh = raw[:, 16:48]
+        ql = raw[:, 48:]
+        codes = np.empty((nb, 8, 32), np.float32)
+        for jj in range(4):
+            qs = ql[:, 32 * jj: 32 * jj + 32]
+            u1, u2 = 1 << (2 * jj), 2 << (2 * jj)
+            codes[:, 2 * jj] = (qs & 0xF) + np.where(qh & u1, 16, 0)
+            codes[:, 2 * jj + 1] = (qs >> 4) + np.where(qh & u2, 16, 0)
+        scales = d[:, None] * ls
+        mins = -(dmin[:, None] * lm)
+    elif ggml_type == GGML_TYPE_Q6_K:
+        raw = np.frombuffer(buf, np.uint8).reshape(-1, 210)
+        nb = raw.shape[0]
+        ql = raw[:, 0:128]
+        qh = raw[:, 128:192]
+        sc = raw[:, 192:208].copy().view(np.int8).astype(np.float32)
+        d = _f16_bytes_to_f32(raw[:, 208:210].copy())[:, 0]
+        codes = np.empty((nb, QK_K), np.float32)
+        for half in range(2):
+            qlh = ql[:, 64 * half: 64 * half + 64]
+            qhh = qh[:, 32 * half: 32 * half + 32]
+            base = 128 * half
+            codes[:, base + 0: base + 32] = (
+                (qlh[:, 0:32] & 0xF) | (((qhh >> 0) & 3) << 4)).astype(np.int8) - 32
+            codes[:, base + 32: base + 64] = (
+                (qlh[:, 32:64] & 0xF) | (((qhh >> 2) & 3) << 4)).astype(np.int8) - 32
+            codes[:, base + 64: base + 96] = (
+                (qlh[:, 0:32] >> 4) | (((qhh >> 4) & 3) << 4)).astype(np.int8) - 32
+            codes[:, base + 96: base + 128] = (
+                (qlh[:, 32:64] >> 4) | (((qhh >> 6) & 3) << 4)).astype(np.int8) - 32
+        # position order matches raw scale order (16 sub-blocks of 16)
+        scales = d[:, None] * sc
+        mins = None
+    else:
+        raise NotImplementedError(f"kquants.to_planes: {ggml_type}")
+    grain = QK_K // scales.shape[1] if scales.ndim == 2 else 32
+    n_sub = cols // grain
+    return (codes.reshape(rows, cols),
+            scales.reshape(rows, n_sub),
+            None if mins is None else mins.reshape(rows, n_sub))

@@ -558,4 +558,11 @@ def unpack_to_planes(buf: bytes, ggml_type: int, shape: Tuple[int, ...]) -> QTen
             codes, scales = _iq.planes_tq(buf, rows, cols, ggml_type)
         return QTensor(ggml_type, (rows, cols), codes,
                        np.ascontiguousarray(scales))
+    if ggml_type in (GGML_TYPE_Q4_K, GGML_TYPE_Q5_K, GGML_TYPE_Q6_K):
+        from . import kquants as _kq
+
+        codes, scales, mins = _kq.to_planes(buf, ggml_type, rows, cols)
+        return QTensor(ggml_type, (rows, cols), codes,
+                       np.ascontiguousarray(scales),
+                       None if mins is None else np.ascontiguousarray(mins))
     raise NotImplementedError(f"unpack_to_planes: {type_name(ggml_type)}")

@@ -48,7 +48,7 @@ class FullParams:
 
 class ParakeetContext:
     def __init__(self, model: ParakeetModel, dtype=jnp.float32,
-                 exact_shapes: bool = True):
+                 exact_shapes: bool = True, use_packed_weights=None):
         self.model = model
         self.hp = model.hparams
         self.vocab = model.vocab
@@ -63,9 +63,27 @@ class ParakeetContext:
         self.decoded_tokens: List[int] = []
         self.decoded_token_data: List[ParakeetTokenData] = []
         self.t_mel_us = self.t_encode_us = self.t_decode_us = 0
+        # packed conformer weights for quantized files (load.py
+        # build_packed_overlay): default ON for TPU — quantized storage
+        # stays in HBM (half the bytes) with the dequant fused into the
+        # matmuls; CPU tests default to dense load-time dequant
+        if use_packed_weights is None:
+            use_packed_weights = jax.default_backend() == "tpu"
+        self.use_packed_weights = bool(use_packed_weights and model.qplanes)
         if not model.is_empty:
             self.params = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a, dtype), model.params)
+            if self.use_packed_weights:
+                from .load import build_packed_overlay
+
+                ov = build_packed_overlay(model.qplanes, self.hp)
+                for key, (codes, scales, mins) in ov.items():
+                    leaf = M.PQW(jnp.asarray(codes), jnp.asarray(scales),
+                                 None if mins is None else jnp.asarray(mins))
+                    if key == "pre.out_w":
+                        self.params["pre"]["out_w"] = leaf
+                    else:
+                        self.params["layers"][key] = leaf
             self.decoder = TdtDecoder(model, dtype)
             self._encode_jit = jax.jit(
                 M.encode, static_argnames=("hp", "dtype"))

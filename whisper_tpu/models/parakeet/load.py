@@ -45,6 +45,10 @@ class ParakeetModel:
     vocab: ParakeetVocab
     params: Dict[str, Any]
     wtype: int = quants.GGML_TYPE_F32
+    # packed quant planes per file tensor name (quantized files only) —
+    # the parakeet analogue of WhisperModel.qparams; feeds the packed
+    # encoder-weight path (model.PQW / context use_packed_weights)
+    qplanes: Optional[Dict[str, "quants.QTensor"]] = None
 
     @property
     def is_empty(self) -> bool:
@@ -195,8 +199,59 @@ def load_parakeet_model(path: str, dtype: Any = np.float32) -> ParakeetModel:
             token_eos=tok2id.get("</s>", tok2id.get("<|endoftext|>", 0)),
         )
 
-        tensors = {r.name: r.to_f32().astype(dtype)
-                   for r in container.read_tensor_records(f)}
+        tensors: Dict[str, np.ndarray] = {}
+        qplanes: Dict[str, quants.QTensor] = {}
+        for r in container.read_tensor_records(f):
+            tensors[r.name] = r.to_f32().astype(dtype)
+            if r.ggml_type not in (quants.GGML_TYPE_F32,
+                                   quants.GGML_TYPE_F16):
+                try:
+                    qplanes[r.name] = r.to_planes()
+                except NotImplementedError:
+                    pass
 
     params = build_param_pytree(tensors, hp) if tensors else {}
-    return ParakeetModel(hp, filters, window, vocab, params, wtype)
+    return ParakeetModel(hp, filters, window, vocab, params, wtype,
+                         qplanes or None)
+
+
+# encoder weights eligible for the packed path, pytree key -> file suffix.
+# The prediction/joint/LSTM weights stay DENSE by design: they run INSIDE
+# the on-device TDT while_loop where a per-iteration dequant would repeat
+# every emitted token, and they are small (~10 MB) so their HBM cost is
+# negligible; the conformer stack is where quantized storage pays.
+PACKED_LAYER_KEYS = {
+    "ff1_lin1_w": "feed_forward1.linear1.weight",
+    "ff1_lin2_w": "feed_forward1.linear2.weight",
+    "conv_pw1_w": "conv.pointwise_conv1.weight",
+    "conv_pw2_w": "conv.pointwise_conv2.weight",
+    "attn_q_w": "self_attn.linear_q.weight",
+    "attn_k_w": "self_attn.linear_k.weight",
+    "attn_v_w": "self_attn.linear_v.weight",
+    "attn_out_w": "self_attn.linear_out.weight",
+    "attn_pos_w": "self_attn.linear_pos.weight",
+    "ff2_lin1_w": "feed_forward2.linear1.weight",
+    "ff2_lin2_w": "feed_forward2.linear2.weight",
+}
+
+
+def build_packed_overlay(qplanes: Dict[str, "quants.QTensor"],
+                         hp: ParakeetHParams) -> Dict[str, Any]:
+    """Stacked packed planes {layer_key: (codes, scales, mins|None)} for
+    every conformer weight whose planes exist in the file (+ the
+    pre-encode output linear under key "pre.out_w").  Affine formats
+    (K-quants) keep their mins plane — model._pmm dequantizes
+    codes*scale(+min) fused into the matmul."""
+    out: Dict[str, Any] = {}
+    for key, suffix in PACKED_LAYER_KEYS.items():
+        names = [_layer_name(suffix, i) for i in range(hp.n_audio_layer)]
+        if all(n in qplanes for n in names):
+            qs = [qplanes[n] for n in names]
+            affine = qs[0].mins is not None
+            out[key] = (np.stack([q.codes for q in qs]),
+                        np.stack([q.scales for q in qs]),
+                        np.stack([q.mins for q in qs]) if affine else None)
+    po = qplanes.get("encoder.pre_encode.out.weight")
+    if po is not None:
+        out["pre.out_w"] = (po.codes, po.scales, po.mins)
+    return out

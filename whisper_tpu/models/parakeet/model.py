@@ -19,7 +19,7 @@ TPU-first mapping:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,33 @@ import jax.numpy as jnp
 from .hparams import LOCAL_ATTN_THRESHOLD, LOCAL_ATTN_WINDOW, ParakeetHParams
 
 MASK_VALUE = -1e30
+
+
+class PQW(NamedTuple):
+    """Packed conformer weight (load.build_packed_overlay): int8/uint8 codes
+    in file orientation (out, in), per-block scales (out, in//B) and, for
+    affine K-quant formats, per-block mins.  The dequant
+    (codes * scale [+ min]) runs fused into the matmul — quantized parakeet
+    files keep their weights block-quantized in HBM instead of load-time
+    dequantizing (the reference quantizes parakeet incl. K-quants,
+    examples/parakeet-quantize, tests/run-tests.sh:25)."""
+
+    codes: jax.Array
+    scales: jax.Array
+    mins: Optional[jax.Array] = None
+
+
+def _pmm(x, w, dtype):
+    """x @ W^T for a dense (out, in) weight or a PQW packed plane."""
+    if isinstance(w, PQW):
+        out, nb = w.scales.shape
+        grain = w.codes.shape[-1] // nb
+        wd = (w.codes.astype(dtype).reshape(out, nb, grain)
+              * w.scales.astype(dtype)[..., None])
+        if w.mins is not None:
+            wd = wd + w.mins.astype(dtype)[..., None]
+        return x @ wd.reshape(out, -1).T
+    return x @ w.astype(dtype).T
 
 
 def _ln(x, w, b, eps=1e-5):
@@ -72,7 +99,7 @@ def pre_encode(pre: Dict[str, jax.Array], mel: jax.Array, hp: ParakeetHParams,
     # src/parakeet.cpp:1586-1596)
     x = x[0].transpose(1, 0, 2)  # [T', C, F']
     x = x.reshape(x.shape[0], -1)
-    return x @ pre["out_w"].astype(dtype).T + pre["out_b"].astype(dtype)
+    return _pmm(x, pre["out_w"], dtype) + pre["out_b"].astype(dtype)
 
 
 # --------------------------------------------------------------------------
@@ -100,13 +127,13 @@ def _rel_attention_global(x, layer, n_head: int, mask_1d, dtype):
     d_head = S // n_head
     scale = 1.0 / math.sqrt(d_head)
 
-    q = (x @ layer["attn_q_w"].astype(dtype).T).reshape(T, n_head, d_head)
-    k = (x @ layer["attn_k_w"].astype(dtype).T).reshape(T, n_head, d_head)
-    v = (x @ layer["attn_v_w"].astype(dtype).T).reshape(T, n_head, d_head)
+    q = _pmm(x, layer["attn_q_w"], dtype).reshape(T, n_head, d_head)
+    k = _pmm(x, layer["attn_k_w"], dtype).reshape(T, n_head, d_head)
+    v = _pmm(x, layer["attn_v_w"], dtype).reshape(T, n_head, d_head)
 
     window = 2 * T - 1
     pos_emb = _pos_embedding(window, T - 1, S, dtype)  # [w, S]
-    pos = (pos_emb @ layer["attn_pos_w"].astype(dtype).T)
+    pos = _pmm(pos_emb, layer["attn_pos_w"], dtype)
     pos = pos.reshape(window, n_head, d_head)
 
     q_u = q + layer["pos_bias_u"].astype(dtype)[None]  # [T, h, d]
@@ -123,7 +150,7 @@ def _rel_attention_global(x, layer, n_head: int, mask_1d, dtype):
     scores = (content + rel_shifted) * scale + mask_1d[None, None, :]
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hqk,khd->qhd", probs, v).reshape(T, S)
-    return out @ layer["attn_out_w"].astype(dtype).T
+    return _pmm(out, layer["attn_out_w"], dtype)
 
 
 def _rel_attention_local(x, layer, n_head: int, valid_1d, dtype):
@@ -147,12 +174,12 @@ def _rel_attention_local(x, layer, n_head: int, valid_1d, dtype):
     n_group = (T + C - 1) // C
     Tp = n_group * C
 
-    q = (x @ layer["attn_q_w"].astype(dtype).T).reshape(T, n_head, d_head)
-    k = (x @ layer["attn_k_w"].astype(dtype).T).reshape(T, n_head, d_head)
-    v = (x @ layer["attn_v_w"].astype(dtype).T).reshape(T, n_head, d_head)
+    q = _pmm(x, layer["attn_q_w"], dtype).reshape(T, n_head, d_head)
+    k = _pmm(x, layer["attn_k_w"], dtype).reshape(T, n_head, d_head)
+    v = _pmm(x, layer["attn_v_w"], dtype).reshape(T, n_head, d_head)
 
     pos_emb = _pos_embedding(win, W, S, dtype)
-    pos = (pos_emb @ layer["attn_pos_w"].astype(dtype).T)
+    pos = _pmm(pos_emb, layer["attn_pos_w"], dtype)
     pos = pos.reshape(win, n_head, d_head)
 
     q_u = q + layer["pos_bias_u"].astype(dtype)[None]
@@ -200,7 +227,7 @@ def _rel_attention_local(x, layer, n_head: int, valid_1d, dtype):
 
     out = jnp.einsum("hgqk,gkhd->gqhd", pdense, v_chunk)
     out = out.reshape(Tp, S)[:T]
-    return out @ layer["attn_out_w"].astype(dtype).T
+    return _pmm(out, layer["attn_out_w"], dtype)
 
 
 # --------------------------------------------------------------------------
@@ -211,7 +238,7 @@ def _conv_module(x, layer, hp: ParakeetHParams, dtype):
     T, S = x.shape
     cur = _ln(x, layer["norm_conv_w"].astype(dtype),
               layer["norm_conv_b"].astype(dtype), hp.eps)
-    cur = cur @ layer["conv_pw1_w"].astype(dtype).T  # [T, 2S]
+    cur = _pmm(cur, layer["conv_pw1_w"], dtype)  # [T, 2S]
     signal, gate = cur[:, :S], cur[:, S:]
     cur = signal * jax.nn.sigmoid(gate)
 
@@ -229,13 +256,13 @@ def _conv_module(x, layer, hp: ParakeetHParams, dtype):
         layer["conv_bn_var"].astype(dtype))
     cur = cur * layer["conv_bn_w"].astype(dtype) + layer["conv_bn_b"].astype(dtype)
     cur = _silu(cur)
-    return cur @ layer["conv_pw2_w"].astype(dtype).T
+    return _pmm(cur, layer["conv_pw2_w"], dtype)
 
 
 def _ffn(x, norm_w, norm_b, lin1, lin2, eps, dtype):
     cur = _ln(x, norm_w.astype(dtype), norm_b.astype(dtype), eps)
-    cur = _silu(cur @ lin1.astype(dtype).T)
-    return cur @ lin2.astype(dtype).T
+    cur = _silu(_pmm(cur, lin1, dtype))
+    return _pmm(cur, lin2, dtype)
 
 
 def conformer_block(x, layer, hp: ParakeetHParams, mask_or_valid, local: bool,

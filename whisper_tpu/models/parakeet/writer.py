@@ -49,9 +49,13 @@ def write_parakeet_model(path: str, hp: ParakeetHParams,
 
         for name, arr in tensors.items():
             arr = np.asarray(arr, np.float32)
-            # 2-D weight matrices may be f16; everything else stays f32
+            # 2-D weight matrices may be f16; everything else stays f32.
+            # depthwise_conv.weight is ALWAYS f32 — the reference creates it
+            # GGML_TYPE_F32 regardless of ftype (src/parakeet.cpp:1327) and
+            # its loader requires file types to match exactly
             st = (quants.GGML_TYPE_F16
                   if use_f16 and arr.ndim == 2 and "weight" in name
+                  and "depthwise_conv" not in name
                   else quants.GGML_TYPE_F32)
             container.write_tensor_record(f, name, arr, st)
 
