@@ -162,3 +162,108 @@ def test_sharded_kv_cache_layout_local_heads(setup, tp):
     assert shard.shape == (hp.n_text_layer, 2, hp.n_text_head // tp, 2,
                            hp.n_text_ctx, hp.n_text_state // hp.n_text_head)
     assert hp.n_text_head % tp == 0
+
+
+# --------------------------------------------------------------------------
+# Production-like shapes (VERDICT r2 item 7): the tiny-dims tests above
+# verify the sharding semantics; these verify them at medium WIDTH and
+# DEPTH.  The full decode step runs at the real `medium` hparams
+# (24 layers, S=1024, H=16, 51865-token vocab) in scan mode (small HLO —
+# CPU compile stays in seconds); the native serving window decoder runs
+# medium-width at reduced depth (its extra machinery — sampling, filters,
+# segmented context loops — is depth-independent, and depth is covered by
+# the decode-step leg).
+# --------------------------------------------------------------------------
+
+def _medium_hp(n_text_layer=24):
+    return WhisperHParams(
+        n_vocab=51865, n_audio_ctx=96, n_audio_state=1024, n_audio_head=16,
+        n_audio_layer=2, n_text_ctx=64, n_text_state=1024, n_text_head=16,
+        n_text_layer=n_text_layer, n_mels=80)
+
+
+@pytest.mark.parametrize("tp", [4])
+def test_sharded_decode_step_medium_depth(tp):
+    hp = _medium_hp()
+    params = synth_params(hp, jnp.float32)
+    B = 4
+    d_head = hp.n_text_state // hp.n_text_head
+    rng = jax.random.PRNGKey(3)
+    xk1 = jax.random.normal(rng, (hp.n_text_layer, hp.n_text_head,
+                                  hp.n_audio_ctx, d_head), jnp.float32) * 0.1
+    xv1 = xk1 * 0.5 + 0.01
+
+    def chain(params, xk, xv):
+        cache = M.new_cache(hp, B, jnp.float32)
+        toks = jnp.arange(B, dtype=jnp.int32)[:, None] + 17
+        outs = []
+        for step in range(3):
+            pos = jnp.full((B, 1), step, jnp.int32)
+            logits, cache = M.decode_step(
+                params, toks, pos, jnp.int32(step), cache, xk, xv, hp,
+                dtype=jnp.float32, unroll=False)
+            toks = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            outs.append(logits)
+        return jnp.stack(outs)
+
+    ref = jax.jit(chain)(params, xk1, xv1)
+
+    n_dp = 8 // tp
+    mesh = make_mesh(n_dp, tp)
+    params_sh = shard_params(params, mesh, hp)
+    xk_sh = jax.device_put(xk1, NamedSharding(mesh, cross_kv_spec()))
+    xv_sh = jax.device_put(xv1, NamedSharding(mesh, cross_kv_spec()))
+    with mesh:
+        out = jax.jit(chain)(params_sh, xk_sh, xv_sh)
+        out.block_until_ready()
+    rel = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < 1e-4, rel
+    # token-exact: the greedy chain feeds its own argmax back, so exact
+    # argmax agreement at every step is the production invariant
+    assert bool(jnp.all(jnp.argmax(out, -1) == jnp.argmax(ref, -1)))
+
+
+@pytest.mark.parametrize("tp", [4])
+def test_sharded_window_decoder_medium_width_tokens_exact(tp):
+    from whisper_tpu.decoding import device_loop as DL
+
+    hp = _medium_hp(n_text_layer=6)
+    params = synth_params(hp, jnp.float32)
+    W = 4
+    eot, beg = 50257, 50364
+    d_head = hp.n_text_state // hp.n_text_head
+    rng = jax.random.PRNGKey(5)
+    xk1 = jax.random.normal(rng, (hp.n_text_layer, hp.n_text_head,
+                                  hp.n_audio_ctx, d_head), jnp.float32) * 0.1
+    xk = jnp.broadcast_to(xk1[None], (W,) + xk1.shape)
+    xv = jnp.broadcast_to((xk1 * 0.3)[None], (W,) + xk1.shape)
+
+    prompts = jnp.tile(jnp.asarray([[0, 0, 0, 0, 0, 0, 1, 2]], jnp.int32),
+                       (W, 1))
+    args = (prompts, jnp.full((W,), 2, jnp.int32),
+            jnp.zeros(hp.n_vocab), jnp.zeros(hp.n_vocab),
+            jnp.zeros((W,)), jnp.zeros((W,), jnp.int32),
+            jnp.full((W,), 3000, jnp.int32), jnp.int32(0),
+            jax.vmap(jax.random.PRNGKey)(jnp.arange(W)))
+
+    fn = DL.make_window_decoder(hp, 1, 8, jnp.float32, False, False,
+                                eot, beg, n_windows=W, unroll_layers=False)
+    ref = fn(params, args[0], args[1], xk, xv, *args[2:])
+    ref_tok, ref_n = np.asarray(ref.tok_id), np.asarray(ref.n_tok)
+    assert ref_n.max() > 0  # the loop actually decoded something
+
+    n_dp = 8 // tp
+    mesh = make_mesh(n_dp, tp)
+    params_sh = shard_params(params, mesh, hp)
+    xk_sh = jax.device_put(xk, NamedSharding(
+        mesh, P("dp", None, "tp", None, None)))
+    xv_sh = jax.device_put(xv, NamedSharding(
+        mesh, P("dp", None, "tp", None, None)))
+    with mesh:
+        out = fn(params_sh, args[0], args[1], xk_sh, xv_sh, *args[2:])
+        jax.block_until_ready(out)
+
+    assert (np.asarray(out.n_tok) == ref_n).all()
+    for w in range(W):
+        n = int(ref_n[w])
+        assert (np.asarray(out.tok_id)[w, :n] == ref_tok[w, :n]).all(), w

@@ -721,6 +721,7 @@ def decode_step(params: Dict[str, Any],
         (x, kvf, sf), _ = lax.scan(
             sbody, (x, kvf, sf),
             (dec["blocks"], xk, xv, jnp.arange(n_layer)))
+    x = _replicate_if_meshed(x)
     if isinstance(tok_embd, QWGGML):
         x = layer_norm(x, dec["ln_w"], dec["ln_b"], eps)
         logits = _mm(x, tok_embd, dtype)
@@ -741,6 +742,35 @@ def decode_step(params: Dict[str, Any],
         logits = _mm(x, tok_embd.T, dtype)     # (B, T, n_vocab)
     new_cache = KVCache8(kvf, sf) if is_q8 else KVCache(kvf)
     return logits.astype(jnp.float32), new_cache
+
+
+def _replicate_if_meshed(x: jax.Array) -> jax.Array:
+    """Constrain `x` to a replicated layout when tracing under a mesh.
+
+    Under TP the final residual comes out of a row-parallel mlp1 as a
+    PARTIAL value; without a constraint GSPMD sinks the psum past the
+    logits matmul and allreduces the (B, T, n_vocab) LOGITS instead — 50x
+    the bytes (1.66 MB vs 32 KB per step at S=1024/tp=4,
+    tools/collective_audit.py).  Forcing replication here makes the psum
+    happen on the small hidden state and the vocab matmul run redundantly
+    per chip — redundant FLOPs are free at decode shapes, ICI bytes are
+    not.  No-op without a mesh."""
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            mesh = pxla.thread_resources.env.physical_mesh
+        if mesh.empty:
+            return x
+        from jax.sharding import PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, PartitionSpec(*(None,) * x.ndim))
+    except Exception:  # pragma: no cover — mesh API drift safety
+        return x
 
 
 def attn_ctx_buckets(n_ctx: int, n_buckets: int = 4) -> Tuple[int, ...]:

@@ -38,11 +38,19 @@ def param_specs(hp) -> Dict[str, Any]:
 
     enc_blocks = {
         "attn_ln_w": rep2, "attn_ln_b": rep2,
-        # fused qkv (both stacks): column sharding would split the [q|k|v]
-        # concatenation across devices (breaking head locality), so shard
-        # the INPUT dim — row parallel with a GSPMD-inserted psum after the
-        # projection
-        "qkv_w": row, "qkv_b": rep2,
+        # fused qkv (both stacks): COLUMN sharded.  Round 2 kept this row
+        # parallel (out of concern that a plain column shard splits the
+        # [q|k|v] concatenation across devices, breaking head locality),
+        # which paid one extra (B, T, 3S) allreduce per layer — the cost
+        # the reference's meta backend avoids with segmented fused-QKV
+        # splits (ggml-backend.h:369-401).  The round-3 HLO audit
+        # (tools/collective_audit.py) shows GSPMD handles the misaligned
+        # column shard with the collective-permutes it was ALREADY issuing
+        # for the head-sharded cache write: tp=4/S=1024 decode-step bytes
+        # drop 1313 -> 640 KiB (qkv allreduce and all 9 allgathers gone),
+        # and sharded==single numerics still hold (dryrun_multichip,
+        # tests/test_multichip_numerics.py).
+        "qkv_w": col, "qkv_b": bias_sh,
         "o_w": row, "o_b": rep2,
         "mlp_ln_w": rep2, "mlp_ln_b": rep2,
         "mlp0_w": col, "mlp0_b": bias_sh,
