@@ -1,0 +1,153 @@
+/* whisper_tpu C ABI — the whisper.h-shaped surface exported by
+ * libwhisper_tpu.so (native/whisper_abi.cpp).
+ *
+ * This is the consumer header for language bindings (bindings/cpp,
+ * bindings/go; reference shape: include/whisper.h:201-767).  Differences
+ * from the reference whisper.h, by design:
+ *   - whisper_full takes the decoding parameters as a JSON string instead
+ *     of a 60-field struct: pass NULL/"" for reference defaults, or e.g.
+ *     "{\"language\": \"en\", \"beam_size\": 5, \"temperature_inc\": 0}".
+ *     whisper_full_default_params_json(strategy) returns the defaults for
+ *     strategy 0 (greedy) / 1 (beam search) as JSON.
+ *   - token data is returned as JSON (whisper_full_get_token_data_json)
+ *     instead of a struct.
+ * Everything else mirrors whisper.h semantics 1:1; timestamps are in
+ * 10 ms ticks like the reference.
+ *
+ * Thread-safety: calls serialize on the embedded interpreter's GIL.
+ * Link: -lwhisper_tpu plus the libpython the shim embeds.
+ */
+
+#ifndef WHISPER_TPU_H
+#define WHISPER_TPU_H
+
+#include <stdbool.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+struct whisper_context;
+struct whisper_state;
+struct whisper_vad_context;
+
+/* ---- lifecycle (whisper.h:201-260) ---- */
+struct whisper_context * whisper_init_from_file(const char * path_model);
+struct whisper_context * whisper_init_from_buffer(void * buffer, int n_bytes);
+void whisper_free(struct whisper_context * ctx);
+struct whisper_state * whisper_init_state(struct whisper_context * ctx);
+void whisper_free_state(struct whisper_state * state);
+
+/* ---- full pipeline (whisper.h:640-700) ---- */
+const char * whisper_full_default_params_json(int strategy);
+int whisper_full(struct whisper_context * ctx, const char * params_json,
+                 const float * samples, int n_samples);
+int whisper_full_with_state(struct whisper_context * ctx,
+                            struct whisper_state * state,
+                            const char * params_json,
+                            const float * samples, int n_samples);
+
+int whisper_full_n_segments(struct whisper_context * ctx);
+int64_t whisper_full_get_segment_t0(struct whisper_context * ctx, int i);
+int64_t whisper_full_get_segment_t1(struct whisper_context * ctx, int i);
+const char * whisper_full_get_segment_text(struct whisper_context * ctx, int i);
+bool whisper_full_get_segment_speaker_turn_next(struct whisper_context * ctx, int i);
+float whisper_full_get_segment_no_speech_prob(struct whisper_context * ctx, int i);
+int whisper_full_n_tokens(struct whisper_context * ctx, int i);
+int whisper_full_get_token_id(struct whisper_context * ctx, int i, int j);
+const char * whisper_full_get_token_text(struct whisper_context * ctx, int i, int j);
+float whisper_full_get_token_p(struct whisper_context * ctx, int i, int j);
+int64_t whisper_full_get_token_t0(struct whisper_context * ctx, int i, int j);
+int64_t whisper_full_get_token_t1(struct whisper_context * ctx, int i, int j);
+const char * whisper_full_get_token_data_json(struct whisper_context * ctx, int i, int j);
+int whisper_full_lang_id(struct whisper_context * ctx);
+
+/* _from_state variants (parallel decodes; whisper.h:660-700) */
+int whisper_full_n_segments_from_state(struct whisper_state * state);
+int64_t whisper_full_get_segment_t0_from_state(struct whisper_state * state, int i);
+int64_t whisper_full_get_segment_t1_from_state(struct whisper_state * state, int i);
+const char * whisper_full_get_segment_text_from_state(struct whisper_state * state, int i);
+bool whisper_full_get_segment_speaker_turn_next_from_state(struct whisper_state * state, int i);
+float whisper_full_get_segment_no_speech_prob_from_state(struct whisper_state * state, int i);
+int whisper_full_n_tokens_from_state(struct whisper_state * state, int i);
+int whisper_full_get_token_id_from_state(struct whisper_state * state, int i, int j);
+float whisper_full_get_token_p_from_state(struct whisper_state * state, int i, int j);
+int whisper_full_lang_id_from_state(struct whisper_state * state);
+
+/* ---- step-by-step pipeline (whisper.h:260-360) ---- */
+int whisper_pcm_to_mel(struct whisper_context * ctx, const float * samples,
+                       int n_samples, int n_threads);
+int whisper_set_mel(struct whisper_context * ctx, const float * data,
+                    int n_len, int n_mel);
+int whisper_encode(struct whisper_context * ctx, int offset, int n_threads);
+int whisper_decode(struct whisper_context * ctx, const int * tokens,
+                   int n_tokens, int n_past, int n_threads);
+const float * whisper_get_logits(struct whisper_context * ctx);
+
+/* ---- tokenizer (whisper.h:345-380) ---- */
+int whisper_tokenize(struct whisper_context * ctx, const char * text,
+                     int * tokens, int n_max_tokens);
+int whisper_token_count(struct whisper_context * ctx, const char * text);
+const char * whisper_token_to_str(struct whisper_context * ctx, int token);
+int whisper_token_lang(struct whisper_context * ctx, int lang_id);
+
+/* ---- language (whisper.h:380-420) ---- */
+int whisper_lang_max_id(void);
+int whisper_lang_id(const char * lang);
+const char * whisper_lang_str(int id);
+int whisper_lang_auto_detect(struct whisper_context * ctx, int offset_ms,
+                             int n_threads, float * lang_probs);
+
+/* ---- model/vocab introspection (whisper.h:270-330) ---- */
+int whisper_n_len(struct whisper_context * ctx);
+int whisper_n_vocab(struct whisper_context * ctx);
+int whisper_n_text_ctx(struct whisper_context * ctx);
+int whisper_n_audio_ctx(struct whisper_context * ctx);
+int whisper_is_multilingual(struct whisper_context * ctx);
+int whisper_model_n_vocab(struct whisper_context * ctx);
+int whisper_model_n_audio_ctx(struct whisper_context * ctx);
+int whisper_model_n_audio_state(struct whisper_context * ctx);
+int whisper_model_n_audio_head(struct whisper_context * ctx);
+int whisper_model_n_audio_layer(struct whisper_context * ctx);
+int whisper_model_n_text_ctx(struct whisper_context * ctx);
+int whisper_model_n_text_state(struct whisper_context * ctx);
+int whisper_model_n_text_head(struct whisper_context * ctx);
+int whisper_model_n_text_layer(struct whisper_context * ctx);
+int whisper_model_n_mels(struct whisper_context * ctx);
+int whisper_model_ftype(struct whisper_context * ctx);
+int whisper_model_type(struct whisper_context * ctx);
+const char * whisper_model_type_readable(struct whisper_context * ctx);
+
+/* ---- special tokens (whisper.h:330-345) ---- */
+int whisper_token_eot(struct whisper_context * ctx);
+int whisper_token_sot(struct whisper_context * ctx);
+int whisper_token_solm(struct whisper_context * ctx);
+int whisper_token_prev(struct whisper_context * ctx);
+int whisper_token_nosp(struct whisper_context * ctx);
+int whisper_token_not(struct whisper_context * ctx);
+int whisper_token_beg(struct whisper_context * ctx);
+int whisper_token_translate(struct whisper_context * ctx);
+int whisper_token_transcribe(struct whisper_context * ctx);
+
+/* ---- VAD (whisper.h:699-750); segments live on the vad context ---- */
+struct whisper_vad_context * whisper_vad_init_from_file(const char * path);
+void whisper_vad_free(struct whisper_vad_context * vctx);
+int whisper_vad_segments_from_samples(
+    struct whisper_vad_context * vctx, const char * params_json,
+    const float * samples, int n_samples);
+int whisper_vad_segments_n_segments(struct whisper_vad_context * vctx);
+float whisper_vad_segments_get_segment_t0(struct whisper_vad_context * vctx, int i);
+float whisper_vad_segments_get_segment_t1(struct whisper_vad_context * vctx, int i);
+
+/* ---- misc (whisper.h:420-470) ---- */
+const char * whisper_version(void);
+const char * whisper_print_system_info(void);
+void whisper_print_timings(struct whisper_context * ctx);
+void whisper_reset_timings(struct whisper_context * ctx);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* WHISPER_TPU_H */
