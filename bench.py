@@ -283,10 +283,89 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
                 rtf=round(rtf, 1), rtf_batched=round(rtf_batched, 1))
 
 
+def bench_parakeet():
+    """Parakeet-TDT rows (BASELINE config 5 names the Parakeet variant):
+    real parakeet-tdt-0.6b dims, synthetic weights, 30 s of audio —
+    encoder ms, on-device TDT decode ms, dense bf16 vs packed q5_0
+    conformer weights (models/parakeet/model.PQW)."""
+    from whisper_tpu.formats import quants
+    from whisper_tpu.models.parakeet import model as PM
+    from whisper_tpu.models.parakeet.decode import tdt_greedy_decode
+    from whisper_tpu.models.parakeet.hparams import ParakeetHParams
+    from whisper_tpu.models.parakeet.load import (PACKED_LAYER_KEYS,
+                                                  build_param_pytree)
+    from whisper_tpu.models.parakeet.writer import synth_parakeet_tensors
+
+    hp = ParakeetHParams()
+    dtype = jnp.bfloat16
+    tensors = synth_parakeet_tensors(hp)
+    params_np = build_param_pytree(tensors, hp)
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype),
+                                    params_np)
+
+    mel = np.random.default_rng(0).standard_normal(
+        (3001, hp.n_mels)).astype(np.float32) * 0.3  # 30 s at 10 ms hop
+    mel_j = jnp.asarray(mel, dtype)
+
+    @jax.jit
+    def enc_chain(K, params, mel):
+        def body(i, m):
+            e = PM.encode(params, m, mel.shape[0], hp, dtype=dtype)
+            return m + (e.mean() * 1e-12).astype(m.dtype)
+        return jax.lax.fori_loop(0, K, body, mel).mean()
+
+    enc_ms = _per_op_ms(enc_chain, 1, 3, lambda: (params, mel_j))
+
+    # TDT decode over the whole utterance (one on-device while_loop)
+    enc = jax.jit(lambda p, m: PM.encode(p, m, mel.shape[0], hp,
+                                         dtype=dtype))(params, mel_j)
+    n_frames = (mel.shape[0] + hp.subsampling_factor - 1) \
+        // hp.subsampling_factor
+    D, L = hp.n_pred_dim, hp.n_pred_layers
+    h0 = jnp.zeros((L, D), dtype)
+    c0 = jnp.zeros((L, D), dtype)
+
+    def dec_once():
+        out = tdt_greedy_decode(params, enc, jnp.int32(n_frames), h0, c0,
+                                hp, 512, dtype)
+        return np.asarray(out[6])  # n_out readback
+
+    dec_once()
+    t0 = time.perf_counter()
+    dec_once()
+    dec_ms = (time.perf_counter() - t0) * 1000
+
+    # packed q5_0 conformer weights
+    def to_pqw(name_key):
+        src = params_np["layers"][name_key]  # (L, out, in) f32
+        codes, scales = [], []
+        for l in range(src.shape[0]):
+            buf = quants.quantize(np.ascontiguousarray(src[l]),
+                                  quants.GGML_TYPE_Q5_0)
+            qt = quants.unpack_to_planes(buf, quants.GGML_TYPE_Q5_0,
+                                         src[l].shape)
+            codes.append(qt.codes)
+            scales.append(qt.scales)
+        return PM.PQW(jnp.asarray(np.stack(codes), jnp.int8),
+                      jnp.asarray(np.stack(scales), jnp.float32))
+
+    packed = dict(params)
+    packed["layers"] = dict(params["layers"])
+    for key in PACKED_LAYER_KEYS:
+        packed["layers"][key] = to_pqw(key)
+    enc_q_ms = _per_op_ms(enc_chain, 1, 3, lambda: (packed, mel_j))
+
+    return dict(pk_enc_ms=round(enc_ms, 2), pk_enc_q5_ms=round(enc_q_ms, 2),
+                pk_dec_ms=round(dec_ms, 2),
+                pk_rtf=round(30_000.0 / (min(enc_ms, enc_q_ms) + dec_ms), 1))
+
+
 def main():
     name = os.environ.get("WTPU_BENCH_MODEL", "large-v3")
     hp = DIMS[name]
     r = bench_model(name, hp)
+    pk = (bench_parakeet()
+          if os.environ.get("WTPU_BENCH_PARAKEET", "1") != "0" else {})
     dec_used = min(r["dec_ms"], r["dec_q_ms"]) if r["dec_q_ms"] > 0 else r["dec_ms"]
     path = "q5_0-packed" if r["packed_decode"] else "bf16"
     spath = "q5_0-packed" if r["packed_serving"] else "bf16"
@@ -301,7 +380,11 @@ def main():
                   f"[dense {r['dec_ms']}, packed {r['dec_q_ms']}] = "
                   f"{r['rtf']}x; bch5 {r['bch5_ms']}/{r['bch5_q_ms']}ms/tok, "
                   f"prompt256 {r['prompt_ms']}ms; vmapped-enc "
-                  f"{r['enc_b_ms']}ms/window loses to solo)",
+                  f"{r['enc_b_ms']}ms/window"
+                  + (f"; parakeet-tdt-0.6b 30s: enc {pk['pk_enc_ms']}ms "
+                     f"bf16 / {pk['pk_enc_q5_ms']}ms packed-q5_0, TDT "
+                     f"decode {pk['pk_dec_ms']}ms -> {pk['pk_rtf']}x"
+                     if pk else "") + ")",
         "value": r["rtf_batched"],
         "unit": "x realtime",
         "vs_baseline": round(r["rtf_batched"] / BASELINE_RTF, 3),

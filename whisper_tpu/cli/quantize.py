@@ -19,7 +19,8 @@ from ..models.whisper.writer import QUANTIZE_SKIP
 
 
 def quantize_model(fname_inp: str, fname_out: str, ftype: int,
-                   verbose: bool = True) -> requant.QuantizeReport:
+                   verbose: bool = True,
+                   imatrix: "dict | None" = None) -> requant.QuantizeReport:
     qtype = quants.FTYPE_TO_QTYPE[ftype]
     with open(fname_inp, "rb") as fin, open(fname_out, "wb") as fout:
         requant.copy_whisper_header(fin, fout, ftype)
@@ -27,7 +28,7 @@ def quantize_model(fname_inp: str, fname_out: str, ftype: int,
             fin, fout, qtype,
             include=[".*"],
             skip=[s.replace(".", r"\.") for s in sorted(QUANTIZE_SKIP)],
-            verbose=verbose)
+            verbose=verbose, imatrix=imatrix)
     if verbose:
         print(f"model size  = {rep.total_size_org / 1e6:8.2f} MB")
         print(f"quant size  = {rep.total_size_new / 1e6:8.2f} MB | "
@@ -42,16 +43,25 @@ def main(argv=None) -> int:
     ap.add_argument("model_in")
     ap.add_argument("model_out")
     ap.add_argument("ftype", help="target type: q4_0 q4_1 q5_0 q5_1 q8_0 "
-                                  "q2_k..q6_k iq4_nl iq4_xs mxfp4 nvfp4 or "
-                                  "a numeric ggml ftype")
+                                  "q2_k..q6_k iq4_nl iq4_xs mxfp4 nvfp4 "
+                                  "iq1_s iq1_m iq2_xxs iq2_xs iq2_s iq3_xxs "
+                                  "iq3_s or a numeric ggml ftype")
+    ap.add_argument("--imatrix", default=None,
+                    help="importance matrix file (tools/make_imatrix.py) — "
+                         "required for the iq1/iq2/iq3 grid types")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
     t0 = time.perf_counter()
     try:
+        imatrix = None
+        if args.imatrix:
+            from ..formats.imatrix import load_imatrix
+
+            imatrix = load_imatrix(args.imatrix)
         ftype = requant.parse_ftype(args.ftype)
         quantize_model(args.model_in, args.model_out, ftype,
-                       verbose=not args.quiet)
+                       verbose=not args.quiet, imatrix=imatrix)
     except (ValueError, NotImplementedError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

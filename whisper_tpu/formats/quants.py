@@ -422,11 +422,34 @@ _NATIVE_TYPES = {GGML_TYPE_Q4_0: "q4_0", GGML_TYPE_Q5_0: "q5_0",
                  GGML_TYPE_Q8_0: "q8_0"}
 
 
-def quantize(x: np.ndarray, ggml_type: int) -> bytes:
+def quantize(x: np.ndarray, ggml_type: int,
+             imatrix: "np.ndarray | None" = None) -> bytes:
     """Quantize a float array to the packed byte layout of `ggml_type`.
 
     Prefers the native C++ codecs (whisper_tpu.native, bit-identical to the
-    numpy reference implementations below) when the library is available."""
+    numpy reference implementations below) when the library is available.
+
+    `imatrix`: per-input-channel importance weights (one f32 per column of
+    a 2-D `x`).  REQUIRED for the IQ1/IQ2/IQ3 grid formats (the reference
+    asserts the same, ggml-quants.c quantize_iq*); ignored by the other
+    codecs, whose reference quantizers don't take it for whisper tensors."""
+    if ggml_type in _IMATRIX_QUANTIZERS:
+        if imatrix is None:
+            raise NotImplementedError(
+                f"quantize to {type_name(ggml_type)} requires an importance "
+                "matrix (tools/make_imatrix.py)")
+        x2 = np.asarray(x, np.float32)
+        if x2.ndim == 1:
+            x2 = x2.reshape(1, -1)
+        x2 = x2.reshape(-1, x2.shape[-1])
+        im = np.asarray(imatrix, np.float32)
+        fn = _IMATRIX_QUANTIZERS[ggml_type]
+        # rows are independent; chunk them so the vectorized searches keep
+        # bounded working sets (a 51k-row token embedding would otherwise
+        # build multi-GB candidate tensors)
+        step = max(1, (1 << 19) // x2.shape[-1])
+        return b"".join(fn(x2[i:i + step], im)
+                        for i in range(0, x2.shape[0], step))
     if ggml_type == GGML_TYPE_F32:
         return np.ascontiguousarray(x, dtype=np.float32).tobytes()
     if ggml_type == GGML_TYPE_F16:
@@ -441,6 +464,32 @@ def quantize(x: np.ndarray, ggml_type: int) -> bytes:
     if fn is None:
         raise NotImplementedError(f"quantize to {type_name(ggml_type)} not supported")
     return fn(np.asarray(x))
+
+
+class _IQEncoders(dict):
+    """Lazy registry: the grid-format encoders import iq_encode (which
+    builds the quantizer tables, ~15 s) only when actually used."""
+
+    def __contains__(self, k):
+        return k in (GGML_TYPE_IQ2_XXS, GGML_TYPE_IQ2_XS, GGML_TYPE_IQ2_S,
+                     GGML_TYPE_IQ3_XXS, GGML_TYPE_IQ3_S, GGML_TYPE_IQ1_S,
+                     GGML_TYPE_IQ1_M)
+
+    def __getitem__(self, k):
+        from . import iq_encode as IE
+
+        return {
+            GGML_TYPE_IQ2_XXS: IE.quantize_iq2_xxs,
+            GGML_TYPE_IQ2_XS: IE.quantize_iq2_xs,
+            GGML_TYPE_IQ2_S: IE.quantize_iq2_s,
+            GGML_TYPE_IQ3_XXS: IE.quantize_iq3_xxs,
+            GGML_TYPE_IQ3_S: IE.quantize_iq3_s,
+            GGML_TYPE_IQ1_S: IE.quantize_iq1_s,
+            GGML_TYPE_IQ1_M: IE.quantize_iq1_m,
+        }[k]
+
+
+_IMATRIX_QUANTIZERS = _IQEncoders()
 
 
 def dequantize(buf: bytes, ggml_type: int, n_elems: int) -> np.ndarray:

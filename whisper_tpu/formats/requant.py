@@ -17,6 +17,8 @@ Rules (matching the reference exactly):
 from __future__ import annotations
 
 import re
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import BinaryIO, List, Sequence
 
@@ -60,6 +62,13 @@ def parse_ftype(s: str) -> int:
         "iq4_xs": quants.GGML_FTYPE_MOSTLY_IQ4_XS,
         "mxfp4": quants.GGML_FTYPE_MOSTLY_MXFP4,
         "nvfp4": quants.GGML_FTYPE_MOSTLY_NVFP4,
+        "iq2_xxs": quants.GGML_FTYPE_MOSTLY_IQ2_XXS,
+        "iq2_xs": quants.GGML_FTYPE_MOSTLY_IQ2_XS,
+        "iq2_s": quants.GGML_FTYPE_MOSTLY_IQ2_S,
+        "iq3_xxs": quants.GGML_FTYPE_MOSTLY_IQ3_XXS,
+        "iq3_s": quants.GGML_FTYPE_MOSTLY_IQ3_S,
+        "iq1_s": quants.GGML_FTYPE_MOSTLY_IQ1_S,
+        "iq1_m": quants.GGML_FTYPE_MOSTLY_IQ1_M,
     }
     if s not in names:
         raise ValueError(f"unknown ftype '{s}' (expected one of {sorted(names)})")
@@ -73,13 +82,23 @@ def quantize_tensor_stream(
     include: Sequence[str] = (".*",),
     skip: Sequence[str] = (),
     verbose: bool = False,
+    imatrix: "dict | None" = None,
 ) -> QuantizeReport:
     """Re-encode the tensor-record tail of a legacy ggml file.
 
     `fin` must be positioned at the first tensor record (header already
     copied by the caller); records stream to `fout` until EOF.
+
+    `imatrix`: {tensor name -> per-column importance values} from
+    tools/make_imatrix.py — REQUIRED for the IQ1/IQ2/IQ3 grid types.
     """
-    if qtype not in quants.supported_quant_types():
+    needs_imatrix = qtype in quants._IMATRIX_QUANTIZERS
+    if needs_imatrix:
+        if imatrix is None:
+            raise NotImplementedError(
+                f"quantization to {quants.type_name(qtype)} requires an "
+                "importance matrix (--imatrix, tools/make_imatrix.py)")
+    elif qtype not in quants.supported_quant_types():
         raise NotImplementedError(
             f"quantization to {quants.type_name(qtype)} is not supported")
 
@@ -107,7 +126,19 @@ def quantize_tensor_stream(
                     f"tensor '{rec.name}' row size {rec.shape[-1]} is not "
                     f"divisible by {quants.type_name(qtype)} block size {blck}")
             data = rec.to_f32()
-            raw = quants.quantize(data, qtype)
+            im = None
+            if needs_imatrix:
+                im = imatrix.get(rec.name)
+                if im is None:
+                    raise ValueError(
+                        f"imatrix has no entry for tensor '{rec.name}' "
+                        f"(needed for {quants.type_name(qtype)})")
+                im = np.asarray(im, np.float32)
+                if im.size != rec.shape[-1]:
+                    raise ValueError(
+                        f"imatrix entry for '{rec.name}' has {im.size} "
+                        f"values, expected {rec.shape[-1]}")
+            raw = quants.quantize(data.reshape(rec.shape), qtype, imatrix=im)
             container.write_tensor_record(
                 fout, rec.name, raw=raw, ggml_type=qtype, shape=rec.shape)
             rep.n_quantized += 1

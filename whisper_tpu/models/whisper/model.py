@@ -111,6 +111,27 @@ def _mm_ggml_q(x: jax.Array, w: QWGGML) -> jax.Array:
     return jnp.sum(part * w.scales * dx[..., None, :], axis=-1)
 
 
+class CapturedWeight:
+    """Imatrix-capture wrapper (formats/imatrix.py): records the matmul
+    input's per-column activation statistics under the weight's file
+    tensor name(s), then computes normally.  EAGER-mode only — the
+    collector is a host-side side effect that a jit trace would drop."""
+
+    def __init__(self, names, w, collector):
+        self.names = names
+        self.w = w
+        self.collector = collector
+
+    def __getitem__(self, l):
+        """Stacked (L, ...) weights slice per layer inside the unrolled
+        loops; `names` is then a per-layer list."""
+        return CapturedWeight(self.names[l], self.w[l], self.collector)
+
+    @property
+    def T(self):  # the logits head transposes the token embedding
+        return CapturedWeight(self.names, self.w.T, self.collector)
+
+
 def _mm(x: jax.Array, w, dtype) -> jax.Array:
     """x @ w with f32 accumulation; inputs cast to `dtype` for the MXU.
 
@@ -122,6 +143,9 @@ def _mm(x: jax.Array, w, dtype) -> jax.Array:
     """
     from ...ops.qmm import QWeight, QWeightT, qmm_auto, qmmt_auto
 
+    if isinstance(w, CapturedWeight):
+        w.collector.add(w.names, x)
+        return _mm(x, w.w, dtype)
     if isinstance(w, QWGGML):
         return _mm_ggml_q(x, w)
     if isinstance(w, QWeightT):
@@ -551,7 +575,11 @@ def decode_step(params: Dict[str, Any],
     from ...ops.qmm import QWeight, embed_lookup
 
     tok_embd = dec["tok_embd"]
-    if isinstance(tok_embd, QWGGML):
+    if isinstance(tok_embd, CapturedWeight):
+        # imatrix capture wraps the LOGITS-head use; the embedding lookup
+        # reads the inner array
+        emb = tok_embd.w[tokens]
+    elif isinstance(tok_embd, QWGGML):
         # ggml get_rows dequantizes the quantized embedding rows exactly:
         # value = code * f32(f16(d)) per 32-block
         rows = tok_embd.codes[tokens]
