@@ -77,6 +77,27 @@ def make_global_mesh(n_dp: Optional[int] = None, n_tp: int = 1):
     if n_dp is None:
         n_dp = len(devices) // n_tp
 
+    # validate before the reshape throws something opaque: real pods can be
+    # ragged (a down host) or sized so dp*tp misses devices
+    counts: dict = {}
+    for d in devices:
+        counts[d.process_index] = counts.get(d.process_index, 0) + 1
+    if len(set(counts.values())) > 1:
+        raise ValueError(
+            "hosts expose unequal device counts "
+            f"({dict(sorted(counts.items()))}) — the (dp, tp) mesh needs a "
+            "uniform per-host layout; pass an explicit device list or drop "
+            "the ragged host")
+    if n_local % n_tp != 0:
+        raise ValueError(
+            f"tp={n_tp} does not divide the {n_local} devices per host — "
+            "tp groups would straddle hosts (DCN)")
+    if n_dp * n_tp != len(devices):
+        raise ValueError(
+            f"mesh dp={n_dp} x tp={n_tp} = {n_dp * n_tp} does not cover the "
+            f"{len(devices)} global devices ({n_proc} hosts x "
+            f"{n_local} devices); pick dp*tp == n_devices")
+
     # order devices host-major so reshape(dp, tp) puts tp within a host
     by_proc: List[Any] = sorted(devices, key=lambda d: (d.process_index, d.id))
     arr = np.array(by_proc).reshape(n_dp, n_tp)
