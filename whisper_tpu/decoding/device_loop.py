@@ -298,7 +298,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                         single_segment: bool, vocab_eot: int, vocab_beg: int,
                         unroll_layers: bool = True, vmap_windows: bool = False,
                         kv_itype: str = "f16", strategy: str = "greedy",
-                        n_windows: int = 1):
+                        n_windows: int = 1, parity: bool = False):
     """Build the jitted whole-window greedy/best-of decode function.
     Static: hp dims, lane count, prompt bucket, timestamp-mode flags.
 
@@ -322,6 +322,9 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
     n_max = hp.n_text_ctx // 2 - 4
     eot, beg = vocab_eot, vocab_beg
     cache_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+    if parity:
+        # ggml-CPU precision emulation (model.decode_step parity): f16 KV
+        cache_dtype = jnp.float16
     # prompt passes have STATIC occupancy (the prompt bucket), so they get a
     # static attn_ctx.  Loop steps bucket the attention context by running
     # the token while_loop in SEGMENTS — one while_loop per static bucket,
@@ -374,7 +377,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                        hp.n_text_ctx - 1)[None, :]
         logits_all, cache1 = M.decode_step(
             params, prompt[None, :], pos, jnp.int32(0), cache1, xk, xv, hp,
-            dtype=compute_dtype, unroll=unroll_layers, attn_ctx=prompt_ctx)
+            dtype=compute_dtype, unroll=unroll_layers, parity=parity, attn_ctx=prompt_ctx)
         last_row = lax.dynamic_index_in_dim(
             logits_all, prompt_len - 1, axis=1, keepdims=False)  # (1, V)
         prompt_probs = jax.nn.softmax(last_row[0].astype(jnp.float32))
@@ -497,7 +500,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 (B, 1), jnp.int32)
             logits_next, cache = M.decode_step(
                 params, tok[:, None], step_pos, n_past, st.cache, xk, xv, hp,
-                dtype=compute_dtype, unroll=unroll_layers,
+                dtype=compute_dtype, unroll=unroll_layers, parity=parity,
                 attn_ctx=attn_ctx)
 
             return LoopState(
@@ -580,7 +583,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         cache = M.new_cache(hp, W, cache_dtype, itype=kv_itype)
         logits_all, cache = M.decode_step(
             params, prompt_lp, pos, jnp.int32(0), cache, xk, xv, hp,
-            dtype=compute_dtype, unroll=unroll_layers,
+            dtype=compute_dtype, unroll=unroll_layers, parity=parity,
             attn_mask=attn_mask_prompt, attn_ctx=prompt_ctx)
         last_row = rep_lanes(logits_all[:, prompt_bucket - 1])          # (R, V)
         prompt_probs = jax.nn.softmax(
@@ -706,7 +709,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 params, tok[:, None], step_pos, prompt_bucket + st.i,
                 st.cache, xk, xv, hp, dtype=compute_dtype,
                 unroll=unroll_layers, attn_mask=attn_mask, xkv_group=G,
-                attn_ctx=attn_ctx)
+                attn_ctx=attn_ctx, parity=parity)
 
             return LoopState(
                 i=st.i + 1, cache=cache, logits_row=logits_next[:, 0],

@@ -239,8 +239,10 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
         not ctx.is_empty
         and params.grammar_rules is None
         and params.logits_filter_callback is None
-        # ggml-parity precision mode runs the host loop: its per-step numpy
-        # filters share f64 host arithmetic with the reference's C doubles
+        # ggml-parity precision mode runs the host loop by default: its
+        # per-step numpy filters share f64 host arithmetic with the
+        # reference's C doubles (the device loop also supports parity=True
+        # for kernel-level comparisons — make_window_decoder)
         and not getattr(ctx, "parity", False))
 
     # abort hook: the reference checks `abort_callback` before every graph

@@ -146,7 +146,8 @@ class WindowBatcher:
                 ctx.hp, n_beams, bt, ctx.compute_dtype, no_ts, single_seg,
                 ctx.vocab.token_eot, ctx.vocab.token_beg,
                 vmap_windows=not native, kv_itype=ctx.kv_itype,
-                strategy=strategy, n_windows=len(reqs) if native else 1)
+                strategy=strategy, n_windows=len(reqs) if native else 1,
+                parity=getattr(ctx, "parity", False))
             ctx._window_jit[vkey] = fn
 
         # args per request: (prompt_padded, prompt_len, xk, xv, base_mask,

@@ -311,7 +311,8 @@ class WhisperContext:
             fn = DL.make_window_decoder(
                 self.hp, n_beams, bt, self.compute_dtype, no_timestamps,
                 single_segment, self.vocab.token_eot, self.vocab.token_beg,
-                kv_itype=self.kv_itype, strategy=strategy)
+                kv_itype=self.kv_itype, strategy=strategy,
+                parity=self.parity)
             self._window_jit[key] = fn
         return jax.tree.map(np.asarray, fn(self.params, *args))
 
