@@ -265,5 +265,5 @@ def test_sharded_window_decoder_medium_width_tokens_exact(tp):
 
     assert (np.asarray(out.n_tok) == ref_n).all()
     for w in range(W):
-        n = int(ref_n[w])
+        n = int(ref_n[w].item())
         assert (np.asarray(out.tok_id)[w, :n] == ref_tok[w, :n]).all(), w

@@ -133,3 +133,62 @@ def test_load_hot_swap_while_busy(dec_server):
     status, r = _post(url + "/load", body, ctype)
     assert status == 200
     assert json.loads(r)["status"] == "ok"
+
+
+def test_server_json_matches_reference_server(dec_server):
+    """Differential SERVER test: the reference whisper-server binary and
+    whisper_tpu's server answer the same multipart /inference request with
+    the same transcription text on the decisive model."""
+    import shutil
+    import socket
+    import subprocess
+    import time
+
+    from oracle_paths import find_bin
+
+    ref_srv = find_bin("whisper-server")
+    if ref_srv is None:
+        pytest.skip("reference whisper-server not built")
+    httpd, url = dec_server
+    model_path = httpd.whisper_state.model_path
+
+    # free port for the reference server
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    rport = s.getsockname()[1]
+    s.close()
+    proc = subprocess.Popen(
+        [str(ref_srv), "-m", model_path, "--host", "127.0.0.1",
+         "--port", str(rport), "-nf"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        wav = JFK.read_bytes()
+        body, ctype = _multipart({
+            "file": ("jfk.wav", wav),
+            "response_format": ("", "json"),
+            "best_of": ("", "1"),
+            "temperature_inc": ("", "0"),
+        })
+        for _ in range(120):  # wait for the reference server to come up
+            try:
+                status, ref_resp = _post(f"http://127.0.0.1:{rport}/inference",
+                                         body, ctype, timeout=600)
+                break
+            except Exception:  # noqa: BLE001
+                if proc.poll() is not None:
+                    pytest.fail("reference server exited early")
+                time.sleep(0.5)
+        else:
+            pytest.fail("reference server did not come up")
+        assert status == 200
+        ref_text = json.loads(ref_resp.decode("utf-8", "replace"),
+                              strict=False)["text"]
+
+        status, ours = _post(url + "/inference", body, ctype)
+        assert status == 200
+        our_text = json.loads(ours)["text"]
+        assert our_text.replace("\n", "") == ref_text.replace("\n", ""), (
+            our_text, ref_text)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -114,7 +114,15 @@ def test_text_parity(case, dec_models, parity_audio):
     if case.vad and not pathlib.Path(TP.SILERO_MODEL).exists():
         pytest.skip("silero test model not available")
 
-    segs = transcribe(_ctx_for(model), TP.transcribe_params(case), samples)
+    if case.processors > 1:
+        from whisper_tpu.decoding.parallel import transcribe_parallel
+
+        segs = transcribe_parallel(_ctx_for(model),
+                                   TP.transcribe_params(case), samples,
+                                   case.processors)
+    else:
+        segs = transcribe(_ctx_for(model), TP.transcribe_params(case),
+                          samples)
     got = TP.segments_to_rows(segs)
 
     stats = TP.compare(ref["segments"], got)

@@ -50,6 +50,7 @@ class Case:
     beam_size: int = 0  # 0 = greedy (best_of 1)
     audio: str = "jfk"  # "jfk" (11 s) | "jfk3" (3x concat, 33 s seek loop)
     vad: bool = False
+    processors: int = 1  # whisper_full_parallel chunk split (-p)
 
 
 CASES: Tuple[Case, ...] = (
@@ -61,6 +62,7 @@ CASES: Tuple[Case, ...] = (
     Case("q8_0-beam5", "q8_0", beam_size=5),
     Case("f16-greedy-vad", "f16", vad=True),
     Case("f16-greedy-long", "f16", audio="jfk3"),
+    Case("f16-greedy-p2", "f16", audio="jfk3", processors=2),
 )
 
 
@@ -74,6 +76,8 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
         args += ["-bo", "1"]
     if case.vad:
         args += ["--vad", "-vm", SILERO_MODEL]
+    if case.processors > 1:
+        args += ["-p", str(case.processors)]
     return args
 
 
