@@ -255,6 +255,38 @@ int whisper_full(struct whisper_context * ctx, const char * params_json,
     return rc;
 }
 
+// whisper_full_parallel (whisper.h:621): chunk-split data parallelism
+int whisper_full_parallel(struct whisper_context * ctx,
+                          const char * params_json,
+                          const float * samples, int n_samples,
+                          int n_processors) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * mem = PyMemoryView_FromMemory(
+        (char *) samples, (Py_ssize_t) n_samples * 4, PyBUF_READ);
+    PyObject * np_mod = PyImport_ImportModule("numpy");
+    PyObject * arr = nullptr;
+    if (np_mod && mem) {
+        arr = PyObject_CallMethod(np_mod, "frombuffer", "Os", mem, "<f4");
+    }
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call(
+            "full_parallel",
+            Py_BuildValue("(l, s, O, i)", (long) (intptr_t) ctx,
+                          params_json, arr, n_processors));
+        if (res) {
+            rc = (int) PyLong_AsLong(res);
+            Py_DECREF(res);
+        }
+    }
+    Py_XDECREF(arr);
+    Py_XDECREF(np_mod);
+    Py_XDECREF(mem);
+    PyGILState_Release(gil);
+    return rc;
+}
+
 int whisper_full_n_segments(struct whisper_context * ctx) {
     return (int) call_long("full_n_segments", 0, "(l)",
                            (long) (intptr_t) ctx);
@@ -718,6 +750,34 @@ float whisper_vad_segments_get_segment_t1(struct whisper_vad_context * vctx,
                                           int i) {
     return (float) call_double("vad_segments_get_segment_t1", -1.0, "(l,i)",
                                (long) (intptr_t) vctx, i);
+}
+
+}  // extern "C"
+
+// ---- built-in microbenchmarks (whisper.h:756-759) -------------------------
+
+extern "C" {
+
+const char * whisper_bench_memcpy_str(int n_threads) {
+    (void) n_threads;  // the TPU runtime picks its own parallelism
+    return call_str("bench_memcpy_str", nullptr);
+}
+
+int whisper_bench_memcpy(int n_threads) {
+    const char * s = whisper_bench_memcpy_str(n_threads);
+    if (s) fprintf(stderr, "%s", s);
+    return 0;
+}
+
+const char * whisper_bench_ggml_mul_mat_str(int n_threads) {
+    (void) n_threads;
+    return call_str("bench_ggml_mul_mat_str", nullptr);
+}
+
+int whisper_bench_ggml_mul_mat(int n_threads) {
+    const char * s = whisper_bench_ggml_mul_mat_str(n_threads);
+    if (s) fprintf(stderr, "%s", s);
+    return 0;
 }
 
 }  // extern "C"

@@ -47,6 +47,10 @@ int whisper_full_with_state(struct whisper_context * ctx,
                             struct whisper_state * state,
                             const char * params_json,
                             const float * samples, int n_samples);
+int whisper_full_parallel(struct whisper_context * ctx,
+                          const char * params_json,
+                          const float * samples, int n_samples,
+                          int n_processors);
 
 int whisper_full_n_segments(struct whisper_context * ctx);
 int64_t whisper_full_get_segment_t0(struct whisper_context * ctx, int i);
@@ -139,6 +143,13 @@ int whisper_vad_segments_from_samples(
 int whisper_vad_segments_n_segments(struct whisper_vad_context * vctx);
 float whisper_vad_segments_get_segment_t0(struct whisper_vad_context * vctx, int i);
 float whisper_vad_segments_get_segment_t1(struct whisper_vad_context * vctx, int i);
+
+/* ---- built-in microbenchmarks (whisper.h:756-759; n_threads ignored —
+ * the TPU runtime picks its own parallelism) ---- */
+int whisper_bench_memcpy(int n_threads);
+const char * whisper_bench_memcpy_str(int n_threads);
+int whisper_bench_ggml_mul_mat(int n_threads);
+const char * whisper_bench_ggml_mul_mat_str(int n_threads);
 
 /* ---- misc (whisper.h:420-470) ---- */
 const char * whisper_version(void);

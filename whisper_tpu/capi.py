@@ -651,3 +651,30 @@ def vad_segments_get_segment_t0(h: int, i: int) -> float:
 
 def vad_segments_get_segment_t1(h: int, i: int) -> float:
     return float(_scratch[h]["vad_segments"][i].end)
+
+
+# ---- built-in microbenchmarks (whisper.h:756-759) --------------------------
+
+def _bench_capture(fn) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    try:
+        with redirect_stdout(buf):
+            fn()
+    except Exception as e:  # noqa: BLE001 — the str variants never throw
+        return f"bench failed: {e}\n"
+    return buf.getvalue()
+
+
+def bench_memcpy_str() -> str:
+    from .cli.bench_cli import bench_memcpy
+
+    return _bench_capture(bench_memcpy)
+
+
+def bench_ggml_mul_mat_str() -> str:
+    from .cli.bench_cli import bench_mul_mat
+
+    return _bench_capture(bench_mul_mat)
