@@ -206,13 +206,17 @@ def wrap_segment(ctx, result_all, max_len: int, split_on_word: bool) -> int:
 
         if acc + cur > max_len and i > 0 and _should_split_on_word(txt, split_on_word):
             last = result_all[-1]
+            # `last` IS `segment` on the first split — take the tail BEFORE
+            # truncating the head, or the new segment would be empty
+            head, tail = segment.tokens[:i], segment.tokens[i:]
+            seg_t1 = segment.t1
             last.text = text
             last.t1 = token.t0
-            last.tokens = segment.tokens[:i]
+            last.tokens = head
             last.speaker_turn_next = False
 
-            new_seg = Segment(token.t0, segment.t1, "", segment.no_speech_prob,
-                              segment.tokens[i:], segment.speaker_turn_next)
+            new_seg = Segment(token.t0, seg_t1, "", segment.no_speech_prob,
+                              tail, segment.speaker_turn_next)
             result_all.append(new_seg)
             acc = 0
             text = ""

@@ -51,6 +51,7 @@ class Case:
     audio: str = "jfk"  # "jfk" (11 s) | "jfk3" (3x concat, 33 s seek loop)
     vad: bool = False
     processors: int = 1  # whisper_full_parallel chunk split (-p)
+    max_len: int = 0     # token-timestamp segment wrapping (-ml)
 
 
 CASES: Tuple[Case, ...] = (
@@ -63,6 +64,7 @@ CASES: Tuple[Case, ...] = (
     Case("f16-greedy-vad", "f16", vad=True),
     Case("f16-greedy-long", "f16", audio="jfk3"),
     Case("f16-greedy-p2", "f16", audio="jfk3", processors=2),
+    Case("f16-greedy-ml6", "f16", max_len=6),
 )
 
 
@@ -78,6 +80,8 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
         args += ["--vad", "-vm", SILERO_MODEL]
     if case.processors > 1:
         args += ["-p", str(case.processors)]
+    if case.max_len > 0:
+        args += ["-ml", str(case.max_len)]
     return args
 
 
@@ -97,6 +101,10 @@ def transcribe_params(case: Case):
     if case.vad:
         p.vad = True
         p.vad_model_path = SILERO_MODEL
+    if case.max_len > 0:
+        # the CLI enables token timestamps whenever -ml is set (cli.cpp)
+        p.token_timestamps = True
+        p.max_len = case.max_len
     return p
 
 
