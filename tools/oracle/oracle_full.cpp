@@ -3,7 +3,7 @@
 // (t0_ticks, t1_ticks, token ids, text) for full-pipeline diffing.
 //
 // usage: oracle_full <model.bin> <pcm.f32> [beam_size] [flags]
-//   flags: currently just "nt" (no_timestamps)
+//   flags: "nt" (no_timestamps); env ORACLE_PROMPT sets initial_prompt
 // Build: tools/oracle/build_oracles.sh
 
 #include "whisper.h"
@@ -49,6 +49,8 @@ int main(int argc, char ** argv) {
         wparams.greedy.best_of = 1;    // -bo 1
     }
     wparams.language = "en";
+    const char * prompt = getenv("ORACLE_PROMPT");
+    if (prompt) wparams.initial_prompt = prompt;
 
     // ORACLE_DEBUG_LOGITS=1: print per-step partially-filtered argmax via the
     // logits_filter_callback (runs mid-whisper_process_logits)

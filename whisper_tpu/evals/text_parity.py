@@ -52,6 +52,8 @@ class Case:
     vad: bool = False
     processors: int = 1  # whisper_full_parallel chunk split (-p)
     max_len: int = 0     # token-timestamp segment wrapping (-ml)
+    prompt: str = ""     # initial prompt (--prompt)
+    suppress_nst: bool = False  # non-speech-token suppression (-sns)
 
 
 CASES: Tuple[Case, ...] = (
@@ -65,6 +67,12 @@ CASES: Tuple[Case, ...] = (
     Case("f16-greedy-long", "f16", audio="jfk3"),
     Case("f16-greedy-p2", "f16", audio="jfk3", processors=2),
     Case("f16-greedy-ml6", "f16", max_len=6),
+    # prompt case stays on the 11 s clip: on the 33 s input the trajectory
+    # ends in a near-tied timestamp race (p=0.08) that the miniaudio-vs-our
+    # pcm difference flips WITHIN the reference itself (whisper-cli and a
+    # raw-f32 whisper_full harness disagree by one trailing ts there)
+    Case("f16-greedy-prompt", "f16", prompt="The quick brown fox"),
+    Case("f16-greedy-sns", "f16", suppress_nst=True),
 )
 
 
@@ -82,6 +90,10 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
         args += ["-p", str(case.processors)]
     if case.max_len > 0:
         args += ["-ml", str(case.max_len)]
+    if case.prompt:
+        args += ["--prompt", case.prompt]
+    if case.suppress_nst:
+        args += ["-sns"]
     return args
 
 
@@ -105,6 +117,10 @@ def transcribe_params(case: Case):
         # the CLI enables token timestamps whenever -ml is set (cli.cpp)
         p.token_timestamps = True
         p.max_len = case.max_len
+    if case.prompt:
+        p.initial_prompt = case.prompt
+    if case.suppress_nst:
+        p.suppress_nst = True
     return p
 
 
