@@ -47,7 +47,11 @@ int main(int argc, char ** argv) {
         wparams.beam_search.beam_size = beam;
     } else {
         wparams.greedy.best_of = 1;    // -bo 1
+        // match whisper-cli exactly: it passes its raw -bs default (-1)
+        // through to beam_size even in greedy mode (cli.cpp:1243)
+        wparams.beam_search.beam_size = -1;
     }
+    wparams.print_timestamps = true;   // cli default
     wparams.language = "en";
     const char * prompt = getenv("ORACLE_PROMPT");
     if (prompt) wparams.initial_prompt = prompt;
