@@ -6,6 +6,7 @@
 #                             (the -march=native build SIGILLs in quantized
 #                             vec_dot paths on this host — SKILL.md)
 #   .oracle/oracle_dump_portable   raw-logit tracer    (tools/oracle/oracle_dump.cpp)
+#   .oracle/oracle_full            whisper_full→TSV    (tools/oracle/oracle_full.cpp)
 #   .oracle/parakeet_oracle        parakeet mel tracer (tools/oracle/parakeet_oracle.cpp)
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/../.." && pwd)"
@@ -20,6 +21,11 @@ fi
 g++ -O2 "$REPO/tools/oracle/oracle_dump.cpp" \
     -I"$REF/include" -I"$REF/ggml/include" \
     -L"$BUILD/bin" -lwhisper -o "$REPO/.oracle/oracle_dump_portable" \
+    -Wl,-rpath,"$BUILD/bin"
+
+g++ -O2 "$REPO/tools/oracle/oracle_full.cpp" \
+    -I"$REF/include" -I"$REF/ggml/include" \
+    -L"$BUILD/bin" -lwhisper -o "$REPO/.oracle/oracle_full" \
     -Wl,-rpath,"$BUILD/bin"
 
 g++ -O2 "$REPO/tools/oracle/parakeet_oracle.cpp" \

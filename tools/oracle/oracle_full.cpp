@@ -46,10 +46,12 @@ int main(int argc, char ** argv) {
     if (beam > 0) {
         wparams.beam_search.beam_size = beam;
     } else {
-        wparams.greedy.best_of = 1;    // -bo 1
-        // match whisper-cli exactly: it passes its raw -bs default (-1)
-        // through to beam_size even in greedy mode (cli.cpp:1243)
-        wparams.beam_search.beam_size = -1;
+        // match `whisper-cli -bo 1 -bs 1`: the cli's DEFAULT strategy is
+        // BEAM_SEARCH (beam_size initializes to 5, strategy = beam_size > 1
+        // ? BEAM : GREEDY; cli.cpp:45,1213) so true greedy needs -bs 1,
+        // which then passes beam_size=1 through (cli.cpp:1243)
+        wparams.greedy.best_of = 1;
+        wparams.beam_search.beam_size = 1;
     }
     wparams.print_timestamps = true;   // cli default
     wparams.language = "en";

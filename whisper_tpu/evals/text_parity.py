@@ -67,11 +67,12 @@ CASES: Tuple[Case, ...] = (
     Case("f16-greedy-long", "f16", audio="jfk3"),
     Case("f16-greedy-p2", "f16", audio="jfk3", processors=2),
     Case("f16-greedy-ml6", "f16", max_len=6),
-    # prompt case stays on the 11 s clip: on the 33 s input the trajectory
-    # ends in a near-tied timestamp race (p=0.08) that the miniaudio-vs-our
-    # pcm difference flips WITHIN the reference itself (whisper-cli and a
-    # raw-f32 whisper_full harness disagree by one trailing ts there)
     Case("f16-greedy-prompt", "f16", prompt="The quick brown fox"),
+    # the one-trailing-timestamp "instability" originally seen here was
+    # whisper-cli silently running BEAM-5 (its default strategy) against a
+    # greedy harness — with -bs 1 forced, greedy-vs-greedy agrees
+    Case("f16-greedy-prompt-long", "f16", audio="jfk3",
+         prompt="The quick brown fox"),
     Case("f16-greedy-sns", "f16", suppress_nst=True),
 )
 
@@ -83,7 +84,11 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
     if case.beam_size > 0:
         args += ["-bs", str(case.beam_size)]
     else:
-        args += ["-bo", "1"]
+        # whisper-cli's DEFAULT is beam search: params.beam_size initializes
+        # to whisper_full_default_params(BEAM_SEARCH).beam_search.beam_size=5
+        # and strategy = beam_size > 1 ? BEAM : GREEDY (cli.cpp:45,1213) —
+        # true greedy requires an explicit -bs 1
+        args += ["-bo", "1", "-bs", "1"]
     if case.vad:
         args += ["--vad", "-vm", SILERO_MODEL]
     if case.processors > 1:
