@@ -92,6 +92,7 @@ def main(argv=None) -> int:
     ap.add_argument("--grammar", default="")
     ap.add_argument("--grammar-rule", default="root")
     ap.add_argument("--grammar-penalty", type=float, default=100.0)
+    ap.add_argument("--suppress-regex", default="")
     ap.add_argument("--prompt", default="")
     ap.add_argument("--context", default="")
     ap.add_argument("-l", "--language", default="en")
@@ -153,7 +154,11 @@ def main(argv=None) -> int:
                   f"(logprob {scores[best]:.3f})")
             continue
 
-        params = TranscribeParams.default(SamplingStrategy.GREEDY)
+        # the reference transcribes with BEAM_SEARCH defaults (beam 5,
+        # best_of 5; examples/command/command.cpp:151,169-171)
+        params = TranscribeParams.default(SamplingStrategy.BEAM_SEARCH)
+        params.greedy.best_of = 5
+        params.beam_search.beam_size = 5
         params.print_progress = False
         params.single_segment = True
         params.no_timestamps = True
@@ -164,6 +169,7 @@ def main(argv=None) -> int:
         params.temperature = 0.4
         params.temperature_inc = 1.0
         params.initial_prompt = args.context or None
+        params.suppress_regex = args.suppress_regex or None
         if grammar_rules is not None:
             params.grammar_rules = grammar_rules
             params.i_start_rule = i_start_rule
