@@ -781,3 +781,261 @@ int whisper_bench_ggml_mul_mat(int n_threads) {
 }
 
 }  // extern "C"
+
+// ---- state-variant step-by-step API (whisper.h:265-341, 417) --------------
+// states are cloned contexts Python-side; each forwards with the state
+// handle (the ctx argument is kept for whisper.h signature parity)
+
+extern "C" {
+
+int whisper_pcm_to_mel_with_state(struct whisper_context * ctx,
+                                  struct whisper_state * state,
+                                  const float * samples, int n_samples,
+                                  int n_threads) {
+    (void) ctx; (void) n_threads;
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call("pcm_to_mel",
+                              Py_BuildValue("(l,O)",
+                                            (long) (intptr_t) state, arr));
+        if (res) { rc = (int) PyLong_AsLong(res); Py_DECREF(res); }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int whisper_set_mel_with_state(struct whisper_context * ctx,
+                               struct whisper_state * state,
+                               const float * data, int n_len, int n_mel) {
+    (void) ctx;
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(data, (Py_ssize_t) n_len * n_mel);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call("set_mel",
+                              Py_BuildValue("(l,O,i,i)",
+                                            (long) (intptr_t) state, arr,
+                                            n_len, n_mel));
+        if (res) { rc = (int) PyLong_AsLong(res); Py_DECREF(res); }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int whisper_encode_with_state(struct whisper_context * ctx,
+                              struct whisper_state * state,
+                              int offset, int n_threads) {
+    (void) ctx; (void) n_threads;
+    return (int) call_long("encode", -1, "(l,i)",
+                           (long) (intptr_t) state, offset);
+}
+
+int whisper_decode_with_state(struct whisper_context * ctx,
+                              struct whisper_state * state,
+                              const int * tokens, int n_tokens,
+                              int n_past, int n_threads) {
+    (void) ctx; (void) n_threads;
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * lst = PyList_New(n_tokens);
+    for (int k = 0; k < n_tokens; k++) {
+        PyList_SET_ITEM(lst, k, PyLong_FromLong(tokens[k]));
+    }
+    PyObject * res = call("decode",
+                          Py_BuildValue("(l,O,i)",
+                                        (long) (intptr_t) state, lst,
+                                        n_past));
+    Py_DECREF(lst);
+    int rc = -1;
+    if (res) { rc = (int) PyLong_AsLong(res); Py_DECREF(res); }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+const float * whisper_get_logits_from_state(struct whisper_state * state) {
+    static std::mutex mu;
+    static std::map<long, std::vector<float>> bufs;
+    long h = (long) (intptr_t) state;
+    long nv = call_long("n_vocab", 0, "(l)", h);
+    std::lock_guard<std::mutex> lock(mu);
+    std::vector<float> & buf = bufs[h];
+    buf.resize((size_t) (nv > 0 ? nv : 0));
+    if (nv > 0) {
+        call_bytes_out("get_logits_bytes", (char *) buf.data(), nv * 4,
+                       "(l)", h);
+    }
+    return buf.data();
+}
+
+int whisper_n_len_from_state(struct whisper_state * state) {
+    return (int) call_long("n_len_from_state", 0, "(l)",
+                           (long) (intptr_t) state);
+}
+
+int whisper_lang_auto_detect_with_state(struct whisper_context * ctx,
+                                        struct whisper_state * state,
+                                        int offset_ms, int n_threads,
+                                        float * lang_probs) {
+    (void) ctx; (void) n_threads;
+    int lid = (int) call_long("lang_auto_detect", -1, "(l,i)",
+                              (long) (intptr_t) state, offset_ms);
+    if (lid >= 0 && lang_probs) {
+        long n = call_long("lang_max_id", -1, nullptr) + 1;
+        call_bytes_out("get_lang_probs_bytes", (char *) lang_probs, n * 4,
+                       "(l)", (long) (intptr_t) state);
+    }
+    return lid;
+}
+
+// ---- remaining from_state token accessors (whisper.h:730-745) -------------
+
+const char * whisper_full_get_token_text_from_state(
+        struct whisper_context * ctx, struct whisper_state * state,
+        int i, int j) {
+    return call_str("full_get_token_text_from_state", "(l,l,i,i)",
+                    (long) (intptr_t) ctx, (long) (intptr_t) state, i, j);
+}
+
+int64_t whisper_full_get_token_t0_from_state(struct whisper_state * state,
+                                             int i, int j) {
+    return (int64_t) call_long("full_get_token_t0_from_state", -1,
+                               "(l,i,i)", (long) (intptr_t) state, i, j);
+}
+
+int64_t whisper_full_get_token_t1_from_state(struct whisper_state * state,
+                                             int i, int j) {
+    return (int64_t) call_long("full_get_token_t1_from_state", -1,
+                               "(l,i,i)", (long) (intptr_t) state, i, j);
+}
+
+const char * whisper_full_get_token_data_json_from_state(
+        struct whisper_state * state, int i, int j) {
+    return call_str("full_get_token_data_json_from_state", "(l,i,i)",
+                    (long) (intptr_t) state, i, j);
+}
+
+// ---- VAD segments recorded by whisper_full (whisper.h:686-698) ------------
+
+int whisper_full_n_vad_segments(struct whisper_context * ctx) {
+    return (int) call_long("full_n_vad_segments", 0, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+int64_t whisper_full_get_vad_segment_t0(struct whisper_context * ctx, int i) {
+    return (int64_t) call_long("full_get_vad_segment_t0", -1, "(l,i)",
+                               (long) (intptr_t) ctx, i);
+}
+
+int64_t whisper_full_get_vad_segment_t1(struct whisper_context * ctx, int i) {
+    return (int64_t) call_long("full_get_vad_segment_t1", -1, "(l,i)",
+                               (long) (intptr_t) ctx, i);
+}
+
+int whisper_full_n_vad_segments_from_state(struct whisper_state * state) {
+    return (int) call_long("full_n_vad_segments_from_state", 0, "(l)",
+                           (long) (intptr_t) state);
+}
+
+int64_t whisper_full_get_vad_segment_t0_from_state(
+        struct whisper_state * state, int i) {
+    return (int64_t) call_long("full_get_vad_segment_t0_from_state", -1,
+                               "(l,i)", (long) (intptr_t) state, i);
+}
+
+int64_t whisper_full_get_vad_segment_t1_from_state(
+        struct whisper_state * state, int i) {
+    return (int64_t) call_long("full_get_vad_segment_t1_from_state", -1,
+                               "(l,i)", (long) (intptr_t) state, i);
+}
+
+// ---- low-level VAD probability API (whisper.h:717-742) --------------------
+
+struct whisper_vad_context;
+
+bool whisper_vad_detect_speech(struct whisper_vad_context * vctx,
+                               const float * samples, int n_samples) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    long ok = 0;
+    if (arr) {
+        PyObject * res = call("vad_detect_speech",
+                              Py_BuildValue("(l,O,i)",
+                                            (long) (intptr_t) vctx, arr, 1));
+        if (res) { ok = PyLong_AsLong(res); Py_DECREF(res); }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return ok == 1;
+}
+
+// streaming variant: the Silero LSTM h/c carries across calls
+bool whisper_vad_detect_speech_no_reset(struct whisper_vad_context * vctx,
+                                        const float * samples,
+                                        int n_samples) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    long ok = 0;
+    if (arr) {
+        PyObject * res = call("vad_detect_speech",
+                              Py_BuildValue("(l,O,i)",
+                                            (long) (intptr_t) vctx, arr, 0));
+        if (res) { ok = PyLong_AsLong(res); Py_DECREF(res); }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return ok == 1;
+}
+
+int whisper_vad_n_probs(struct whisper_vad_context * vctx) {
+    return (int) call_long("vad_n_probs", 0, "(l)", (long) (intptr_t) vctx);
+}
+
+// per-chunk speech probabilities of the last detect_speech (buffer owned
+// per vad context, valid until the next detect_speech/free)
+float * whisper_vad_probs(struct whisper_vad_context * vctx) {
+    static std::mutex mu;
+    static std::map<long, std::vector<float>> bufs;
+    long h = (long) (intptr_t) vctx;
+    long n = call_long("vad_n_probs", 0, "(l)", h);
+    std::lock_guard<std::mutex> lock(mu);
+    std::vector<float> & buf = bufs[h];
+    buf.resize((size_t) (n > 0 ? n : 0));
+    if (n > 0) {
+        call_bytes_out("vad_probs_bytes", (char *) buf.data(), n * 4,
+                       "(l)", h);
+    }
+    return buf.data();
+}
+
+void whisper_vad_reset_state(struct whisper_vad_context * vctx) {
+    call_long("vad_reset_state", 0, "(l)", (long) (intptr_t) vctx);
+}
+
+// segment the probs from the last detect_speech; accessors shared with
+// whisper_vad_segments_from_samples
+int whisper_vad_segments_from_probs(struct whisper_vad_context * vctx,
+                                    const char * params_json) {
+    return (int) call_long("vad_segments_from_probs", -1, "(l,s)",
+                           (long) (intptr_t) vctx, params_json);
+}
+
+// ---- whisper_log_set (whisper.h:584) ---------------------------------------
+
+typedef void (*whisper_log_callback)(int level, const char * text,
+                                     void * user_data);
+
+void whisper_log_set(whisper_log_callback callback, void * user_data) {
+    ensure_runtime();
+    call_long("log_set_c_sink", 0, "(l,l)",
+              (long) (intptr_t) callback, (long) (intptr_t) user_data);
+}
+
+}  // extern "C"

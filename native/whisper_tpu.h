@@ -77,7 +77,23 @@ float whisper_full_get_segment_no_speech_prob_from_state(struct whisper_state * 
 int whisper_full_n_tokens_from_state(struct whisper_state * state, int i);
 int whisper_full_get_token_id_from_state(struct whisper_state * state, int i, int j);
 float whisper_full_get_token_p_from_state(struct whisper_state * state, int i, int j);
+const char * whisper_full_get_token_text_from_state(struct whisper_context * ctx,
+                                                    struct whisper_state * state,
+                                                    int i, int j);
+int64_t whisper_full_get_token_t0_from_state(struct whisper_state * state, int i, int j);
+int64_t whisper_full_get_token_t1_from_state(struct whisper_state * state, int i, int j);
+const char * whisper_full_get_token_data_json_from_state(struct whisper_state * state,
+                                                         int i, int j);
 int whisper_full_lang_id_from_state(struct whisper_state * state);
+
+/* VAD segments recorded by whisper_full when params.vad is on
+ * (whisper.h:686-698): original start/end ticks of the kept speech */
+int whisper_full_n_vad_segments(struct whisper_context * ctx);
+int64_t whisper_full_get_vad_segment_t0(struct whisper_context * ctx, int i);
+int64_t whisper_full_get_vad_segment_t1(struct whisper_context * ctx, int i);
+int whisper_full_n_vad_segments_from_state(struct whisper_state * state);
+int64_t whisper_full_get_vad_segment_t0_from_state(struct whisper_state * state, int i);
+int64_t whisper_full_get_vad_segment_t1_from_state(struct whisper_state * state, int i);
 
 /* ---- step-by-step pipeline (whisper.h:260-360) ---- */
 int whisper_pcm_to_mel(struct whisper_context * ctx, const float * samples,
@@ -88,6 +104,28 @@ int whisper_encode(struct whisper_context * ctx, int offset, int n_threads);
 int whisper_decode(struct whisper_context * ctx, const int * tokens,
                    int n_tokens, int n_past, int n_threads);
 const float * whisper_get_logits(struct whisper_context * ctx);
+
+/* state variants (whisper.h:265-341, 417): compute happens on the state */
+int whisper_pcm_to_mel_with_state(struct whisper_context * ctx,
+                                  struct whisper_state * state,
+                                  const float * samples, int n_samples,
+                                  int n_threads);
+int whisper_set_mel_with_state(struct whisper_context * ctx,
+                               struct whisper_state * state,
+                               const float * data, int n_len, int n_mel);
+int whisper_encode_with_state(struct whisper_context * ctx,
+                              struct whisper_state * state,
+                              int offset, int n_threads);
+int whisper_decode_with_state(struct whisper_context * ctx,
+                              struct whisper_state * state,
+                              const int * tokens, int n_tokens,
+                              int n_past, int n_threads);
+const float * whisper_get_logits_from_state(struct whisper_state * state);
+int whisper_n_len_from_state(struct whisper_state * state);
+int whisper_lang_auto_detect_with_state(struct whisper_context * ctx,
+                                        struct whisper_state * state,
+                                        int offset_ms, int n_threads,
+                                        float * lang_probs);
 
 /* ---- tokenizer (whisper.h:345-380) ---- */
 int whisper_tokenize(struct whisper_context * ctx, const char * text,
@@ -144,12 +182,29 @@ int whisper_vad_segments_n_segments(struct whisper_vad_context * vctx);
 float whisper_vad_segments_get_segment_t0(struct whisper_vad_context * vctx, int i);
 float whisper_vad_segments_get_segment_t1(struct whisper_vad_context * vctx, int i);
 
+/* low-level VAD probability API (whisper.h:717-742) */
+bool whisper_vad_detect_speech(struct whisper_vad_context * vctx,
+                               const float * samples, int n_samples);
+bool whisper_vad_detect_speech_no_reset(struct whisper_vad_context * vctx,
+                                        const float * samples, int n_samples);
+int whisper_vad_n_probs(struct whisper_vad_context * vctx);
+float * whisper_vad_probs(struct whisper_vad_context * vctx);
+void whisper_vad_reset_state(struct whisper_vad_context * vctx);
+int whisper_vad_segments_from_probs(struct whisper_vad_context * vctx,
+                                    const char * params_json);
+
 /* ---- built-in microbenchmarks (whisper.h:756-759; n_threads ignored —
  * the TPU runtime picks its own parallelism) ---- */
 int whisper_bench_memcpy(int n_threads);
 const char * whisper_bench_memcpy_str(int n_threads);
 int whisper_bench_ggml_mul_mat(int n_threads);
 const char * whisper_bench_ggml_mul_mat_str(int n_threads);
+
+/* ---- logging (whisper.h:584): levels are ggml_log_level-shaped
+ * (NONE=0 DEBUG=1 INFO=2 WARN=3 ERROR=4); NULL restores stderr ---- */
+typedef void (*whisper_log_callback)(int level, const char * text,
+                                     void * user_data);
+void whisper_log_set(whisper_log_callback callback, void * user_data);
 
 /* ---- misc (whisper.h:420-470) ---- */
 const char * whisper_version(void);

@@ -4,6 +4,7 @@ library + a pure-C host, then run the reference binding call sequence
 deterministic mini model.  This is the door-opener for whisper.cpp-style
 language bindings (reference bindings/go/whisper.go:12-29)."""
 
+import json
 import os
 import pathlib
 import subprocess
@@ -208,3 +209,124 @@ def test_capi_vad_surface():
                 >= capi.vad_segments_get_segment_t0(h, i))
     capi.vad_free(h)
     assert capi.vad_init_from_file("/nonexistent.bin") == 0
+
+
+def test_capi_state_step_by_step(mini_model_path):
+    """State-variant step API (whisper.h:265-341, 417): mel/encode/decode
+    land on the state, leaving the parent context untouched."""
+    from whisper_tpu import capi
+
+    h = capi.init_from_file(str(mini_model_path))
+    sh = capi.init_state(h)
+    samples = np.zeros(16000, np.float32)
+    assert capi.pcm_to_mel_with_state(h, sh, samples) == 0
+    assert capi.n_len_from_state(sh) > 0
+    assert capi.n_len(h) == 0  # parent context has no mel
+    assert capi.encode_with_state(h, sh, 0) == 0
+    assert capi.decode_with_state(h, sh, [capi.token_sot(h)], 0) == 0
+    logits = np.frombuffer(capi.get_logits_bytes_from_state(sh), "<f4")
+    assert logits.shape == (capi.n_vocab(h),)
+    assert np.isfinite(logits).all()
+    lid = capi.lang_auto_detect_with_state(h, sh, 0)
+    assert lid >= 0
+    capi.free_state(sh)
+    capi.free(h)
+
+
+def test_capi_token_accessors_from_state(mini_model_path):
+    from whisper_tpu import capi
+
+    h = capi.init_from_file(str(mini_model_path))
+    sh = capi.init_state(h)
+    samples = np.zeros(16000, np.float32)
+    assert capi.full_with_state(h, sh, '{"temperature_inc": 0.0}',
+                                samples) == 0
+    if capi.full_n_segments_from_state(sh) > 0:
+        txt = capi.full_get_token_text_from_state(h, sh, 0, 0)
+        assert isinstance(txt, str)
+        data = json.loads(capi.full_get_token_data_json_from_state(sh, 0, 0))
+        assert {"id", "p", "t0", "t1"} <= set(data)
+        assert capi.full_get_token_t0_from_state(sh, 0, 0) == data["t0"]
+        assert capi.full_get_token_t1_from_state(sh, 0, 0) == data["t1"]
+    capi.free_state(sh)
+    capi.free(h)
+
+
+def test_capi_full_vad_segments(mini_model_path):
+    """whisper_full with params.vad records the kept speech segments
+    (whisper.h:686-698; state->vad_segments, src/whisper.cpp:6759-6776)."""
+    from whisper_tpu import capi
+
+    silero = pathlib.Path(
+        "/root/reference/models/for-tests-silero-v6.2.0-ggml.bin")
+    if not silero.exists():
+        pytest.skip("silero test model not available")
+    import wave
+
+    with wave.open("/root/reference/samples/jfk.wav") as r:
+        pcm = (np.frombuffer(r.readframes(r.getnframes()), np.int16)
+               .astype(np.float32) / 32768.0)
+    h = capi.init_from_file(str(mini_model_path))
+    params = json.dumps({"vad": True, "vad_model_path": str(silero),
+                         "temperature_inc": 0.0})
+    assert capi.full(h, params, pcm) == 0
+    n = capi.full_n_vad_segments(h)
+    assert n > 0
+    for i in range(n):
+        assert (0 <= capi.full_get_vad_segment_t0(h, i)
+                < capi.full_get_vad_segment_t1(h, i))
+    # a non-VAD run clears them
+    assert capi.full(h, '{"temperature_inc": 0.0}', pcm[:16000]) == 0
+    assert capi.full_n_vad_segments(h) == 0
+    capi.free(h)
+
+
+def test_capi_vad_probs_lowlevel():
+    """detect_speech / n_probs / probs / segments_from_probs / reset
+    (whisper.h:717-742)."""
+    from whisper_tpu import capi
+
+    silero = pathlib.Path(
+        "/root/reference/models/for-tests-silero-v6.2.0-ggml.bin")
+    if not silero.exists():
+        pytest.skip("silero test model not available")
+    import wave
+
+    with wave.open("/root/reference/samples/jfk.wav") as r:
+        pcm = (np.frombuffer(r.readframes(r.getnframes()), np.int16)
+               .astype(np.float32) / 32768.0)
+    h = capi.vad_init_from_file(str(silero))
+    assert capi.vad_detect_speech(h, pcm) == 1
+    n = capi.vad_n_probs(h)
+    assert n > 0
+    probs = np.frombuffer(capi.vad_probs_bytes(h), "<f4")
+    assert len(probs) == n and (probs >= 0).all() and (probs <= 1).all()
+    n_seg = capi.vad_segments_from_probs(h, None)
+    assert n_seg > 0
+    assert capi.vad_segments_n_segments(h) == n_seg
+    # the probs path and the samples path segment identically
+    assert capi.vad_segments_from_samples(h, None, pcm) == n_seg
+    # streaming variant carries LSTM state without touching correctness here
+    assert capi.vad_detect_speech(h, pcm[:16000], reset=False) == 1
+    capi.vad_reset_state(h)
+    capi.vad_free(h)
+
+
+def test_capi_log_sink_roundtrip():
+    """whisper_log_set: C-callback sink receives framework log lines."""
+    import ctypes
+
+    from whisper_tpu import capi
+    from whisper_tpu.runtime.logging import log_info
+
+    lines = []
+    CB = ctypes.CFUNCTYPE(None, ctypes.c_int, ctypes.c_char_p,
+                          ctypes.c_void_p)
+    cb = CB(lambda lvl, txt, ud: lines.append((lvl, txt)))
+    capi.log_set_c_sink(ctypes.cast(cb, ctypes.c_void_p).value, 0)
+    try:
+        log_info("log sink test\n")
+    finally:
+        capi.log_set_c_sink(0, 0)
+    assert lines == [(2, b"log sink test\n")]  # INFO == ggml level 2
+    log_info("")  # default sink restored, must not raise

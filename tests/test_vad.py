@@ -135,8 +135,12 @@ def test_filter_speech_and_remap(jfk_samples, tmp_path):
         vad_model_path = str(SILERO)
         vad_params = VadParams()
 
-    filtered, table = filter_speech(None, P(), jfk_samples)
+    filtered, table, used = filter_speech(None, P(), jfk_samples)
     assert len(filtered) < len(jfk_samples)
+    # the kept speech segments (state->vad_segments analogue) are the
+    # Silero segments in original time, monotone and non-empty
+    assert used and all(s < e for s, e in used)
+    assert [s for s, _ in used] == sorted(s for s, _ in used)
     # mapping strictly increasing in processed time
     pts = [m[0] for m in table]
     assert pts == sorted(set(pts))

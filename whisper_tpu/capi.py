@@ -115,15 +115,17 @@ def _params_from_json(spec: Optional[str]):
 
 
 def full(h: int, params_json: Optional[str], samples: np.ndarray) -> int:
-    """whisper_full (whisper.h:657): 0 on success."""
-    from .decoding.full import full_with_state
+    """whisper_full (whisper.h:657): 0 on success.  Goes through
+    transcribe() so the optional VAD prefilter runs, like the reference's
+    whisper_full_with_state (src/whisper.cpp:6957-6976)."""
+    from .decoding.full import transcribe
 
     ctx = _contexts.get(h)
     if ctx is None:
         return -1
     try:
         p = _params_from_json(params_json)
-        segs = full_with_state(ctx, p, np.asarray(samples, np.float32))
+        segs = transcribe(ctx, p, np.asarray(samples, np.float32))
     except Exception:
         return -6  # whisper_full's failed-decode code
     _segments[h] = segs
@@ -235,15 +237,16 @@ def version() -> str:
 
 def full_with_state(h: int, sh: int, params_json: Optional[str],
                     samples: np.ndarray) -> int:
-    """whisper_full_with_state (whisper.h:650)."""
-    from .decoding.full import full_with_state as _full
+    """whisper_full_with_state (whisper.h:650).  Goes through transcribe()
+    on the state's cloned context so the VAD prefilter runs."""
+    from .decoding.full import transcribe
 
     state = _states.get(sh)
     if _contexts.get(h) is None or state is None:
         return -1
     try:
         p = _params_from_json(params_json)
-        segs = _full(state, p, np.asarray(samples, np.float32))
+        segs = transcribe(state, p, np.asarray(samples, np.float32))
     except Exception:
         return -6
     _state_segments[sh] = segs
@@ -334,16 +337,18 @@ def full_lang_id(h: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _hp(h: int):
-    return _contexts[h].hp
+    return _obj(h).hp
 
 
 def n_vocab(h: int) -> int:
-    return int(_contexts[h].vocab.n_vocab)
+    """Accepts a context OR state handle — the C shim's
+    whisper_get_logits_from_state sizes its buffer through here."""
+    return int(_obj(h).vocab.n_vocab)
 
 
 def n_len(h: int) -> int:
     """whisper_n_len: current mel length in frames."""
-    return int(_contexts[h].n_len)
+    return int(_obj(h).n_len)
 
 
 def n_audio_ctx(h: int) -> int:
@@ -480,9 +485,16 @@ def token_count(h: int, text: str) -> int:
 # calls on the handle, mirroring the reference's stateful decoder.
 # ---------------------------------------------------------------------------
 
+def _obj(h: int):
+    """Resolve a handle to its context OR state (handles never collide —
+    one global counter); states are cloned contexts, so every step-by-step
+    compute entry point works on either."""
+    return _contexts.get(h) if h in _contexts else _states.get(h)
+
+
 def pcm_to_mel(h: int, samples: np.ndarray) -> int:
     """whisper_pcm_to_mel (whisper.h:262)."""
-    ctx = _contexts.get(h)
+    ctx = _obj(h)
     if ctx is None:
         return -1
     ctx.pcm_to_mel(np.asarray(samples, np.float32))
@@ -492,7 +504,7 @@ def pcm_to_mel(h: int, samples: np.ndarray) -> int:
 def set_mel(h: int, mel_flat: np.ndarray, n_len: int, n_mel: int) -> int:
     """whisper_set_mel (whisper.h:277): caller-provided mel, row-major
     (n_mel, n_len) like the reference."""
-    ctx = _contexts.get(h)
+    ctx = _obj(h)
     if ctx is None or n_mel != ctx.hp.n_mels:
         return -1
     mel = np.asarray(mel_flat, np.float32).reshape(n_mel, n_len)
@@ -503,7 +515,7 @@ def set_mel(h: int, mel_flat: np.ndarray, n_len: int, n_mel: int) -> int:
 def encode(h: int, offset: int) -> int:
     """whisper_encode (whisper.h:289): runs the encoder + cross-KV
     precompute on the mel window starting at frame `offset`."""
-    ctx = _contexts.get(h)
+    ctx = _obj(h)
     if ctx is None or ctx.mel is None:
         return -1
     try:
@@ -517,7 +529,7 @@ def decode(h: int, tokens, n_past: int) -> int:
     """whisper_decode (whisper.h:301): single-decoder batch over `tokens`
     at positions n_past.., updating the handle's KV cache; logits retrieved
     via get_logits."""
-    ctx = _contexts.get(h)
+    ctx = _obj(h)
     if ctx is None or ctx.xk is None:
         return -1
     sc = _scratch.setdefault(h, {})
@@ -549,7 +561,7 @@ def lang_auto_detect(h: int, offset_ms: int) -> int:
     id; per-language probs retrievable via get_lang_probs."""
     from .decoding.full import lang_auto_detect as _detect
 
-    ctx = _contexts.get(h)
+    ctx = _obj(h)
     if ctx is None or ctx.mel is None:
         return -1
     try:
@@ -678,3 +690,211 @@ def bench_ggml_mul_mat_str() -> str:
     from .cli.bench_cli import bench_mul_mat
 
     return _bench_capture(bench_mul_mat)
+
+
+# ---------------------------------------------------------------------------
+# state-variant step-by-step API (whisper.h:265-316, 338, 415): the reference
+# runs these on a caller-owned whisper_state; our states are cloned contexts,
+# so each forwards to the shared implementation with the state handle.
+# ---------------------------------------------------------------------------
+
+def pcm_to_mel_with_state(h: int, sh: int, samples: np.ndarray) -> int:
+    """whisper_pcm_to_mel_with_state (whisper.h:265)."""
+    return pcm_to_mel(sh, samples)
+
+
+def set_mel_with_state(h: int, sh: int, mel_flat: np.ndarray,
+                       n_len: int, n_mel: int) -> int:
+    """whisper_set_mel_with_state (whisper.h:281)."""
+    return set_mel(sh, mel_flat, n_len, n_mel)
+
+
+def encode_with_state(h: int, sh: int, offset: int) -> int:
+    """whisper_encode_with_state (whisper.h:293)."""
+    return encode(sh, offset)
+
+
+def decode_with_state(h: int, sh: int, tokens, n_past: int) -> int:
+    """whisper_decode_with_state (whisper.h:306)."""
+    return decode(sh, tokens, n_past)
+
+
+def get_logits_bytes_from_state(sh: int) -> bytes:
+    """whisper_get_logits_from_state (whisper.h:417)."""
+    return get_logits_bytes(sh)
+
+
+def lang_auto_detect_with_state(h: int, sh: int, offset_ms: int) -> int:
+    """whisper_lang_auto_detect_with_state (whisper.h:341)."""
+    return lang_auto_detect(sh, offset_ms)
+
+
+def get_lang_probs_bytes_from_state(sh: int) -> bytes:
+    return get_lang_probs_bytes(sh)
+
+
+def n_len_from_state(sh: int) -> int:
+    """whisper_n_len_from_state (whisper.h:321): mel frames in the state."""
+    state = _states.get(sh)
+    mel = getattr(state, "mel", None) if state is not None else None
+    return 0 if mel is None else int(mel.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# remaining from_state segment/token accessors (whisper.h:700-745)
+# ---------------------------------------------------------------------------
+
+def full_get_token_text_from_state(h: int, sh: int, i: int, j: int) -> str:
+    """whisper_full_get_token_text_from_state (whisper.h:730)."""
+    ctx = _contexts[h]
+    return ctx.vocab.token_str(_state_segments[sh][i].tokens[j].id)
+
+
+def full_get_token_t0_from_state(sh: int, i: int, j: int) -> int:
+    return int(_state_segments[sh][i].tokens[j].t0)
+
+
+def full_get_token_t1_from_state(sh: int, i: int, j: int) -> int:
+    return int(_state_segments[sh][i].tokens[j].t1)
+
+
+def full_get_token_data_json_from_state(sh: int, i: int, j: int) -> str:
+    """whisper_full_get_token_data_from_state (whisper.h:734) — struct
+    crosses the FFI as JSON, like full_get_token_data_json."""
+    import dataclasses
+
+    return json.dumps(dataclasses.asdict(_state_segments[sh][i].tokens[j]))
+
+
+# ---------------------------------------------------------------------------
+# VAD segments recorded by whisper_full (whisper.h:686-698): the original
+# start/end ticks of the speech segments the prefilter kept
+# (state->vad_segments, src/whisper.cpp:6759-6776, :8158-8180)
+# ---------------------------------------------------------------------------
+
+def _vad_used(obj) -> list:
+    return list(getattr(obj, "vad_segments_used", None) or [])
+
+
+def full_n_vad_segments(h: int) -> int:
+    return len(_vad_used(_contexts.get(h)))
+
+
+def full_get_vad_segment_t0(h: int, i: int) -> int:
+    return int(_vad_used(_contexts[h])[i][0])
+
+
+def full_get_vad_segment_t1(h: int, i: int) -> int:
+    return int(_vad_used(_contexts[h])[i][1])
+
+
+def full_n_vad_segments_from_state(sh: int) -> int:
+    return len(_vad_used(_states.get(sh)))
+
+
+def full_get_vad_segment_t0_from_state(sh: int, i: int) -> int:
+    return int(_vad_used(_states[sh])[i][0])
+
+
+def full_get_vad_segment_t1_from_state(sh: int, i: int) -> int:
+    return int(_vad_used(_states[sh])[i][1])
+
+
+# ---------------------------------------------------------------------------
+# low-level VAD probability API (whisper.h:717-742): detect_speech fills a
+# per-chunk probability buffer on the vad context, segments_from_probs
+# consumes it (both already power vad_segments_from_samples above)
+# ---------------------------------------------------------------------------
+
+def vad_detect_speech(h: int, samples: np.ndarray, reset: bool = True) -> int:
+    """whisper_vad_detect_speech (whisper.h:719): returns 1 on success like
+    the reference's bool; probs via vad_probs.  reset=False is the
+    _no_reset variant (streaming: LSTM h/c carry across calls)."""
+    ctx = _contexts.get(h)
+    if ctx is None:
+        return 0
+    try:
+        ctx.detect_speech(np.asarray(samples, np.float32),
+                          reset=bool(reset))
+    except Exception:
+        return 0
+    return 1
+
+
+def vad_n_probs(h: int) -> int:
+    """whisper_vad_n_probs (whisper.h:729)."""
+    ctx = _contexts.get(h)
+    probs = getattr(ctx, "probs", None) if ctx is not None else None
+    return 0 if probs is None else int(len(probs))
+
+
+def vad_probs_bytes(h: int) -> bytes:
+    """whisper_vad_probs (whisper.h:732) — f32 buffer for the shim."""
+    ctx = _contexts.get(h)
+    probs = getattr(ctx, "probs", None) if ctx is not None else None
+    if probs is None:
+        return b""
+    return np.asarray(probs, "<f4").tobytes()
+
+
+def vad_reset_state(h: int) -> None:
+    """whisper_vad_reset_state (whisper.h:726)."""
+    ctx = _contexts.get(h)
+    if ctx is not None:
+        ctx.reset_state()
+
+
+def vad_segments_from_probs(h: int, params_json: Optional[str]) -> int:
+    """whisper_vad_segments_from_probs (whisper.h:734): segment the probs
+    from the last detect_speech; accessors shared with
+    vad_segments_from_samples."""
+    from .decoding.params import VadParams
+    from .models.vad.silero import segments_from_probs as _segs
+
+    ctx = _contexts.get(h)
+    probs = getattr(ctx, "probs", None) if ctx is not None else None
+    if probs is None:
+        return -1
+    vp = VadParams()
+    for key, val in (json.loads(params_json) if params_json else {}).items():
+        if hasattr(vp, key):
+            setattr(vp, key, val)
+    try:
+        segs = _segs(np.asarray(probs), vp)
+    except Exception:
+        return -1
+    _scratch.setdefault(h, {})["vad_segments"] = segs
+    return len(segs)
+
+
+# ---------------------------------------------------------------------------
+# whisper_log_set (whisper.h:584): C callback sink for framework log lines
+# ---------------------------------------------------------------------------
+
+_log_sink_keepalive: list = []
+
+
+def log_set_c_sink(fn_ptr: int, user_data: int) -> None:
+    """Install a C log callback: fn_ptr is a
+    `void (*)(int level, const char * text, void * user_data)` address
+    (ggml_log_callback shape; levels match ggml_log_level: NONE=0 DEBUG=1
+    INFO=2 WARN=3 ERROR=4 == runtime.logging.LogLevel).  0 restores the
+    stderr default."""
+    import ctypes
+
+    from .runtime.logging import log_set
+
+    _log_sink_keepalive.clear()
+    if not fn_ptr:
+        log_set(None)
+        return
+    cb_t = ctypes.CFUNCTYPE(None, ctypes.c_int, ctypes.c_char_p,
+                            ctypes.c_void_p)
+    cb = cb_t(fn_ptr)
+    ud = ctypes.c_void_p(user_data)
+
+    def sink(level, text):
+        cb(int(level), text.encode("utf-8", "replace"), ud)
+
+    _log_sink_keepalive.extend([cb, ud, sink])
+    log_set(sink)

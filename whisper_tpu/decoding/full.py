@@ -111,9 +111,10 @@ def transcribe(ctx: WhisperContext, params: TranscribeParams,
         filtered = filter_speech(ctx, params, samples)
         if filtered is None:
             return []
-        samples, ctx.vad_mapping = filtered
+        samples, ctx.vad_mapping, ctx.vad_segments_used = filtered
     else:
         ctx.vad_mapping = None
+        ctx.vad_segments_used = []
     segments = full_with_state(ctx, params, samples)
     if ctx.vad_mapping is not None:
         from ..models.vad.pipeline import remap_segment_times

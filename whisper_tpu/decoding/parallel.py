@@ -44,7 +44,8 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
         filtered = filter_speech(ctx, params, samples)
         if filtered is None:
             return []
-        samples, _ = filtered  # parallel path drops the time remap (reference
+        samples, _, ctx.vad_segments_used = filtered
+        # parallel path drops the time remap (reference
         # whisper_full_parallel also remaps only via chunk offsets)
 
     # lockstep continuous batching: one vmapped device call decodes all

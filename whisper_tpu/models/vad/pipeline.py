@@ -38,12 +38,17 @@ def get_vad_context(model_path: str) -> VadContext:
 
 
 def filter_speech(ctx, params, samples: np.ndarray
-                  ) -> Optional[Tuple[np.ndarray, MappingTable]]:
+                  ) -> Optional[Tuple[np.ndarray, MappingTable,
+                                      List[Tuple[int, int]]]]:
     """whisper_vad (src/whisper.cpp:6667-6827).
 
-    Returns (filtered_samples, mapping_table); (samples, None-mapping) when
-    no speech segments were found is represented by returning the original
-    samples with an empty table.  Returns None on VAD init failure.
+    Returns (filtered_samples, mapping_table, used_segments) where
+    used_segments is the [(orig_start_cs, orig_end_cs)] of the speech
+    segments actually kept — the reference records these on
+    state->vad_segments (src/whisper.cpp:6759-6776) for
+    whisper_full_n_vad_segments / _get_vad_segment_t0/t1.
+    (samples, empty-table, []) when no speech segments were found.
+    Returns None on VAD init failure.
     """
     if not params.vad_model_path:
         return None
@@ -51,7 +56,7 @@ def filter_speech(ctx, params, samples: np.ndarray
     vp = params.vad_params
     segs = segments_from_samples(vctx, vp, samples)
     if not segs:
-        return samples, []
+        return samples, [], []
 
     n_samples = len(samples)
     overlap_samples = int(vp.samples_overlap * SAMPLE_RATE)
@@ -59,6 +64,7 @@ def filter_speech(ctx, params, samples: np.ndarray
 
     pieces: List[np.ndarray] = []
     mapping: MappingTable = []
+    used: List[Tuple[int, int]] = []
     offset = 0
     for i, seg in enumerate(segs):
         start = min(cs_to_samples(seg.start), n_samples - 1)
@@ -69,6 +75,7 @@ def filter_speech(ctx, params, samples: np.ndarray
         seg_len = end - start
         if seg_len <= 0:
             continue
+        used.append((int(seg.start), int(seg.end)))
         vad_start = _samples_to_cs(offset)
         vad_end = _samples_to_cs(offset + original_len)
         mapping.append((vad_start, seg.start))
@@ -91,7 +98,7 @@ def filter_speech(ctx, params, samples: np.ndarray
 
     filtered = (np.concatenate(pieces).astype(np.float32)
                 if pieces else np.zeros(0, np.float32))
-    return filtered, dedup
+    return filtered, dedup, used
 
 
 def map_processed_to_original_time(t: int, table: MappingTable) -> int:

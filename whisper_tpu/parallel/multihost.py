@@ -145,7 +145,7 @@ def transcribe_multihost(ctx, params, samples: np.ndarray,
         filtered = filter_speech(ctx, params, samples)
         if filtered is None:
             return []
-        samples, _ = filtered
+        samples, _, _ = filtered
 
     n_samples = len(samples)
     offset_samples = (SAMPLE_RATE * params.offset_ms) // 1000
