@@ -195,7 +195,10 @@ def _sample(logprobs, probs, temperature, rng, beg: int):
     sum_ts = jnp.sum(ts_probs, axis=-1)
     tid = jnp.argmax(ts_probs, axis=-1).astype(jnp.int32)
     max_ts = jnp.take_along_axis(ts_probs, tid[:, None], axis=-1)[:, 0]
-    tid = jnp.where(sum_ts > 0, tid, beg)
+    # all-suppressed (no_timestamps): whisper_sample_token leaves tid at its
+    # ZERO init (src/whisper.cpp:6489) — unlike the topk sampler's token_beg
+    # — giving greedy -nt segments their characteristic negative t0
+    tid = jnp.where(sum_ts > 0, tid, 0)
     pt = max_ts / (sum_ts + 1e-10)
 
     is_ts_tok = tok >= beg

@@ -58,7 +58,7 @@ class _Decoder:
     completed: bool = False
     has_ts: bool = False
     i_batch: int = 0
-    rng: Optional[np.random.Generator] = None
+    rng: Optional[object] = None  # stdrng.StdRng (reference mt19937 emu)
     grammar: Optional[object] = None
     # filtered distributions of the last step
     logits: Optional[np.ndarray] = None
@@ -180,9 +180,14 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
         raise ValueError(f"too many decoders requested ({n_decoders})")
 
     decoders = [_Decoder() for _ in range(n_decoders)]
-    decoders[0].rng = np.random.Generator(np.random.MT19937(5489))
+    # bit-exact reference RNGs: decoder 0 is seeded 0 at state init
+    # (src/whisper.cpp:3480), decoders 1.. are re-seeded j per whisper_full
+    # call (:6931); our per-call decoders recreate the fresh-state sequence
+    from .stdrng import StdRng
+
+    decoders[0].rng = StdRng(0)
     for j in range(1, n_decoders):
-        decoders[j].rng = np.random.Generator(np.random.MT19937(j))
+        decoders[j].rng = StdRng(j)
 
     # prompt history: static (initial prompt) + dynamic (rolling)
     prompt_past0: List[int] = getattr(ctx, "prompt_past0", [])
@@ -408,8 +413,13 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
                         for td in sample_token_topk(
                                 vocab, d.probs, d.logprobs,
                                 params.beam_search.beam_size, d.rng):
-                            bc = _BeamCandidate(j, d.seek_delta, d.has_ts,
-                                                d.sequence.copy(), d.grammar)
+                            from . import grammar as G
+
+                            bc = _BeamCandidate(
+                                j, d.seek_delta, d.has_ts,
+                                d.sequence.copy(),
+                                G.grammar_copy(d.grammar)
+                                if d.grammar is not None else None)
                             bc.sequence.tokens.append(td)
                             bc.sequence.sum_logprobs_all += td.plog
                             bc_per_dec[j].append(bc)
@@ -441,7 +451,14 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
                         d.seek_delta = cur.seek_delta
                         d.has_ts = cur.has_ts
                         d.sequence = cur.sequence.copy()
-                        d.grammar = cur.grammar
+                        # value copy (src/whisper.cpp:7336): a candidate can
+                        # seed several decoders; each must own its stacks
+                        if cur.grammar is not None:
+                            from . import grammar as G
+
+                            d.grammar = G.grammar_copy(cur.grammar)
+                        else:
+                            d.grammar = None
                         src_rows[j] = cur.decoder_idx
                     if cache is not None and src_rows != list(range(n_decoders_cur)):
                         import jax.numpy as jnp

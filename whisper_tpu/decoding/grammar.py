@@ -144,6 +144,15 @@ def _advance_stack(rules: List[Rule], stack: List[Tuple[int, int]],
         raise ValueError("unexpected grammar element")
 
 
+def grammar_copy(g: Grammar) -> Grammar:
+    """Value-semantics copy, like C++ `decoder.grammar = cur.grammar`
+    (src/whisper.cpp:7336) and the beam-candidate construction: each decoder
+    must own its stacks so accept_token on one beam cannot corrupt another.
+    Rules are immutable and shared; stacks/partial_utf8 are copied."""
+    return Grammar(rules=g.rules, stacks=[list(s) for s in g.stacks],
+                   partial_utf8=g.partial_utf8)
+
+
 def grammar_init(rules: Sequence[Sequence[GElement]], start_rule: int) -> Grammar:
     """whisper_grammar_init: build initial stacks from the start rule."""
     rules = [list(r) for r in rules]

@@ -52,7 +52,13 @@ class Sequence:
                         self.sum_logprobs, self.avg_logprobs, self.entropy, self.score)
 
 
-def _timestamp_stats(probs: np.ndarray, token_beg: int):
+def _timestamp_stats(probs: np.ndarray, token_beg: int, default_tid: int):
+    """default_tid matters only when EVERY timestamp prob is zero (the
+    no_timestamps suppression): whisper_sample_token zero-initializes tid
+    (src/whisper.cpp:6489 `result = {0, ...}`) while whisper_sample_token_topk
+    initializes it to token_beg (:6576) — so greedy -nt segments get
+    t0 = seek + 2*(0 - token_beg) (a negative time, reproduced for parity)
+    and beam -nt segments get t0 = seek."""
     ts = probs[token_beg:]
     sum_ts = float(ts.sum(dtype=np.float64))
     if ts.size and ts.max() > 0:
@@ -61,20 +67,23 @@ def _timestamp_stats(probs: np.ndarray, token_beg: int):
         tid = token_beg + arg
     else:
         max_ts = 0.0
-        tid = token_beg
+        tid = default_tid
     pt = max_ts / (sum_ts + 1e-10)
     return tid, pt, sum_ts
 
 
 def sample_token(vocab: WhisperVocab, probs: np.ndarray, logprobs: np.ndarray,
-                 best: bool, rng: np.random.Generator) -> TokenData:
-    """Greedy (best=True) or multinomial sample (whisper_sample_token)."""
-    tid, pt, ptsum = _timestamp_stats(probs, vocab.token_beg)
+                 best: bool, rng) -> TokenData:
+    """Greedy (best=True) or multinomial sample (whisper_sample_token).
+
+    `rng` is a stdrng.StdRng — the bit-exact emulation of the reference's
+    per-decoder std::mt19937 + std::discrete_distribution (raw float probs
+    go in; the distribution widens/normalizes internally like libstdc++)."""
+    tid, pt, ptsum = _timestamp_stats(probs, vocab.token_beg, default_tid=0)
     if best:
         i = int(probs.argmax())
     else:
-        p = probs / probs.sum()
-        i = int(rng.choice(len(p), p=p))
+        i = rng.discrete(probs)
     res = TokenData(id=i, tid=tid, p=float(probs[i]), plog=float(logprobs[i]),
                     pt=pt, ptsum=ptsum)
     if res.id >= vocab.token_beg:
@@ -85,16 +94,19 @@ def sample_token(vocab: WhisperVocab, probs: np.ndarray, logprobs: np.ndarray,
 
 def sample_token_topk(vocab: WhisperVocab, probs: np.ndarray,
                       logprobs: np.ndarray, k: int,
-                      rng: np.random.Generator) -> List[TokenData]:
+                      rng) -> List[TokenData]:
     """k stochastic draws from the filtered distribution
     (whisper_sample_token_topk, src/whisper.cpp:6543-6616 — despite the name,
-    the reference samples candidates from the full distribution)."""
-    tid, pt, ptsum = _timestamp_stats(probs, vocab.token_beg)
-    s = probs.sum()
-    p = probs / s if s > 0 else None
+    the reference samples candidates from the full distribution).  Beam
+    search calls this even at temperature 0: with decisive margins every
+    draw is the argmax, but grammar-flattened distributions expose the
+    engine, so `rng` must be the stdrng.StdRng libstdc++ emulation."""
+    tid, pt, ptsum = _timestamp_stats(probs, vocab.token_beg,
+                                      default_tid=vocab.token_beg)
+    has_mass = float(probs.sum()) > 0.0
     out = []
     for _ in range(k):
-        i = int(rng.choice(len(probs), p=p)) if p is not None else 0
+        i = rng.discrete(probs) if has_mass else 0
         td = TokenData(id=i, tid=tid, p=float(probs[i]), plog=float(logprobs[i]),
                        pt=pt, ptsum=ptsum)
         if td.id >= vocab.token_beg:

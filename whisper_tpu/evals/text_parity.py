@@ -34,6 +34,14 @@ from typing import List, Optional, Tuple
 
 SILERO_MODEL = "/root/reference/models/for-tests-silero-v6.2.0-ggml.bin"
 
+_REPO = Path(__file__).resolve().parents[2]
+
+
+def repo_path(rel: str) -> Path:
+    """Resolve a case's repo-relative fixture (e.g. the committed grammar)."""
+    p = Path(rel)
+    return p if p.is_absolute() else _REPO / p
+
 # mini-model generation recipe shared by tools/make_text_refs.py (oracle
 # side) and tests/test_text_parity.py (hermetic rebuild + SHA check)
 MODEL_ARGS = ["--decisive", "--n-layer", "3", "--seed", "2"]
@@ -54,6 +62,11 @@ class Case:
     max_len: int = 0     # token-timestamp segment wrapping (-ml)
     prompt: str = ""     # initial prompt (--prompt)
     suppress_nst: bool = False  # non-speech-token suppression (-sns)
+    no_timestamps: bool = False  # -nt (suppresses timestamp tokens in DECODE)
+    nfa: bool = False    # -nfa: reference runs its NON-flash-attention graph
+    split_on_word: bool = False  # -sow (wrap_segment splits at word starts)
+    grammar: str = ""            # GBNF grammar file (--grammar)
+    grammar_rule: str = ""       # top-level rule (--grammar-rule)
 
 
 CASES: Tuple[Case, ...] = (
@@ -74,6 +87,35 @@ CASES: Tuple[Case, ...] = (
     Case("f16-greedy-prompt-long", "f16", audio="jfk3",
          prompt="The quick brown fox"),
     Case("f16-greedy-sns", "f16", suppress_nst=True),
+    # -nt changes DECODING (timestamp tokens suppressed, single segment per
+    # window), not just printing (cli.cpp:1252 wparams.no_timestamps).  The
+    # decisive script assumes the timestamped prompt — appending
+    # <|notimestamps|> shifts every position, so some -nt steps sit on
+    # near-tied logits where the reference's OWN flash and non-flash graphs
+    # disagree by one token ('eming' vs ' Taj' at step 11).  The ref is
+    # generated with -nfa: the non-flash graph is the one whose f32
+    # mathematics our pipeline tracks (same target as precision mode).
+    # This case also locks in the greedy-sampler tid-zero-init quirk:
+    # segment t0 = seek + 2*(0 - token_beg) < 0 (src/whisper.cpp:6489,:7642).
+    Case("f16-greedy-nt", "f16", no_timestamps=True, nfa=True),
+    # -sow wraps at word boundaries instead of raw tokens (timestamps.cpp
+    # analogue whisper_wrap_segment, src/whisper.cpp:6094)
+    Case("f16-greedy-sow", "f16", max_len=6, split_on_word=True),
+    # grammar-constrained decode (src/whisper.cpp:5515-5927, :6194-6469).
+    # The committed grammar's literal IS the decisive model's scripted
+    # transcript, so every step keeps its ~100x margin and the case is
+    # deterministic: if the engine mis-advances its stacks anywhere (char
+    # accept, token reject, re-log-softmax), the -100 penalty fires on the
+    # scripted token and the text diverges.  A grammar that actually
+    # REDIRECTS decoding is not exact-matchable: the penalty flattens the
+    # distribution to near-uniform and whisper_sample_token_topk's draws
+    # (std::mt19937 + discrete_distribution — emulated bit-exactly in
+    # decoding/stdrng.py) then depend on sub-1e-3 logit noise between
+    # implementations.  Beam-5 explicit because the reference CLI forces
+    # BEAM_SEARCH whenever a grammar is active (cli.cpp:1213).
+    Case("f16-beam5-grammar", "f16", beam_size=5,
+         grammar="tests/data/text_parity/script.gbnf",
+         grammar_rule="root"),
 )
 
 
@@ -99,6 +141,15 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
         args += ["--prompt", case.prompt]
     if case.suppress_nst:
         args += ["-sns"]
+    if case.no_timestamps:
+        args += ["-nt"]
+    if case.nfa:
+        args += ["-nfa"]
+    if case.split_on_word:
+        args += ["-sow"]
+    if case.grammar:
+        args += ["--grammar", str(repo_path(case.grammar)),
+                 "--grammar-rule", case.grammar_rule]
     return args
 
 
@@ -126,6 +177,16 @@ def transcribe_params(case: Case):
         p.initial_prompt = case.prompt
     if case.suppress_nst:
         p.suppress_nst = True
+    if case.no_timestamps:
+        p.no_timestamps = True
+    if case.split_on_word:
+        p.split_on_word = True
+    if case.grammar:
+        from ..decoding import grammar_parser
+
+        parsed = grammar_parser.parse(repo_path(case.grammar).read_text())
+        p.grammar_rules = parsed.rules
+        p.i_start_rule = parsed.start_rule_id(case.grammar_rule)
     return p
 
 
