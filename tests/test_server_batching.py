@@ -78,30 +78,37 @@ def test_concurrent_requests_coalesce(dec_server):
     assert solo_text.strip()
 
     K = 3
-    results = [None] * K
-    errors = [None] * K
-
-    def hit(i):
-        try:
-            s, r = _post(url + "/inference", body, ctype)
-            assert s == 200
-            results[i] = json.loads(r)["text"]
-        except Exception as e:  # noqa: BLE001
-            errors[i] = e
-
-    threads = [threading.Thread(target=hit, args=(i,)) for i in range(K)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=600)
-    assert all(e is None for e in errors), errors
-    assert all(r == solo_text for r in results), (solo_text, results)
-
     batcher = httpd.whisper_state.batcher
+    # on a loaded CI machine the K client threads can straggle past the
+    # batcher's round deadline and serialize by accident; coalescing is a
+    # CAN property, so retry the concurrent volley a few times
+    for attempt in range(3):
+        results = [None] * K
+        errors = [None] * K
+
+        def hit(i, results=results, errors=errors):
+            try:
+                s, r = _post(url + "/inference", body, ctype)
+                assert s == 200
+                results[i] = json.loads(r)["text"]
+            except Exception as e:  # noqa: BLE001
+                errors[i] = e
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(K)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(e is None for e in errors), errors
+        assert all(r == solo_text for r in results), (solo_text, results)
+        if batcher.n_coalesced_rounds > 0:
+            break
+
     assert batcher.n_rounds > 0
     assert batcher.n_coalesced_rounds > 0, (
-        "no decode round coalesced multiple concurrent requests — "
-        f"rounds={batcher.n_rounds} max_size={batcher.max_round_size}")
+        "no decode round coalesced multiple concurrent requests in "
+        f"3 volleys — rounds={batcher.n_rounds} "
+        f"max_size={batcher.max_round_size}")
     assert batcher.max_round_size >= 2
 
 

@@ -333,7 +333,11 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 
             no_speech_prob = 0.0
 
-            use_device_loop = device_loop_ok
+            # t>0 attempts draw stochastically; faithful_sampling routes
+            # them through the host loop whose StdRng replays the reference
+            # binary's exact mt19937 candidate sequence (stdrng.py)
+            use_device_loop = device_loop_ok and (
+                t_cur == 0.0 or not params.faithful_sampling)
             dl_strategy = ("beam" if (params.strategy ==
                                       SamplingStrategy.BEAM_SEARCH and
                                       t_cur == 0.0) else "greedy")

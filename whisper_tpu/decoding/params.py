@@ -94,6 +94,15 @@ class TranscribeParams:
     logprob_thold: float = -1.0
     no_speech_thold: float = 0.6
 
+    # temperature>0 fallback attempts sample on the HOST with the bit-exact
+    # emulation of the reference's per-decoder std::mt19937 +
+    # discrete_distribution (decoding/stdrng.py), reproducing the reference
+    # binary's draws token-for-token (tests/test_text_parity.py fallback
+    # cases).  Set False to keep those attempts on the on-device window
+    # loop (jax.random draws: same distribution, different engine) — faster
+    # on long audio whose gates fail often, but not reference-identical.
+    faithful_sampling: bool = True
+
     greedy: GreedyParams = field(default_factory=GreedyParams)
     beam_search: BeamSearchParams = field(default_factory=BeamSearchParams)
 

@@ -67,6 +67,7 @@ class Case:
     split_on_word: bool = False  # -sow (wrap_segment splits at word starts)
     grammar: str = ""            # GBNF grammar file (--grammar)
     grammar_rule: str = ""       # top-level rule (--grammar-rule)
+    lpt: Optional[float] = None  # -lpt; set => fallback ladder ENABLED
 
 
 CASES: Tuple[Case, ...] = (
@@ -116,13 +117,30 @@ CASES: Tuple[Case, ...] = (
     Case("f16-beam5-grammar", "f16", beam_size=5,
          grammar="tests/data/text_parity/script.gbnf",
          grammar_rule="root"),
+    # full temperature-fallback ladder: -lpt 0.0 makes every attempt fail
+    # the avg-logprob gate (logprobs are strictly negative), so whisper_full
+    # walks t = 0.0, 0.2 ... 1.0 and keeps the LAST attempt
+    # (src/whisper.cpp:6888-6897, :7478-7540).  Decisive margins divided by
+    # t <= 1 stay one-hot, so the t>0 multinomial draws are deterministic
+    # and exact-matchable — this is the only way the ladder's control flow
+    # (6 decode attempts, failure gates, final-attempt emission) can be
+    # text-diffed against the reference binary.
+    Case("f16-greedy-fallback", "f16", lpt=0.0),
+    # same ladder under BEAM_SEARCH: at t>0 the reference degrades beam to
+    # best_of independent sampling decoders (src/whisper.cpp:7086-7091),
+    # exercising per-decoder mt19937 streams + whisper_sequence_score
+    Case("f16-beam5-fallback", "f16", beam_size=5, lpt=0.0),
 )
 
 
 def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
     """whisper-cli invocation reproducing the case (examples/cli/cli.cpp)."""
-    args = ["-m", str(model), "-f", str(audio), "-nf", "-np",
+    args = ["-m", str(model), "-f", str(audio), "-np",
             "-oj", "-of", str(out_base)]
+    if case.lpt is None:
+        args += ["-nf"]  # single deterministic t=0 attempt
+    else:
+        args += ["-lpt", str(case.lpt)]
     if case.beam_size > 0:
         args += ["-bs", str(case.beam_size)]
     else:
@@ -164,7 +182,10 @@ def transcribe_params(case: Case):
         p.beam_search = BeamSearchParams(beam_size=case.beam_size)
     else:
         p.greedy = GreedyParams(best_of=1)
-    p.temperature_inc = 0.0          # -nf
+    if case.lpt is None:
+        p.temperature_inc = 0.0      # -nf
+    else:
+        p.logprob_thold = case.lpt   # -lpt; default temperature_inc=0.2
     p.language = "en"
     if case.vad:
         p.vad = True
