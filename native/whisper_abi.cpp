@@ -24,8 +24,10 @@
 
 #include <Python.h>
 
+#include <cfloat>
 #include <cstdarg>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <mutex>
@@ -1036,6 +1038,345 @@ void whisper_log_set(whisper_log_callback callback, void * user_data) {
     ensure_runtime();
     call_long("log_set_c_sink", 0, "(l,l)",
               (long) (intptr_t) callback, (long) (intptr_t) user_data);
+}
+
+}  // extern "C"
+
+// ---- whisper.h-compatible structs + remaining lifecycle -------------------
+// mirrors include/whisper.h:86-159, 205-246, 370, 438-447; struct layouts
+// must match native/whisper_tpu.h exactly
+
+extern "C" {
+
+enum whisper_alignment_heads_preset {
+    WHISPER_AHEADS_NONE,
+    WHISPER_AHEADS_N_TOP_MOST,
+    WHISPER_AHEADS_CUSTOM,
+    WHISPER_AHEADS_TINY_EN,
+    WHISPER_AHEADS_TINY,
+    WHISPER_AHEADS_BASE_EN,
+    WHISPER_AHEADS_BASE,
+    WHISPER_AHEADS_SMALL_EN,
+    WHISPER_AHEADS_SMALL,
+    WHISPER_AHEADS_MEDIUM_EN,
+    WHISPER_AHEADS_MEDIUM,
+    WHISPER_AHEADS_LARGE_V1,
+    WHISPER_AHEADS_LARGE_V2,
+    WHISPER_AHEADS_LARGE_V3,
+    WHISPER_AHEADS_LARGE_V3_TURBO,
+};
+
+typedef struct whisper_ahead {
+    int n_text_layer;
+    int n_head;
+} whisper_ahead;
+
+typedef struct whisper_aheads {
+    size_t n_heads;
+    const whisper_ahead * heads;
+} whisper_aheads;
+
+struct whisper_context_params {
+    bool  use_gpu;
+    bool  flash_attn;
+    int   gpu_device;
+    bool dtw_token_timestamps;
+    enum whisper_alignment_heads_preset dtw_aheads_preset;
+    int dtw_n_top;
+    struct whisper_aheads dtw_aheads;
+    size_t dtw_mem_size;
+};
+
+typedef struct whisper_token_data {
+    int32_t id;
+    int32_t tid;
+    float p;
+    float plog;
+    float pt;
+    float ptsum;
+    int64_t t0;
+    int64_t t1;
+    int64_t t_dtw;
+    float vlen;
+} whisper_token_data;
+
+struct whisper_timings {
+    float sample_ms;
+    float encode_ms;
+    float decode_ms;
+    float batchd_ms;
+    float prompt_ms;
+};
+
+typedef struct whisper_model_loader {
+    void * context;
+    size_t (*read)(void * ctx, void * output, size_t read_size);
+    bool    (*eof)(void * ctx);
+    void  (*close)(void * ctx);
+} whisper_model_loader;
+
+struct whisper_context_params whisper_context_default_params(void) {
+    struct whisper_context_params p;
+    memset(&p, 0, sizeof(p));
+    p.use_gpu    = true;   // reference defaults (src/whisper.cpp:3700-3712)
+    p.flash_attn = false;
+    p.gpu_device = 0;
+    p.dtw_token_timestamps = false;
+    p.dtw_aheads_preset = WHISPER_AHEADS_NONE;
+    p.dtw_n_top = -1;
+    p.dtw_mem_size = (size_t) 1024 * 1024 * 128;
+    return p;
+}
+
+struct whisper_context_params * whisper_context_default_params_by_ref(void) {
+    struct whisper_context_params * p =
+        (struct whisper_context_params *) malloc(sizeof(*p));
+    if (p) *p = whisper_context_default_params();
+    return p;
+}
+
+void whisper_free_context_params(struct whisper_context_params * params) {
+    free(params);
+}
+
+void whisper_free_params(void * params) {
+    free(params);
+}
+
+// cparams -> JSON for capi._apply_cparams (only the DTW fields act on TPU)
+static std::string cparams_to_json(const struct whisper_context_params & p) {
+    std::string js = "{";
+    js += "\"dtw_token_timestamps\": ";
+    js += p.dtw_token_timestamps ? "true" : "false";
+    js += ", \"dtw_aheads_preset\": " + std::to_string((int) p.dtw_aheads_preset);
+    js += ", \"dtw_n_top\": " + std::to_string(p.dtw_n_top);
+    if (p.dtw_aheads_preset == WHISPER_AHEADS_CUSTOM && p.dtw_aheads.heads) {
+        js += ", \"dtw_aheads\": [";
+        for (size_t k = 0; k < p.dtw_aheads.n_heads; ++k) {
+            if (k) js += ", ";
+            js += "[" + std::to_string(p.dtw_aheads.heads[k].n_text_layer) +
+                  ", " + std::to_string(p.dtw_aheads.heads[k].n_head) + "]";
+        }
+        js += "]";
+    }
+    js += "}";
+    return js;
+}
+
+struct whisper_context * whisper_init_from_file_with_params(
+        const char * path_model, struct whisper_context_params params) {
+    const std::string js = cparams_to_json(params);
+    return (struct whisper_context *) (intptr_t)
+        call_long("init_from_file_with_cparams", 0, "(s,s)",
+                  path_model, js.c_str());
+}
+
+struct whisper_context * whisper_init_from_buffer_with_params(
+        void * buffer, size_t buffer_size,
+        struct whisper_context_params params) {
+    const std::string js = cparams_to_json(params);
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    // tuple built manually: Py_BuildValue's "y#" length-type depends on
+    // PY_SSIZE_T_CLEAN-era headers — avoid the varargs pitfall entirely
+    PyObject * args = PyTuple_New(2);
+    PyTuple_SET_ITEM(args, 0, PyBytes_FromStringAndSize(
+                                  (const char *) buffer,
+                                  (Py_ssize_t) buffer_size));
+    PyTuple_SET_ITEM(args, 1, PyUnicode_FromString(js.c_str()));
+    PyObject * res = call("init_from_buffer_with_cparams", args);
+    intptr_t h = 0;
+    if (res) { h = (intptr_t) PyLong_AsLong(res); Py_DECREF(res); }
+    PyGILState_Release(gil);
+    return (struct whisper_context *) h;
+}
+
+// drain a whisper_model_loader into memory, then init from the buffer
+struct whisper_context * whisper_init_with_params(
+        struct whisper_model_loader * loader,
+        struct whisper_context_params params) {
+    if (!loader || !loader->read) return nullptr;
+    std::vector<char> buf;
+    char chunk[1 << 16];
+    while (!(loader->eof && loader->eof(loader->context))) {
+        size_t n = loader->read(loader->context, chunk, sizeof(chunk));
+        if (n == 0) break;
+        buf.insert(buf.end(), chunk, chunk + n);
+    }
+    if (loader->close) loader->close(loader->context);
+    if (buf.empty()) return nullptr;
+    return whisper_init_from_buffer_with_params(buf.data(), buf.size(),
+                                                params);
+}
+
+// *_no_state: whisper_tpu contexts allocate no eager state (states come
+// from whisper_init_state), so these are exact aliases
+struct whisper_context * whisper_init_from_file_with_params_no_state(
+        const char * path_model, struct whisper_context_params params) {
+    return whisper_init_from_file_with_params(path_model, params);
+}
+
+struct whisper_context * whisper_init_from_buffer_with_params_no_state(
+        void * buffer, size_t buffer_size,
+        struct whisper_context_params params) {
+    return whisper_init_from_buffer_with_params(buffer, buffer_size, params);
+}
+
+struct whisper_context * whisper_init_with_params_no_state(
+        struct whisper_model_loader * loader,
+        struct whisper_context_params params) {
+    return whisper_init_with_params(loader, params);
+}
+
+struct whisper_context * whisper_init(struct whisper_model_loader * loader) {
+    return whisper_init_with_params(loader, whisper_context_default_params());
+}
+
+struct whisper_context * whisper_init_no_state(
+        struct whisper_model_loader * loader) {
+    return whisper_init(loader);
+}
+
+struct whisper_context * whisper_init_from_file_no_state(
+        const char * path_model) {
+    return whisper_init_from_file(path_model);
+}
+
+struct whisper_context * whisper_init_from_buffer_no_state(void * buffer,
+                                                           size_t buffer_size) {
+    return whisper_init_from_buffer(buffer, buffer_size);
+}
+
+const char * whisper_lang_str_full(int id) {
+    return call_str("lang_str_full", "(i)", id);
+}
+
+// per-context timings struct, valid until whisper_free/process exit
+struct whisper_timings * whisper_get_timings(struct whisper_context * ctx) {
+    static std::mutex mu;
+    static std::map<long, struct whisper_timings> bufs;
+    long h = (long) (intptr_t) ctx;
+    float packed[5] = {0, 0, 0, 0, 0};
+    call_bytes_out("get_timings_packed", (char *) packed, sizeof(packed),
+                   "(l)", h);
+    std::lock_guard<std::mutex> lock(mu);
+    struct whisper_timings & t = bufs[h];
+    t.sample_ms = packed[0];
+    t.encode_ms = packed[1];
+    t.decode_ms = packed[2];
+    t.batchd_ms = packed[3];
+    t.prompt_ms = packed[4];
+    return &t;
+}
+
+// packed little-endian "<2i4f3qf" from capi -> struct fields
+static whisper_token_data unpack_token_data(const char * b, long n) {
+    whisper_token_data d;
+    memset(&d, 0, sizeof(d));
+    d.t0 = d.t1 = d.t_dtw = -1;
+    if (n < 52) return d;
+    memcpy(&d.id,    b +  0, 4);
+    memcpy(&d.tid,   b +  4, 4);
+    memcpy(&d.p,     b +  8, 4);
+    memcpy(&d.plog,  b + 12, 4);
+    memcpy(&d.pt,    b + 16, 4);
+    memcpy(&d.ptsum, b + 20, 4);
+    memcpy(&d.t0,    b + 24, 8);
+    memcpy(&d.t1,    b + 32, 8);
+    memcpy(&d.t_dtw, b + 40, 8);
+    memcpy(&d.vlen,  b + 48, 4);
+    return d;
+}
+
+whisper_token_data whisper_full_get_token_data(struct whisper_context * ctx,
+                                               int i_segment, int i_token) {
+    char buf[52];
+    long n = call_bytes_out("full_get_token_data_packed", buf, sizeof(buf),
+                            "(l,i,i)", (long) (intptr_t) ctx,
+                            i_segment, i_token);
+    return unpack_token_data(buf, n);
+}
+
+whisper_token_data whisper_full_get_token_data_from_state(
+        struct whisper_state * state, int i_segment, int i_token) {
+    char buf[52];
+    long n = call_bytes_out("full_get_token_data_packed_from_state", buf,
+                            sizeof(buf), "(l,i,i)",
+                            (long) (intptr_t) state, i_segment, i_token);
+    return unpack_token_data(buf, n);
+}
+
+}  // extern "C"
+
+// ---- VAD param structs + init variants (whisper.h:192-199, 701-712) -------
+
+extern "C" {
+
+typedef struct whisper_vad_params {
+    float threshold;
+    int   min_speech_duration_ms;
+    int   min_silence_duration_ms;
+    float max_speech_duration_s;
+    int   speech_pad_ms;
+    float samples_overlap;
+} whisper_vad_params;
+
+struct whisper_vad_context_params {
+    int   n_threads;
+    bool  use_gpu;
+    int   gpu_device;
+};
+
+whisper_vad_params whisper_vad_default_params(void) {
+    whisper_vad_params p;           // src/whisper.cpp:4462-4472
+    p.threshold               = 0.5f;
+    p.min_speech_duration_ms  = 250;
+    p.min_silence_duration_ms = 100;
+    p.max_speech_duration_s   = FLT_MAX;
+    p.speech_pad_ms           = 30;
+    p.samples_overlap         = 0.1f;
+    return p;
+}
+
+struct whisper_vad_context_params whisper_vad_default_context_params(void) {
+    struct whisper_vad_context_params p;  // src/whisper.cpp:4453-4460
+    p.n_threads  = 4;
+    p.use_gpu    = false;
+    p.gpu_device = 0;
+    return p;
+}
+
+// the context params carry no TPU-relevant knobs; init ignores them
+struct whisper_vad_context * whisper_vad_init_from_file_with_params(
+        const char * path_model, struct whisper_vad_context_params params) {
+    (void) params;
+    return whisper_vad_init_from_file(path_model);
+}
+
+struct whisper_vad_context * whisper_vad_init_with_params(
+        struct whisper_model_loader * loader,
+        struct whisper_vad_context_params params) {
+    (void) params;
+    if (!loader || !loader->read) return nullptr;
+    std::vector<char> buf;
+    char chunk[1 << 16];
+    while (!(loader->eof && loader->eof(loader->context))) {
+        size_t n = loader->read(loader->context, chunk, sizeof(chunk));
+        if (n == 0) break;
+        buf.insert(buf.end(), chunk, chunk + n);
+    }
+    if (loader->close) loader->close(loader->context);
+    if (buf.empty()) return nullptr;
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * args = PyTuple_New(1);
+    PyTuple_SET_ITEM(args, 0, PyBytes_FromStringAndSize(buf.data(),
+                                                        (Py_ssize_t) buf.size()));
+    PyObject * res = call("vad_init_from_buffer", args);
+    intptr_t h = 0;
+    if (res) { h = (intptr_t) PyLong_AsLong(res); Py_DECREF(res); }
+    PyGILState_Release(gil);
+    return (struct whisper_vad_context *) h;
 }
 
 }  // extern "C"

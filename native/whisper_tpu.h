@@ -22,6 +22,7 @@
 #define WHISPER_TPU_H
 
 #include <stdbool.h>
+#include <stddef.h>
 #include <stdint.h>
 
 #ifdef __cplusplus
@@ -211,6 +212,145 @@ const char * whisper_version(void);
 const char * whisper_print_system_info(void);
 void whisper_print_timings(struct whisper_context * ctx);
 void whisper_reset_timings(struct whisper_context * ctx);
+
+/* ---- whisper.h-compatible structs + remaining lifecycle ------------------
+ * These mirror include/whisper.h:86-159, 438-447 field-for-field so
+ * whisper.cpp FFI consumers can keep their struct marshalling.  On the TPU
+ * runtime use_gpu/gpu_device/flash_attn are ignored (single XLA/Pallas
+ * backend; fused attention is selected automatically); the DTW fields act. */
+
+enum whisper_alignment_heads_preset {
+    WHISPER_AHEADS_NONE,
+    WHISPER_AHEADS_N_TOP_MOST,
+    WHISPER_AHEADS_CUSTOM,
+    WHISPER_AHEADS_TINY_EN,
+    WHISPER_AHEADS_TINY,
+    WHISPER_AHEADS_BASE_EN,
+    WHISPER_AHEADS_BASE,
+    WHISPER_AHEADS_SMALL_EN,
+    WHISPER_AHEADS_SMALL,
+    WHISPER_AHEADS_MEDIUM_EN,
+    WHISPER_AHEADS_MEDIUM,
+    WHISPER_AHEADS_LARGE_V1,
+    WHISPER_AHEADS_LARGE_V2,
+    WHISPER_AHEADS_LARGE_V3,
+    WHISPER_AHEADS_LARGE_V3_TURBO,
+};
+
+typedef struct whisper_ahead {
+    int n_text_layer;
+    int n_head;
+} whisper_ahead;
+
+typedef struct whisper_aheads {
+    size_t n_heads;
+    const whisper_ahead * heads;
+} whisper_aheads;
+
+struct whisper_context_params {
+    bool  use_gpu;       /* ignored: one TPU backend */
+    bool  flash_attn;    /* ignored: fused attention auto-selected */
+    int   gpu_device;    /* ignored */
+    bool dtw_token_timestamps;
+    enum whisper_alignment_heads_preset dtw_aheads_preset;
+    int dtw_n_top;
+    struct whisper_aheads dtw_aheads;
+    size_t dtw_mem_size; /* ignored (reference marks it TODO: remove) */
+};
+
+typedef struct whisper_token_data {
+    int32_t id;
+    int32_t tid;
+    float p;
+    float plog;
+    float pt;
+    float ptsum;
+    int64_t t0;
+    int64_t t1;
+    int64_t t_dtw;
+    float vlen;
+} whisper_token_data;
+
+struct whisper_timings {
+    float sample_ms;
+    float encode_ms;
+    float decode_ms;
+    float batchd_ms;
+    float prompt_ms;
+};
+
+typedef struct whisper_model_loader {
+    void * context;
+    size_t (*read)(void * ctx, void * output, size_t read_size);
+    bool    (*eof)(void * ctx);
+    void  (*close)(void * ctx);
+} whisper_model_loader;
+
+struct whisper_context_params whisper_context_default_params(void);
+struct whisper_context_params * whisper_context_default_params_by_ref(void);
+void whisper_free_context_params(struct whisper_context_params * params);
+void whisper_free_params(void * params); /* frees any *_by_ref allocation */
+
+/* params-taking init variants (whisper.h:205-246).  The *_no_state names
+ * are aliases: whisper_tpu contexts hold no eagerly-allocated state (states
+ * are created on demand by whisper_init_state), which is the no_state
+ * behavior. */
+struct whisper_context * whisper_init_from_file_with_params(
+        const char * path_model, struct whisper_context_params params);
+struct whisper_context * whisper_init_from_buffer_with_params(
+        void * buffer, size_t buffer_size,
+        struct whisper_context_params params);
+struct whisper_context * whisper_init_with_params(
+        struct whisper_model_loader * loader,
+        struct whisper_context_params params);
+struct whisper_context * whisper_init_from_file_with_params_no_state(
+        const char * path_model, struct whisper_context_params params);
+struct whisper_context * whisper_init_from_buffer_with_params_no_state(
+        void * buffer, size_t buffer_size,
+        struct whisper_context_params params);
+struct whisper_context * whisper_init_with_params_no_state(
+        struct whisper_model_loader * loader,
+        struct whisper_context_params params);
+/* deprecated unparameterized forms (whisper.h:234-246) */
+struct whisper_context * whisper_init(struct whisper_model_loader * loader);
+struct whisper_context * whisper_init_no_state(struct whisper_model_loader * loader);
+struct whisper_context * whisper_init_from_file_no_state(const char * path_model);
+struct whisper_context * whisper_init_from_buffer_no_state(void * buffer,
+                                                           size_t buffer_size);
+
+const char * whisper_lang_str_full(int id);
+struct whisper_timings * whisper_get_timings(struct whisper_context * ctx);
+
+/* VAD param structs (whisper.h:192-199, 701-712) */
+typedef struct whisper_vad_params {
+    float threshold;
+    int   min_speech_duration_ms;
+    int   min_silence_duration_ms;
+    float max_speech_duration_s;
+    int   speech_pad_ms;
+    float samples_overlap;
+} whisper_vad_params;
+
+struct whisper_vad_context_params {
+    int   n_threads;  /* ignored: TPU runtime picks its own parallelism */
+    bool  use_gpu;    /* ignored */
+    int   gpu_device; /* ignored */
+};
+
+whisper_vad_params whisper_vad_default_params(void);
+struct whisper_vad_context_params whisper_vad_default_context_params(void);
+struct whisper_vad_context * whisper_vad_init_from_file_with_params(
+        const char * path_model, struct whisper_vad_context_params params);
+struct whisper_vad_context * whisper_vad_init_with_params(
+        struct whisper_model_loader * loader,
+        struct whisper_vad_context_params params);
+
+/* struct-returning token accessors (whisper.h:729-734); the JSON variants
+ * above remain for FFIs that cannot marshal C structs */
+whisper_token_data whisper_full_get_token_data(struct whisper_context * ctx,
+                                               int i_segment, int i_token);
+whisper_token_data whisper_full_get_token_data_from_state(
+        struct whisper_state * state, int i_segment, int i_token);
 
 #ifdef __cplusplus
 }

@@ -43,6 +43,20 @@ def abi_build():
             ["gcc", "-O2", str(src_c), "-o", str(exe),
              f"-L{BUILD}", "-lwhisper_tpu", f"-Wl,-rpath,{BUILD}"],
             check=True)
+    # second host: the whisper.h-compatible STRUCT surface, compiled against
+    # the real consumer header (also proves whisper_tpu.h parses as C)
+    exe2 = BUILD / "test_abi_structs"
+    src_c2 = REPO / "native" / "test_abi_structs.c"
+    hdr = REPO / "native" / "whisper_tpu.h"
+    if (not exe2.exists()
+            or exe2.stat().st_mtime < src_c2.stat().st_mtime
+            or exe2.stat().st_mtime < hdr.stat().st_mtime
+            or exe2.stat().st_mtime < so.stat().st_mtime):
+        subprocess.run(
+            ["gcc", "-O2", "-Wall", "-Werror", f"-I{REPO / 'native'}",
+             str(src_c2), "-o", str(exe2),
+             f"-L{BUILD}", "-lwhisper_tpu", f"-Wl,-rpath,{BUILD}"],
+            check=True)
     return exe
 
 
@@ -68,6 +82,69 @@ def test_c_host_drives_engine(abi_build):
     n = int([ln for ln in proc.stdout.splitlines()
              if ln.startswith("n_segments=")][0].split("=")[1])
     assert n >= 1
+
+
+def test_c_host_struct_surface(abi_build):
+    """whisper.h-compatible struct path through the real consumer header:
+    context_params init variants, whisper_init(model_loader), struct token
+    data, whisper_get_timings, whisper_lang_str_full."""
+    if not JFK.exists():
+        pytest.skip("jfk.wav not available")
+    from whisper_tpu.audio.io import load_audio
+
+    samples, _ = load_audio(str(JFK))
+    pcm = BUILD / "jfk.pcm.f32"
+    if not pcm.exists():
+        samples[: 16000 * 6].astype("<f4").tofile(pcm)
+
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [str(BUILD / "test_abi_structs"), str(MINI_MODEL), str(pcm)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "STRUCT-ABI-OK" in proc.stdout, proc.stdout
+    assert "token_data: id=" in proc.stdout
+    assert "timings: sample=" in proc.stdout
+
+
+def test_capi_cparams_and_timings(mini_model_path):
+    """Python-side halves of the new surface: cparams DTW application,
+    packed timings/token-data marshalling, full language names."""
+    import struct as _struct
+
+    from whisper_tpu import capi
+
+    assert capi.lang_str_full(0) == "english"
+    assert capi.lang_str_full(1) == "chinese"
+
+    # cparams with a DTW preset: 3-layer mini model has no named preset, so
+    # use n_top_most which works for any depth (whisper.h preset enum 1)
+    h = capi.init_from_file_with_cparams(
+        str(mini_model_path),
+        json.dumps({"dtw_token_timestamps": True, "dtw_aheads_preset": 1,
+                    "dtw_n_top": 1}))
+    assert h > 0
+    from whisper_tpu.capi import _contexts
+
+    assert _contexts[h].dtw_token_timestamps
+    assert _contexts[h].dtw_aheads  # resolved (layer, head) pairs
+    samples = np.zeros(16000, np.float32)
+    assert capi.full(h, '{"temperature_inc": 0.0}', samples) == 0
+    if capi.full_n_segments(h) > 0 and capi.full_n_tokens(h, 0) > 0:
+        raw = capi.full_get_token_data_packed(h, 0, 0)
+        assert len(raw) == 52
+        vals = _struct.unpack("<2i4f3qf", raw)
+        assert vals[0] == capi.full_get_token_id(h, 0, 0)
+    t = _struct.unpack("<5f", capi.get_timings_packed(h))
+    assert all(v >= 0.0 for v in t) and t[1] > 0.0  # encode_ms accrued
+    capi.free(h)
+
+    # an invalid CUSTOM head list must fail like aheads_masks_init -> NULL
+    bad = capi.init_from_file_with_cparams(
+        str(mini_model_path),
+        json.dumps({"dtw_token_timestamps": True, "dtw_aheads_preset": 2,
+                    "dtw_aheads": [[99, 0]]}))
+    assert bad == 0
 
 
 def test_capi_python_surface(mini_model_path):

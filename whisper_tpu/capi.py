@@ -898,3 +898,106 @@ def log_set_c_sink(fn_ptr: int, user_data: int) -> None:
 
     _log_sink_keepalive.extend([cb, ud, sink])
     log_set(sink)
+
+
+# ---------------------------------------------------------------------------
+# remaining whisper.h surface (whisper.h:116-129, 210-246, 370, 438-447):
+# context-params init variants, full language names, timings struct
+# ---------------------------------------------------------------------------
+
+def _apply_cparams(h: int, cparams_json: Optional[str]) -> int:
+    """Apply whisper_context_params to a fresh handle: the TPU runtime has
+    no use_gpu/gpu_device/flash_attn knobs (one backend, flash-equivalent
+    fused attention picked automatically), so only the DTW preset fields
+    act (whisper.h:121-128 -> runtime.context.enable_dtw)."""
+    if not cparams_json:
+        return h
+    cp = json.loads(cparams_json)
+    if h and cp.get("dtw_token_timestamps"):
+        # whisper_alignment_heads_preset enum order (whisper.h:88-104)
+        presets = [None, "n_top_most", "custom", "tiny.en", "tiny",
+                   "base.en", "base", "small.en", "small", "medium.en",
+                   "medium", "large-v1", "large-v2", "large-v3",
+                   "large-v3-turbo"]
+        idx = int(cp.get("dtw_aheads_preset", 0))
+        try:
+            if idx == 1:
+                _contexts[h].enable_dtw(n_top_most=int(cp.get("dtw_n_top", 0)))
+            elif idx == 2:
+                heads = [tuple(x) for x in cp.get("dtw_aheads", [])]
+                _contexts[h].enable_dtw(custom=heads)
+            elif 3 <= idx < len(presets):
+                _contexts[h].enable_dtw(preset=presets[idx])
+        except Exception:
+            free(h)
+            return 0  # reference returns NULL when aheads_masks_init fails
+    return h
+
+
+def init_from_file_with_cparams(path: str, cparams_json: Optional[str]) -> int:
+    """whisper_init_from_file_with_params (whisper.h:210)."""
+    return _apply_cparams(init_from_file(path), cparams_json)
+
+
+def init_from_buffer_with_cparams(data: bytes,
+                                  cparams_json: Optional[str]) -> int:
+    """whisper_init_from_buffer_with_params (whisper.h:216)."""
+    return _apply_cparams(init_from_buffer(data), cparams_json)
+
+
+def lang_str_full(i: int) -> str:
+    """whisper_lang_str_full (whisper.h:370): "english", not "en"."""
+    from .decoding.languages import lang_str_full as _lf
+
+    return _lf(i) or ""
+
+
+def get_timings_packed(h: int) -> bytes:
+    """whisper_get_timings (whisper.h:445): struct whisper_timings
+    {float sample_ms, encode_ms, decode_ms, batchd_ms, prompt_ms} packed
+    little-endian (whisper_get_timings, src/whisper.cpp: 1e-3 * t_*_us)."""
+    import struct as _struct
+
+    ctx = _obj(h)
+    t = ctx.timings if ctx is not None else None
+    if t is None:
+        return b"\0" * 20
+    return _struct.pack("<5f", 1e-3 * t.t_sample_us, 1e-3 * t.t_encode_us,
+                        1e-3 * t.t_decode_us, 1e-3 * t.t_batchd_us,
+                        1e-3 * t.t_prompt_us)
+
+
+def _token_packed(tok) -> bytes:
+    import struct as _struct
+
+    return _struct.pack("<2i4f3qf", tok.id, tok.tid, tok.p, tok.plog,
+                        tok.pt, tok.ptsum, tok.t0, tok.t1, tok.t_dtw,
+                        tok.vlen)
+
+
+def full_get_token_data_packed(h: int, i: int, j: int) -> bytes:
+    """whisper_full_get_token_data (whisper.h:734): the exact POD fields,
+    packed little-endian for the shim to memcpy into the C struct."""
+    return _token_packed(_segments[h][i].tokens[j])
+
+
+def full_get_token_data_packed_from_state(sh: int, i: int, j: int) -> bytes:
+    return _token_packed(_state_segments[sh][i].tokens[j])
+
+
+def vad_init_from_buffer(data: bytes) -> int:
+    """whisper_vad_init_with_params' model_loader path (whisper.h:712):
+    the shim drains the loader into memory and initializes from bytes."""
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".bin")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(bytes(data))
+        return vad_init_from_file(path)
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
