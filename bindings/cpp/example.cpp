@@ -44,5 +44,26 @@ int main(int argc, char ** argv) {
         printf("[%lld -> %lld] %s\n", (long long) s.t0, (long long) s.t1,
                s.text.c_str());
     }
+
+    // segment-stream path (struct params + new_segment_callback under the
+    // hood): segments arrive mid-run and must match the batch result
+    auto p = whisper_tpu::default_params();
+    p.language = "en";
+    p.temperature_inc = 0.0f;
+    p.print_progress = false;
+    size_t streamed = 0;
+    bool stream_match = true;
+    auto final_segments = ctx.transcribe_stream(
+        samples, p, [&](const whisper_tpu::Segment & s) {
+            if (streamed >= segments.size() ||
+                s.text != segments[streamed].text) {
+                stream_match = false;
+            }
+            ++streamed;
+        });
+    printf("streamed: %zu segments (match=%d)\n", streamed,
+           stream_match ? 1 : 0);
+    if (streamed != final_segments.size() || !stream_match) return 1;
+
     return segments.empty() ? 1 : 0;
 }

@@ -8,10 +8,20 @@
 //   whisper_tpu::Context ctx("model.bin");
 //   auto segments = ctx.transcribe(samples, R"({"language": "en"})");
 //   for (auto & s : segments) std::cout << s.text << "\n";
+//
+// Streaming (reference new_segment_callback, whisper.h:456-462): segments
+// are delivered to a std::function DURING transcription —
+//
+//   auto p = whisper_tpu::default_params();
+//   ctx.transcribe_stream(samples, p,
+//                         [](const whisper_tpu::Segment & s) {
+//                             std::cout << s.text << std::flush;
+//                         });
 
 #pragma once
 
 #include <cstdint>
+#include <functional>
 #include <stdexcept>
 #include <string>
 #include <vector>
@@ -48,24 +58,51 @@ class Context {
     // (whisper_full_default_params, src/whisper.cpp:5945-6052).
     std::vector<Segment> transcribe(const std::vector<float> & samples,
                                     const std::string & params_json = "") {
-        if (whisper_full(ctx_, params_json.empty() ? nullptr
-                                                   : params_json.c_str(),
-                         samples.data(), (int) samples.size()) != 0) {
+        if (whisper_full_json(ctx_, params_json.empty() ? nullptr
+                                                        : params_json.c_str(),
+                              samples.data(), (int) samples.size()) != 0) {
             throw std::runtime_error("whisper_tpu: whisper_full failed");
         }
-        std::vector<Segment> out;
-        const int n = whisper_full_n_segments(ctx_);
-        out.reserve(n);
-        for (int i = 0; i < n; ++i) {
-            out.push_back(Segment{
-                whisper_full_get_segment_t0(ctx_, i),
-                whisper_full_get_segment_t1(ctx_, i),
-                whisper_full_get_segment_text(ctx_, i),
-                whisper_full_get_segment_no_speech_prob(ctx_, i),
-                whisper_full_get_segment_speaker_turn_next(ctx_, i) != 0,
-            });
+        return collect_segments();
+    }
+
+    // Struct-params variant (whisper_full, whisper.h:640); the caller's
+    // callbacks in `params` are honored as-is.
+    std::vector<Segment> transcribe(const std::vector<float> & samples,
+                                    const whisper_full_params & params) {
+        if (whisper_full(ctx_, params, samples.data(),
+                         (int) samples.size()) != 0) {
+            throw std::runtime_error("whisper_tpu: whisper_full failed");
         }
-        return out;
+        return collect_segments();
+    }
+
+    // Segment-stream transcription: `on_segment` fires for every newly
+    // generated segment DURING the run (new_segment_callback,
+    // whisper.h:456-462).  Any new_segment_callback already present in
+    // `params` is replaced for the duration of the call.
+    using SegmentFn = std::function<void(const Segment &)>;
+
+    std::vector<Segment> transcribe_stream(const std::vector<float> & samples,
+                                           whisper_full_params params,
+                                           const SegmentFn & on_segment) {
+        struct Stream { const SegmentFn * fn; };
+        Stream stream{&on_segment};
+        params.new_segment_callback =
+            [](whisper_context * c, whisper_state * /*state*/, int n_new,
+               void * ud) {
+                auto * s = static_cast<Stream *>(ud);
+                const int n = whisper_full_n_segments(c);
+                for (int i = n - n_new; i < n; ++i) {
+                    (*s->fn)(read_segment(c, i));
+                }
+            };
+        params.new_segment_callback_user_data = &stream;
+        if (whisper_full(ctx_, params, samples.data(),
+                         (int) samples.size()) != 0) {
+            throw std::runtime_error("whisper_tpu: whisper_full failed");
+        }
+        return collect_segments();
     }
 
     // tokenizer
@@ -95,8 +132,33 @@ class Context {
     whisper_context * raw() const { return ctx_; }
 
   private:
+    static Segment read_segment(whisper_context * c, int i) {
+        const char * text = whisper_full_get_segment_text(c, i);
+        return Segment{
+            whisper_full_get_segment_t0(c, i),
+            whisper_full_get_segment_t1(c, i),
+            text ? text : "",
+            whisper_full_get_segment_no_speech_prob(c, i),
+            whisper_full_get_segment_speaker_turn_next(c, i) != 0,
+        };
+    }
+
+    std::vector<Segment> collect_segments() const {
+        std::vector<Segment> out;
+        const int n = whisper_full_n_segments(ctx_);
+        out.reserve(n);
+        for (int i = 0; i < n; ++i) out.push_back(read_segment(ctx_, i));
+        return out;
+    }
+
     whisper_context * ctx_;
 };
+
+// reference defaults (src/whisper.cpp:5945-6052)
+inline whisper_full_params default_params(
+        whisper_sampling_strategy strategy = WHISPER_SAMPLING_GREEDY) {
+    return whisper_full_default_params(strategy);
+}
 
 inline std::string version() {
     const char * s = whisper_version();

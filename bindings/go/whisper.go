@@ -69,7 +69,7 @@ func (c *Context) Transcribe(samples []float32, paramsJSON string) ([]Segment, e
 		cParams = C.CString(paramsJSON)
 		defer C.free(unsafe.Pointer(cParams))
 	}
-	rc := C.whisper_full(c.ctx, cParams,
+	rc := C.whisper_full_json(c.ctx, cParams,
 		(*C.float)(unsafe.Pointer(&samples[0])), C.int(len(samples)))
 	if rc != 0 {
 		return nil, ErrTranscribeFailed

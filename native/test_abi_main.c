@@ -13,7 +13,7 @@ struct whisper_context;
 struct whisper_state;
 extern struct whisper_context * whisper_init_from_file(const char * path);
 extern void whisper_free(struct whisper_context *);
-extern int whisper_full(struct whisper_context *, const char * params_json,
+extern int whisper_full_json(struct whisper_context *, const char * params_json,
                         const float * samples, int n_samples);
 extern int whisper_full_n_segments(struct whisper_context *);
 extern int64_t whisper_full_get_segment_t0(struct whisper_context *, int);
@@ -43,7 +43,7 @@ extern int whisper_decode(struct whisper_context *, const int *, int,
 extern const float * whisper_get_logits(struct whisper_context *);
 extern struct whisper_state * whisper_init_state(struct whisper_context *);
 extern void whisper_free_state(struct whisper_state *);
-extern int whisper_full_with_state(struct whisper_context *,
+extern int whisper_full_with_state_json(struct whisper_context *,
                                    struct whisper_state *, const char *,
                                    const float *, int);
 extern int whisper_full_n_segments_from_state(struct whisper_state *);
@@ -74,7 +74,7 @@ int main(int argc, char ** argv) {
     if (!ctx) { fprintf(stderr, "init failed\n"); return 1; }
 
     const char * params = "{\"language\": \"en\", \"temperature_inc\": 0.0}";
-    int rc = whisper_full(ctx, params, pcm, (int) (sz / 4));
+    int rc = whisper_full_json(ctx, params, pcm, (int) (sz / 4));
     if (rc != 0) { fprintf(stderr, "whisper_full rc=%d\n", rc); return 1; }
 
     int n = whisper_full_n_segments(ctx);
@@ -124,7 +124,7 @@ int main(int argc, char ** argv) {
     // ---- state API: an independent transcription on the same weights ----
     struct whisper_state * st = whisper_init_state(ctx);
     if (!st) { fprintf(stderr, "init_state\n"); return 1; }
-    if (whisper_full_with_state(ctx, st, params, pcm, (int) (sz / 4)) != 0) {
+    if (whisper_full_with_state_json(ctx, st, params, pcm, (int) (sz / 4)) != 0) {
         fprintf(stderr, "full_with_state\n"); return 1;
     }
     int ns = whisper_full_n_segments_from_state(st);

@@ -78,7 +78,21 @@ int main(int argc, char ** argv) {
     if (fread(pcm, 1, sz, f) != (size_t) sz) { return 1; }
     fclose(f);
 
-    const char * params = "{\"language\": \"en\", \"temperature_inc\": 0.0}";
+    struct whisper_full_params params =
+        whisper_full_default_params(WHISPER_SAMPLING_GREEDY);
+    if (params.n_max_text_ctx != 16384 || !params.no_context ||
+        params.greedy.best_of != 5 || params.beam_search.beam_size != -1 ||
+        params.vad_params.min_speech_duration_ms != 250) {
+        fprintf(stderr, "bad full defaults\n"); return 1;
+    }
+    struct whisper_full_params * pref =
+        whisper_full_default_params_by_ref(WHISPER_SAMPLING_BEAM_SEARCH);
+    if (!pref || pref->beam_search.beam_size != 5) {
+        fprintf(stderr, "full by_ref\n"); return 1;
+    }
+    whisper_free_params(pref);
+    params.language = "en";
+    params.temperature_inc = 0.0f;
     if (whisper_full(ctx, params, pcm, (int) (sz / 4)) != 0) {
         fprintf(stderr, "whisper_full\n"); return 1;
     }

@@ -5,13 +5,13 @@
 // (bindings/go, java, ruby, javascript).  whisper_tpu's engine is Python
 // (JAX), so this shim embeds CPython and forwards the whisper.h call
 // sequence to whisper_tpu.capi — letting a C/FFI host drive the TPU engine
-// with the familiar init/full/get-segment calls.  Differences from the
-// reference ABI, by design:
-//   * whisper_full takes its params as a JSON string of whisper_full_params
-//     field names instead of a by-value C struct (no struct-layout
-//     coupling across the FFI);
-//   * functions not meaningful off-device (ggml backend introspection,
-//     state-parallel variants) are not exported.
+// with the familiar init/full/get-segment calls.  whisper_full takes the
+// whisper.h-layout whisper_full_params struct by value, five C callbacks
+// included (trampolined through ctypes onto the Python callbacks — see the
+// struct section at the bottom of this file); *_json variants take the
+// same params as a JSON string for FFIs that cannot marshal C structs.
+// Functions not meaningful off-device (ggml backend introspection) are
+// not exported.
 //
 // Build (see tests/test_c_abi.py):
 //   g++ -shared -fPIC native/whisper_abi.cpp -o libwhisper_tpu.so \
@@ -228,9 +228,10 @@ void whisper_free(struct whisper_context * ctx) {
 }
 
 // params_json: JSON object of whisper_full_params field names (or NULL for
-// defaults); samples: 16 kHz mono f32 PCM.
-int whisper_full(struct whisper_context * ctx, const char * params_json,
-                 const float * samples, int n_samples) {
+// defaults); samples: 16 kHz mono f32 PCM.  The struct-taking whisper_full
+// (whisper.h:640) is defined at the bottom of this file.
+int whisper_full_json(struct whisper_context * ctx, const char * params_json,
+                      const float * samples, int n_samples) {
     ensure_runtime();
     PyGILState_STATE gil = PyGILState_Ensure();
     PyObject * mem = PyMemoryView_FromMemory(
@@ -258,10 +259,10 @@ int whisper_full(struct whisper_context * ctx, const char * params_json,
 }
 
 // whisper_full_parallel (whisper.h:621): chunk-split data parallelism
-int whisper_full_parallel(struct whisper_context * ctx,
-                          const char * params_json,
-                          const float * samples, int n_samples,
-                          int n_processors) {
+int whisper_full_parallel_json(struct whisper_context * ctx,
+                               const char * params_json,
+                               const float * samples, int n_samples,
+                               int n_processors) {
     ensure_runtime();
     PyGILState_STATE gil = PyGILState_Ensure();
     PyObject * mem = PyMemoryView_FromMemory(
@@ -380,10 +381,10 @@ void whisper_free_state(struct whisper_state * state) {
     call_long("free_state", 0, "(l)", (long) (intptr_t) state);
 }
 
-int whisper_full_with_state(struct whisper_context * ctx,
-                            struct whisper_state * state,
-                            const char * params_json,
-                            const float * samples, int n_samples) {
+int whisper_full_with_state_json(struct whisper_context * ctx,
+                                 struct whisper_state * state,
+                                 const char * params_json,
+                                 const float * samples, int n_samples) {
     ensure_runtime();
     PyGILState_STATE gil = PyGILState_Ensure();
     PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
@@ -713,45 +714,52 @@ void whisper_vad_free(struct whisper_vad_context * vctx) {
     call_long("vad_free", 0, "(l)", (long) (intptr_t) vctx);
 }
 
-// detect + segment in one call; segments live on the vad context
-int whisper_vad_segments_from_samples(struct whisper_vad_context * vctx,
-                                      const char * params_json,
-                                      const float * samples,
-                                      int n_samples) {
+// detect + segment in one call; returns an allocated segments handle freed
+// by whisper_vad_free_segments (reference shape, whisper.h:739-750)
+struct whisper_vad_segments;
+
+struct whisper_vad_segments * whisper_vad_segments_from_samples_json(
+        struct whisper_vad_context * vctx, const char * params_json,
+        const float * samples, int n_samples) {
     ensure_runtime();
     PyGILState_STATE gil = PyGILState_Ensure();
     PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
-    int rc = -1;
+    intptr_t h = 0;
     if (arr) {
         PyObject * res = call(
             "vad_segments_from_samples",
             Py_BuildValue("(l,s,O)", (long) (intptr_t) vctx, params_json,
                           arr));
         if (res) {
-            rc = (int) PyLong_AsLong(res);
+            h = (intptr_t) PyLong_AsLong(res);
             Py_DECREF(res);
         }
         Py_DECREF(arr);
     }
     PyGILState_Release(gil);
-    return rc;
+    return (struct whisper_vad_segments *) h;
 }
 
-int whisper_vad_segments_n_segments(struct whisper_vad_context * vctx) {
+int whisper_vad_segments_n_segments(struct whisper_vad_segments * segments) {
     return (int) call_long("vad_segments_n_segments", 0, "(l)",
-                           (long) (intptr_t) vctx);
+                           (long) (intptr_t) segments);
 }
 
-float whisper_vad_segments_get_segment_t0(struct whisper_vad_context * vctx,
-                                          int i) {
+float whisper_vad_segments_get_segment_t0(
+        struct whisper_vad_segments * segments, int i) {
     return (float) call_double("vad_segments_get_segment_t0", -1.0, "(l,i)",
-                               (long) (intptr_t) vctx, i);
+                               (long) (intptr_t) segments, i);
 }
 
-float whisper_vad_segments_get_segment_t1(struct whisper_vad_context * vctx,
-                                          int i) {
+float whisper_vad_segments_get_segment_t1(
+        struct whisper_vad_segments * segments, int i) {
     return (float) call_double("vad_segments_get_segment_t1", -1.0, "(l,i)",
-                               (long) (intptr_t) vctx, i);
+                               (long) (intptr_t) segments, i);
+}
+
+void whisper_vad_free_segments(struct whisper_vad_segments * segments) {
+    if (!segments) return;
+    call_long("vad_free_segments", 0, "(l)", (long) (intptr_t) segments);
 }
 
 }  // extern "C"
@@ -1023,10 +1031,11 @@ void whisper_vad_reset_state(struct whisper_vad_context * vctx) {
 
 // segment the probs from the last detect_speech; accessors shared with
 // whisper_vad_segments_from_samples
-int whisper_vad_segments_from_probs(struct whisper_vad_context * vctx,
-                                    const char * params_json) {
-    return (int) call_long("vad_segments_from_probs", -1, "(l,s)",
-                           (long) (intptr_t) vctx, params_json);
+struct whisper_vad_segments * whisper_vad_segments_from_probs_json(
+        struct whisper_vad_context * vctx, const char * params_json) {
+    return (struct whisper_vad_segments *) (intptr_t) call_long(
+        "vad_segments_from_probs", 0, "(l,s)",
+        (long) (intptr_t) vctx, params_json);
 }
 
 // ---- whisper_log_set (whisper.h:584) ---------------------------------------
@@ -1377,6 +1386,430 @@ struct whisper_vad_context * whisper_vad_init_with_params(
     if (res) { h = (intptr_t) PyLong_AsLong(res); Py_DECREF(res); }
     PyGILState_Release(gil);
     return (struct whisper_vad_context *) h;
+}
+
+}  // extern "C"
+
+// ---- whisper_full_params struct surface + the five C callbacks ------------
+//
+// Field-for-field whisper.h:455-591 layout (see native/whisper_tpu.h for the
+// consumer declaration).  The struct is serialized to the JSON dialect
+// _params_from_json speaks, and the five function pointers are passed to
+// capi.full_struct as integer addresses; the Python side wraps them in
+// ctypes trampolines onto TranscribeParams' callbacks, so the C host gets
+// new_segment / progress / encoder_begin / abort / logits_filter calls
+// mid-run, exactly like the reference (src/whisper.cpp:5945-6051 defaults,
+// bindings/go/whisper.go:20-44 consumption pattern).
+
+extern "C" {
+
+typedef int32_t whisper_token;
+
+enum whisper_sampling_strategy {
+    WHISPER_SAMPLING_GREEDY,
+    WHISPER_SAMPLING_BEAM_SEARCH,
+};
+
+enum whisper_gretype {
+    WHISPER_GRETYPE_END            = 0,
+    WHISPER_GRETYPE_ALT            = 1,
+    WHISPER_GRETYPE_RULE_REF       = 2,
+    WHISPER_GRETYPE_CHAR           = 3,
+    WHISPER_GRETYPE_CHAR_NOT       = 4,
+    WHISPER_GRETYPE_CHAR_RNG_UPPER = 5,
+    WHISPER_GRETYPE_CHAR_ALT       = 6,
+};
+
+typedef struct whisper_grammar_element {
+    enum whisper_gretype type;
+    uint32_t             value;
+} whisper_grammar_element;
+
+struct whisper_state;
+
+typedef void (*whisper_new_segment_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        int n_new, void * user_data);
+typedef void (*whisper_progress_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        int progress, void * user_data);
+typedef bool (*whisper_encoder_begin_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        void * user_data);
+typedef bool (*ggml_abort_callback)(void * data);
+typedef void (*whisper_logits_filter_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        const whisper_token_data * tokens, int n_tokens,
+        float * logits, void * user_data);
+
+struct whisper_full_params {
+    enum whisper_sampling_strategy strategy;
+
+    int n_threads;
+    int n_max_text_ctx;
+    int offset_ms;
+    int duration_ms;
+
+    bool translate;
+    bool no_context;
+    bool no_timestamps;
+    bool single_segment;
+    bool print_special;
+    bool print_progress;
+    bool print_realtime;
+    bool print_timestamps;
+
+    bool  token_timestamps;
+    float thold_pt;
+    float thold_ptsum;
+    int   max_len;
+    bool  split_on_word;
+    int   max_tokens;
+
+    bool debug_mode;
+    int  audio_ctx;
+
+    bool tdrz_enable;
+
+    const char * suppress_regex;
+
+    const char * initial_prompt;
+    bool carry_initial_prompt;
+    const whisper_token * prompt_tokens;
+    int prompt_n_tokens;
+
+    const char * language;
+    bool detect_language;
+
+    bool suppress_blank;
+    bool suppress_nst;
+
+    float temperature;
+    float max_initial_ts;
+    float length_penalty;
+
+    float temperature_inc;
+    float entropy_thold;
+    float logprob_thold;
+    float no_speech_thold;
+
+    struct {
+        int best_of;
+    } greedy;
+
+    struct {
+        int   beam_size;
+        float patience;
+    } beam_search;
+
+    whisper_new_segment_callback new_segment_callback;
+    void * new_segment_callback_user_data;
+
+    whisper_progress_callback progress_callback;
+    void * progress_callback_user_data;
+
+    whisper_encoder_begin_callback encoder_begin_callback;
+    void * encoder_begin_callback_user_data;
+
+    ggml_abort_callback abort_callback;
+    void * abort_callback_user_data;
+
+    whisper_logits_filter_callback logits_filter_callback;
+    void * logits_filter_callback_user_data;
+
+    const whisper_grammar_element ** grammar_rules;
+    size_t                           n_grammar_rules;
+    size_t                           i_start_rule;
+    float                            grammar_penalty;
+
+    bool         vad;
+    const char * vad_model_path;
+    whisper_vad_params vad_params;
+};
+
+}  // extern "C" (reopened below; helpers are C++)
+
+namespace {
+
+void json_escape_into(std::string & out, const char * s) {
+    out += '"';
+    for (const unsigned char * p = (const unsigned char *) s; *p; ++p) {
+        switch (*p) {
+            case '"':  out += "\\\""; break;
+            case '\\': out += "\\\\"; break;
+            case '\n': out += "\\n";  break;
+            case '\r': out += "\\r";  break;
+            case '\t': out += "\\t";  break;
+            default:
+                if (*p < 0x20) {
+                    char buf[8];
+                    snprintf(buf, sizeof(buf), "\\u%04x", (unsigned) *p);
+                    out += buf;
+                } else {
+                    out += (char) *p;
+                }
+        }
+    }
+    out += '"';
+}
+
+void add_bool(std::string & out, const char * key, bool v) {
+    out += '"'; out += key; out += "\":"; out += v ? "true" : "false";
+    out += ',';
+}
+
+void add_int(std::string & out, const char * key, long long v) {
+    out += '"'; out += key; out += "\":"; out += std::to_string(v);
+    out += ',';
+}
+
+void add_float(std::string & out, const char * key, double v) {
+    char buf[40];
+    snprintf(buf, sizeof(buf), "%.9g", v);
+    out += '"'; out += key; out += "\":"; out += buf; out += ',';
+}
+
+void add_str(std::string & out, const char * key, const char * v) {
+    out += '"'; out += key; out += "\":";
+    if (v) json_escape_into(out, v); else out += "null";
+    out += ',';
+}
+
+// serialize the struct into the JSON object _params_from_json speaks
+std::string fparams_to_json(const struct whisper_full_params & p) {
+    std::string out = "{";
+    add_int(out, "strategy", (int) p.strategy);
+    add_int(out, "n_threads", p.n_threads);
+    add_int(out, "n_max_text_ctx", p.n_max_text_ctx);
+    add_int(out, "offset_ms", p.offset_ms);
+    add_int(out, "duration_ms", p.duration_ms);
+    add_bool(out, "translate", p.translate);
+    add_bool(out, "no_context", p.no_context);
+    add_bool(out, "no_timestamps", p.no_timestamps);
+    add_bool(out, "single_segment", p.single_segment);
+    add_bool(out, "print_special", p.print_special);
+    add_bool(out, "print_progress", p.print_progress);
+    add_bool(out, "print_realtime", p.print_realtime);
+    add_bool(out, "print_timestamps", p.print_timestamps);
+    add_bool(out, "token_timestamps", p.token_timestamps);
+    add_float(out, "thold_pt", p.thold_pt);
+    add_float(out, "thold_ptsum", p.thold_ptsum);
+    add_int(out, "max_len", p.max_len);
+    add_bool(out, "split_on_word", p.split_on_word);
+    add_int(out, "max_tokens", p.max_tokens);
+    add_bool(out, "debug_mode", p.debug_mode);
+    add_int(out, "audio_ctx", p.audio_ctx);
+    add_bool(out, "tdrz_enable", p.tdrz_enable);
+    if (p.suppress_regex && p.suppress_regex[0]) {
+        add_str(out, "suppress_regex", p.suppress_regex);
+    }
+    if (p.initial_prompt) {
+        add_str(out, "initial_prompt", p.initial_prompt);
+    }
+    add_bool(out, "carry_initial_prompt", p.carry_initial_prompt);
+    if (p.prompt_tokens && p.prompt_n_tokens > 0) {
+        out += "\"prompt_tokens\":[";
+        for (int i = 0; i < p.prompt_n_tokens; ++i) {
+            if (i) out += ',';
+            out += std::to_string(p.prompt_tokens[i]);
+        }
+        out += "],";
+    }
+    add_str(out, "language", p.language);
+    add_bool(out, "detect_language", p.detect_language);
+    add_bool(out, "suppress_blank", p.suppress_blank);
+    add_bool(out, "suppress_nst", p.suppress_nst);
+    add_float(out, "temperature", p.temperature);
+    add_float(out, "max_initial_ts", p.max_initial_ts);
+    add_float(out, "length_penalty", p.length_penalty);
+    add_float(out, "temperature_inc", p.temperature_inc);
+    add_float(out, "entropy_thold", p.entropy_thold);
+    add_float(out, "logprob_thold", p.logprob_thold);
+    add_float(out, "no_speech_thold", p.no_speech_thold);
+    add_int(out, "greedy.best_of", p.greedy.best_of);
+    add_int(out, "beam_search.beam_size", p.beam_search.beam_size);
+    add_float(out, "beam_search.patience", p.beam_search.patience);
+    if (p.grammar_rules && p.n_grammar_rules > 0) {
+        // each rule is a whisper_grammar_element array terminated by (and
+        // including) its first WHISPER_GRETYPE_END, like the reference's
+        // grammar-parser output
+        out += "\"grammar_rules\":[";
+        for (size_t r = 0; r < p.n_grammar_rules; ++r) {
+            if (r) out += ',';
+            out += '[';
+            const whisper_grammar_element * e = p.grammar_rules[r];
+            for (size_t k = 0;; ++k) {
+                if (k) out += ',';
+                out += '[';
+                out += std::to_string((int) e[k].type);
+                out += ',';
+                out += std::to_string(e[k].value);
+                out += ']';
+                if (e[k].type == WHISPER_GRETYPE_END) break;
+            }
+            out += ']';
+        }
+        out += "],";
+    }
+    add_int(out, "i_start_rule", (long long) p.i_start_rule);
+    add_float(out, "grammar_penalty", p.grammar_penalty);
+    add_bool(out, "vad", p.vad);
+    if (p.vad_model_path) {
+        add_str(out, "vad_model_path", p.vad_model_path);
+    }
+    out += "\"vad_params\":{";
+    add_float(out, "threshold", p.vad_params.threshold);
+    add_int(out, "min_speech_duration_ms", p.vad_params.min_speech_duration_ms);
+    add_int(out, "min_silence_duration_ms", p.vad_params.min_silence_duration_ms);
+    add_float(out, "max_speech_duration_s", p.vad_params.max_speech_duration_s);
+    add_int(out, "speech_pad_ms", p.vad_params.speech_pad_ms);
+    add_float(out, "samples_overlap", p.vad_params.samples_overlap);
+    out.back() = '}';  // replace trailing comma
+    out += '}';
+    return out;
+}
+
+// function-pointer addresses for capi._install_c_callbacks
+std::string fcallbacks_to_json(const struct whisper_full_params & p) {
+    std::string out = "{";
+    add_int(out, "new_segment", (long long) (uintptr_t) p.new_segment_callback);
+    add_int(out, "new_segment_ud", (long long) (uintptr_t) p.new_segment_callback_user_data);
+    add_int(out, "progress", (long long) (uintptr_t) p.progress_callback);
+    add_int(out, "progress_ud", (long long) (uintptr_t) p.progress_callback_user_data);
+    add_int(out, "encoder_begin", (long long) (uintptr_t) p.encoder_begin_callback);
+    add_int(out, "encoder_begin_ud", (long long) (uintptr_t) p.encoder_begin_callback_user_data);
+    add_int(out, "abort", (long long) (uintptr_t) p.abort_callback);
+    add_int(out, "abort_ud", (long long) (uintptr_t) p.abort_callback_user_data);
+    add_int(out, "logits_filter", (long long) (uintptr_t) p.logits_filter_callback);
+    add_int(out, "logits_filter_ud", (long long) (uintptr_t) p.logits_filter_callback_user_data);
+    out.back() = '}';
+    return out;
+}
+
+int full_struct_call(const char * pyfn, long h, long sh,
+                     const struct whisper_full_params & params,
+                     const float * samples, int n_samples,
+                     int n_processors) {
+    ensure_runtime();
+    std::string pj = fparams_to_json(params);
+    std::string cj = fcallbacks_to_json(params);
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    int rc = -1;
+    if (arr) {
+        PyObject * args = n_processors > 0
+            ? Py_BuildValue("(l,s,s,O,i)", h, pj.c_str(), cj.c_str(), arr,
+                            n_processors)
+            : Py_BuildValue("(l,l,s,s,O)", h, sh, pj.c_str(), cj.c_str(),
+                            arr);
+        PyObject * res = call(pyfn, args);
+        if (res) {
+            rc = (int) PyLong_AsLong(res);
+            Py_DECREF(res);
+        }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// reference defaults, src/whisper.cpp:5945-6051 (n_threads pinned to 4:
+// XLA owns threading, the field is accepted but ignored)
+struct whisper_full_params whisper_full_default_params(
+        enum whisper_sampling_strategy strategy) {
+    struct whisper_full_params p;
+    memset(&p, 0, sizeof(p));
+    p.strategy         = strategy;
+    p.n_threads        = 4;
+    p.n_max_text_ctx   = 16384;
+    p.no_context       = true;
+    p.print_progress   = true;
+    p.print_timestamps = true;
+    p.thold_pt         = 0.01f;
+    p.thold_ptsum      = 0.01f;
+    p.language         = "en";
+    p.suppress_blank   = true;
+    p.max_initial_ts   = 1.0f;
+    p.length_penalty   = -1.0f;
+    p.temperature_inc  = 0.2f;
+    p.entropy_thold    = 2.4f;
+    p.logprob_thold    = -1.0f;
+    p.no_speech_thold  = 0.6f;
+    p.greedy.best_of          = -1;
+    p.beam_search.beam_size   = -1;
+    p.beam_search.patience    = -1.0f;
+    p.grammar_penalty  = 100.0f;
+    p.vad_params       = whisper_vad_default_params();
+    switch (strategy) {
+        case WHISPER_SAMPLING_GREEDY:      p.greedy.best_of        = 5; break;
+        case WHISPER_SAMPLING_BEAM_SEARCH: p.beam_search.beam_size = 5; break;
+    }
+    return p;
+}
+
+struct whisper_full_params * whisper_full_default_params_by_ref(
+        enum whisper_sampling_strategy strategy) {
+    struct whisper_full_params * p =
+        (struct whisper_full_params *) malloc(sizeof(*p));
+    if (p) *p = whisper_full_default_params(strategy);
+    return p;
+}
+
+// whisper.h:640-666 — params by value, callbacks live for the whole run
+int whisper_full(struct whisper_context * ctx,
+                 struct whisper_full_params params,
+                 const float * samples, int n_samples) {
+    return full_struct_call("full_struct", (long) (intptr_t) ctx, 0,
+                            params, samples, n_samples, 0);
+}
+
+int whisper_full_with_state(struct whisper_context * ctx,
+                            struct whisper_state * state,
+                            struct whisper_full_params params,
+                            const float * samples, int n_samples) {
+    return full_struct_call("full_struct", (long) (intptr_t) ctx,
+                            (long) (intptr_t) state, params, samples,
+                            n_samples, 0);
+}
+
+int whisper_full_parallel(struct whisper_context * ctx,
+                          struct whisper_full_params params,
+                          const float * samples, int n_samples,
+                          int n_processors) {
+    return full_struct_call("full_parallel_struct", (long) (intptr_t) ctx, 0,
+                            params, samples, n_samples,
+                            n_processors > 0 ? n_processors : 1);
+}
+
+// struct-taking VAD segmenters (whisper.h:735-744): serialize the params
+// and reuse the JSON entry points
+static std::string vparams_to_json(whisper_vad_params p) {
+    std::string out = "{";
+    add_float(out, "threshold", p.threshold);
+    add_int(out, "min_speech_duration_ms", p.min_speech_duration_ms);
+    add_int(out, "min_silence_duration_ms", p.min_silence_duration_ms);
+    add_float(out, "max_speech_duration_s", p.max_speech_duration_s);
+    add_int(out, "speech_pad_ms", p.speech_pad_ms);
+    add_float(out, "samples_overlap", p.samples_overlap);
+    out.back() = '}';
+    return out;
+}
+
+struct whisper_vad_segments * whisper_vad_segments_from_probs(
+        struct whisper_vad_context * vctx, whisper_vad_params params) {
+    return whisper_vad_segments_from_probs_json(
+        vctx, vparams_to_json(params).c_str());
+}
+
+struct whisper_vad_segments * whisper_vad_segments_from_samples(
+        struct whisper_vad_context * vctx, whisper_vad_params params,
+        const float * samples, int n_samples) {
+    return whisper_vad_segments_from_samples_json(
+        vctx, vparams_to_json(params).c_str(), samples, n_samples);
 }
 
 }  // extern "C"

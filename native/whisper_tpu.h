@@ -2,17 +2,18 @@
  * libwhisper_tpu.so (native/whisper_abi.cpp).
  *
  * This is the consumer header for language bindings (bindings/cpp,
- * bindings/go; reference shape: include/whisper.h:201-767).  Differences
- * from the reference whisper.h, by design:
- *   - whisper_full takes the decoding parameters as a JSON string instead
- *     of a 60-field struct: pass NULL/"" for reference defaults, or e.g.
- *     "{\"language\": \"en\", \"beam_size\": 5, \"temperature_inc\": 0}".
- *     whisper_full_default_params_json(strategy) returns the defaults for
- *     strategy 0 (greedy) / 1 (beam search) as JSON.
- *   - token data is returned as JSON (whisper_full_get_token_data_json)
- *     instead of a struct.
- * Everything else mirrors whisper.h semantics 1:1; timestamps are in
- * 10 ms ticks like the reference.
+ * bindings/go; reference shape: include/whisper.h:201-767).
+ * whisper_full/_with_state/_parallel take the whisper.h-layout
+ * whisper_full_params struct by value — including the five C
+ * function-pointer callbacks (new_segment / progress / encoder_begin /
+ * abort / logits_filter) every reference binding is built on — so
+ * whisper.cpp FFI consumers keep their struct marshalling unchanged.
+ * Additions over the reference, for FFIs that cannot marshal C structs:
+ * *_json entry points take the same parameters as a JSON object of
+ * whisper_full_params field names (whisper_full_default_params_json
+ * returns the editable defaults), and token data is also available as
+ * JSON (whisper_full_get_token_data_json).  Semantics mirror whisper.h
+ * 1:1; timestamps are in 10 ms ticks like the reference.
  *
  * Thread-safety: calls serialize on the embedded interpreter's GIL.
  * Link: -lwhisper_tpu plus the libpython the shim embeds.
@@ -40,18 +41,24 @@ void whisper_free(struct whisper_context * ctx);
 struct whisper_state * whisper_init_state(struct whisper_context * ctx);
 void whisper_free_state(struct whisper_state * state);
 
-/* ---- full pipeline (whisper.h:640-700) ---- */
+/* ---- full pipeline (whisper.h:640-700) ----
+ * whisper_full/_with_state/_parallel take the whisper.h-layout
+ * whisper_full_params struct (declared below) by value, exactly like the
+ * reference — including the five C function-pointer callbacks.  The *_json
+ * variants are the struct-free convenience entry points for FFIs that
+ * cannot marshal C structs: pass NULL/"" for reference defaults, or e.g.
+ * "{\"language\": \"en\", \"beam_size\": 5, \"temperature_inc\": 0}". */
 const char * whisper_full_default_params_json(int strategy);
-int whisper_full(struct whisper_context * ctx, const char * params_json,
-                 const float * samples, int n_samples);
-int whisper_full_with_state(struct whisper_context * ctx,
-                            struct whisper_state * state,
-                            const char * params_json,
-                            const float * samples, int n_samples);
-int whisper_full_parallel(struct whisper_context * ctx,
-                          const char * params_json,
-                          const float * samples, int n_samples,
-                          int n_processors);
+int whisper_full_json(struct whisper_context * ctx, const char * params_json,
+                      const float * samples, int n_samples);
+int whisper_full_with_state_json(struct whisper_context * ctx,
+                                 struct whisper_state * state,
+                                 const char * params_json,
+                                 const float * samples, int n_samples);
+int whisper_full_parallel_json(struct whisper_context * ctx,
+                               const char * params_json,
+                               const float * samples, int n_samples,
+                               int n_processors);
 
 int whisper_full_n_segments(struct whisper_context * ctx);
 int64_t whisper_full_get_segment_t0(struct whisper_context * ctx, int i);
@@ -173,15 +180,20 @@ int whisper_token_beg(struct whisper_context * ctx);
 int whisper_token_translate(struct whisper_context * ctx);
 int whisper_token_transcribe(struct whisper_context * ctx);
 
-/* ---- VAD (whisper.h:699-750); segments live on the vad context ---- */
+/* ---- VAD (whisper.h:699-756) ----
+ * whisper_vad_segments_from_* return an allocated segments handle freed by
+ * whisper_vad_free_segments, exactly like the reference; the struct-taking
+ * variants are declared below with whisper_vad_params. */
+struct whisper_vad_segments;
 struct whisper_vad_context * whisper_vad_init_from_file(const char * path);
 void whisper_vad_free(struct whisper_vad_context * vctx);
-int whisper_vad_segments_from_samples(
+struct whisper_vad_segments * whisper_vad_segments_from_samples_json(
     struct whisper_vad_context * vctx, const char * params_json,
     const float * samples, int n_samples);
-int whisper_vad_segments_n_segments(struct whisper_vad_context * vctx);
-float whisper_vad_segments_get_segment_t0(struct whisper_vad_context * vctx, int i);
-float whisper_vad_segments_get_segment_t1(struct whisper_vad_context * vctx, int i);
+int whisper_vad_segments_n_segments(struct whisper_vad_segments * segments);
+float whisper_vad_segments_get_segment_t0(struct whisper_vad_segments * segments, int i);
+float whisper_vad_segments_get_segment_t1(struct whisper_vad_segments * segments, int i);
+void whisper_vad_free_segments(struct whisper_vad_segments * segments);
 
 /* low-level VAD probability API (whisper.h:717-742) */
 bool whisper_vad_detect_speech(struct whisper_vad_context * vctx,
@@ -191,8 +203,8 @@ bool whisper_vad_detect_speech_no_reset(struct whisper_vad_context * vctx,
 int whisper_vad_n_probs(struct whisper_vad_context * vctx);
 float * whisper_vad_probs(struct whisper_vad_context * vctx);
 void whisper_vad_reset_state(struct whisper_vad_context * vctx);
-int whisper_vad_segments_from_probs(struct whisper_vad_context * vctx,
-                                    const char * params_json);
+struct whisper_vad_segments * whisper_vad_segments_from_probs_json(
+    struct whisper_vad_context * vctx, const char * params_json);
 
 /* ---- built-in microbenchmarks (whisper.h:756-759; n_threads ignored —
  * the TPU runtime picks its own parallelism) ---- */
@@ -351,6 +363,173 @@ whisper_token_data whisper_full_get_token_data(struct whisper_context * ctx,
                                                int i_segment, int i_token);
 whisper_token_data whisper_full_get_token_data_from_state(
         struct whisper_state * state, int i_segment, int i_token);
+
+/* ---- whisper_full_params + callbacks (whisper.h:455-591) -----------------
+ * Field-for-field whisper.h layout, including the five function-pointer
+ * callbacks every reference binding is built on.  n_threads is accepted
+ * but ignored (XLA owns threading); debug_mode likewise (matches the
+ * reference core, where only the CLI reads it). */
+
+typedef int32_t whisper_token;
+
+enum whisper_sampling_strategy {
+    WHISPER_SAMPLING_GREEDY,
+    WHISPER_SAMPLING_BEAM_SEARCH,
+};
+
+/* grammar element (whisper.h:162-190) */
+enum whisper_gretype {
+    WHISPER_GRETYPE_END            = 0,
+    WHISPER_GRETYPE_ALT            = 1,
+    WHISPER_GRETYPE_RULE_REF       = 2,
+    WHISPER_GRETYPE_CHAR           = 3,
+    WHISPER_GRETYPE_CHAR_NOT       = 4,
+    WHISPER_GRETYPE_CHAR_RNG_UPPER = 5,
+    WHISPER_GRETYPE_CHAR_ALT       = 6,
+};
+
+typedef struct whisper_grammar_element {
+    enum whisper_gretype type;
+    uint32_t             value;  /* Unicode code point or rule ID */
+} whisper_grammar_element;
+
+/* called on every newly generated text segment (n_new new ones; read them
+ * with whisper_full_n_segments(_from_state) + the segment accessors —
+ * they are live mid-run) */
+typedef void (*whisper_new_segment_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        int n_new, void * user_data);
+
+/* called on each progress update (percent of the seek window consumed) */
+typedef void (*whisper_progress_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        int progress, void * user_data);
+
+/* called before each window's encode; return false to stop the run */
+typedef bool (*whisper_encoder_begin_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        void * user_data);
+
+/* ggml_abort_callback shape (ggml.h): return true to abort the run; polled
+ * at window start, every decode step, and between fallback attempts */
+typedef bool (*ggml_abort_callback)(void * data);
+
+/* called after the built-in logit filters each decode step; may rewrite
+ * logits (n_tokens entries describe the tokens decoded so far this window) */
+typedef void (*whisper_logits_filter_callback)(
+        struct whisper_context * ctx, struct whisper_state * state,
+        const whisper_token_data * tokens, int n_tokens,
+        float * logits, void * user_data);
+
+struct whisper_full_params {
+    enum whisper_sampling_strategy strategy;
+
+    int n_threads;
+    int n_max_text_ctx;
+    int offset_ms;
+    int duration_ms;
+
+    bool translate;
+    bool no_context;
+    bool no_timestamps;
+    bool single_segment;
+    bool print_special;
+    bool print_progress;
+    bool print_realtime;
+    bool print_timestamps;
+
+    bool  token_timestamps;
+    float thold_pt;
+    float thold_ptsum;
+    int   max_len;
+    bool  split_on_word;
+    int   max_tokens;
+
+    bool debug_mode;
+    int  audio_ctx;
+
+    bool tdrz_enable;
+
+    const char * suppress_regex;
+
+    const char * initial_prompt;
+    bool carry_initial_prompt;
+    const whisper_token * prompt_tokens;
+    int prompt_n_tokens;
+
+    const char * language;   /* NULL/""/"auto" -> auto-detect */
+    bool detect_language;
+
+    bool suppress_blank;
+    bool suppress_nst;
+
+    float temperature;
+    float max_initial_ts;
+    float length_penalty;
+
+    float temperature_inc;
+    float entropy_thold;
+    float logprob_thold;
+    float no_speech_thold;
+
+    struct {
+        int best_of;
+    } greedy;
+
+    struct {
+        int   beam_size;
+        float patience;
+    } beam_search;
+
+    whisper_new_segment_callback new_segment_callback;
+    void * new_segment_callback_user_data;
+
+    whisper_progress_callback progress_callback;
+    void * progress_callback_user_data;
+
+    whisper_encoder_begin_callback encoder_begin_callback;
+    void * encoder_begin_callback_user_data;
+
+    ggml_abort_callback abort_callback;
+    void * abort_callback_user_data;
+
+    whisper_logits_filter_callback logits_filter_callback;
+    void * logits_filter_callback_user_data;
+
+    const whisper_grammar_element ** grammar_rules;
+    size_t                           n_grammar_rules;
+    size_t                           i_start_rule;
+    float                            grammar_penalty;
+
+    bool         vad;
+    const char * vad_model_path;
+    whisper_vad_params vad_params;
+};
+
+struct whisper_full_params whisper_full_default_params(
+        enum whisper_sampling_strategy strategy);
+struct whisper_full_params * whisper_full_default_params_by_ref(
+        enum whisper_sampling_strategy strategy);
+
+/* whisper.h:640-666 — exact reference signatures (params by value) */
+int whisper_full(struct whisper_context * ctx,
+                 struct whisper_full_params params,
+                 const float * samples, int n_samples);
+int whisper_full_with_state(struct whisper_context * ctx,
+                            struct whisper_state * state,
+                            struct whisper_full_params params,
+                            const float * samples, int n_samples);
+int whisper_full_parallel(struct whisper_context * ctx,
+                          struct whisper_full_params params,
+                          const float * samples, int n_samples,
+                          int n_processors);
+
+/* struct-taking VAD segmenters (whisper.h:735-744) */
+struct whisper_vad_segments * whisper_vad_segments_from_probs(
+        struct whisper_vad_context * vctx, whisper_vad_params params);
+struct whisper_vad_segments * whisper_vad_segments_from_samples(
+        struct whisper_vad_context * vctx, whisper_vad_params params,
+        const float * samples, int n_samples);
 
 #ifdef __cplusplus
 }

@@ -81,6 +81,7 @@ def test_cpp_binding_end_to_end(libwhisper_tpu, dec_models, pcm_file):
     assert "version:" in proc.stdout
     assert "tokenize:" in proc.stdout
     assert "segments:" in proc.stdout
+    assert "(match=1)" in proc.stdout, proc.stdout  # stream == batch result
     # the decisive model's transcript on the 6 s clip is deterministic —
     # the binding must surface the engine's exact segment text
     assert "cases Taj" in proc.stdout, proc.stdout

@@ -57,6 +57,19 @@ def abi_build():
              str(src_c2), "-o", str(exe2),
              f"-L{BUILD}", "-lwhisper_tpu", f"-Wl,-rpath,{BUILD}"],
             check=True)
+    # third host: the five whisper_full_params C function-pointer callbacks
+    # (whisper.h:455-478) driven live from pure C
+    exe3 = BUILD / "test_abi_callbacks"
+    src_c3 = REPO / "native" / "test_abi_callbacks.c"
+    if (not exe3.exists()
+            or exe3.stat().st_mtime < src_c3.stat().st_mtime
+            or exe3.stat().st_mtime < hdr.stat().st_mtime
+            or exe3.stat().st_mtime < so.stat().st_mtime):
+        subprocess.run(
+            ["gcc", "-O2", "-Wall", "-Werror", f"-I{REPO / 'native'}",
+             str(src_c3), "-o", str(exe3),
+             f"-L{BUILD}", "-lwhisper_tpu", f"-Wl,-rpath,{BUILD}"],
+            check=True)
     return exe
 
 
@@ -105,6 +118,32 @@ def test_c_host_struct_surface(abi_build):
     assert "STRUCT-ABI-OK" in proc.stdout, proc.stdout
     assert "token_data: id=" in proc.stdout
     assert "timings: sample=" in proc.stdout
+
+
+def test_c_host_callbacks(abi_build):
+    """The five whisper_full_params C callbacks (whisper.h:455-478): a pure-C
+    host streams new_segment mid-run (with live accessor reads from inside
+    the callback), counts progress/encoder_begin, aborts a run mid-window
+    via abort_callback, vetoes a run via encoder_begin, and force-picks
+    tokens through logits_filter's in-place rewrite."""
+    if not JFK.exists():
+        pytest.skip("jfk.wav not available")
+    from whisper_tpu.audio.io import load_audio
+
+    samples, _ = load_audio(str(JFK))
+    pcm = BUILD / "jfk.pcm.f32"
+    if not pcm.exists():
+        samples[: 16000 * 6].astype("<f4").tofile(pcm)
+
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [str(BUILD / "test_abi_callbacks"), str(MINI_MODEL), str(pcm)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "CALLBACKS-OK" in proc.stdout, proc.stdout
+    assert "run A:" in proc.stdout
+    assert "run B: aborted" in proc.stdout
+    assert "run D: logits_filter forced" in proc.stdout
 
 
 def test_capi_cparams_and_timings(mini_model_path):
@@ -278,12 +317,14 @@ def test_capi_vad_surface():
     t = np.arange(16000 * 2, dtype=np.float32) / 16000.0
     voice = (np.sin(2 * np.pi * 220 * t) * np.hanning(len(t))).astype(
         np.float32)
-    n = capi.vad_segments_from_samples(h, None, voice)
+    segs = capi.vad_segments_from_samples(h, None, voice)
+    assert segs > 0  # a whisper_vad_segments handle, freed below
+    n = capi.vad_segments_n_segments(segs)
     assert n >= 0
-    assert capi.vad_segments_n_segments(h) == n
     for i in range(n):
-        assert (capi.vad_segments_get_segment_t1(h, i)
-                >= capi.vad_segments_get_segment_t0(h, i))
+        assert (capi.vad_segments_get_segment_t1(segs, i)
+                >= capi.vad_segments_get_segment_t0(segs, i))
+    capi.vad_free_segments(segs)
     capi.vad_free(h)
     assert capi.vad_init_from_file("/nonexistent.bin") == 0
 
@@ -378,11 +419,21 @@ def test_capi_vad_probs_lowlevel():
     assert n > 0
     probs = np.frombuffer(capi.vad_probs_bytes(h), "<f4")
     assert len(probs) == n and (probs >= 0).all() and (probs <= 1).all()
-    n_seg = capi.vad_segments_from_probs(h, None)
+    seg1 = capi.vad_segments_from_probs(h, None)
+    assert seg1 > 0
+    n_seg = capi.vad_segments_n_segments(seg1)
     assert n_seg > 0
-    assert capi.vad_segments_n_segments(h) == n_seg
     # the probs path and the samples path segment identically
-    assert capi.vad_segments_from_samples(h, None, pcm) == n_seg
+    seg2 = capi.vad_segments_from_samples(h, None, pcm)
+    assert capi.vad_segments_n_segments(seg2) == n_seg
+    assert [(capi.vad_segments_get_segment_t0(seg2, i),
+             capi.vad_segments_get_segment_t1(seg2, i))
+            for i in range(n_seg)] == \
+           [(capi.vad_segments_get_segment_t0(seg1, i),
+             capi.vad_segments_get_segment_t1(seg1, i))
+            for i in range(n_seg)]
+    capi.vad_free_segments(seg1)
+    capi.vad_free_segments(seg2)
     # streaming variant carries LSTM state without touching correctness here
     assert capi.vad_detect_speech(h, pcm[:16000], reset=False) == 1
     capi.vad_reset_state(h)

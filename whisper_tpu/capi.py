@@ -94,7 +94,8 @@ def free_state(sh: int) -> None:
 
 
 def _params_from_json(spec: Optional[str]):
-    from .decoding.params import SamplingStrategy, TranscribeParams
+    from .decoding.params import (SamplingStrategy, TranscribeParams,
+                                  VadParams)
 
     obj = json.loads(spec) if spec else {}
     strat = obj.get("strategy", 0)
@@ -109,6 +110,21 @@ def _params_from_json(spec: Optional[str]):
             p.greedy.best_of = int(val)
         elif key == "beam_search.beam_size":
             p.beam_search.beam_size = int(val)
+        elif key == "beam_search.patience":
+            p.beam_search.patience = float(val)
+        elif key == "grammar_rules" and val:
+            # [[ [type, value], ... ], ...] -> List[List[GElement]]
+            from .decoding.grammar import GElement, GType
+
+            p.grammar_rules = [
+                [GElement(GType(int(t)), int(v)) for t, v in rule]
+                for rule in val]
+        elif key == "vad_params" and isinstance(val, dict):
+            vp = VadParams()
+            for k2, v2 in val.items():
+                if hasattr(vp, k2):
+                    setattr(vp, k2, v2)
+            p.vad_params = vp
         elif hasattr(p, key):
             setattr(p, key, val)
     return p
@@ -250,6 +266,177 @@ def full_with_state(h: int, sh: int, params_json: Optional[str],
     except Exception:
         return -6
     _state_segments[sh] = segs
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# struct-params entry point (whisper.h:487-591): whisper_full with the real
+# whisper_full_params struct.  The C shim converts the struct's scalar
+# fields to the JSON the _params_from_json path already speaks and passes
+# the five function-pointer callbacks (whisper.h:455-478) as addresses;
+# here they are wrapped into ctypes trampolines onto the Python callbacks
+# TranscribeParams already carries, so a pure-C host can stream segments
+# mid-run, report progress, veto the encoder, abort, and rewrite logits —
+# the exact surface every reference binding is built on
+# (bindings/go/whisper.go:20-44).
+# ---------------------------------------------------------------------------
+
+_c_token_data = None  # lazy ctypes.Structure mirroring whisper_token_data
+
+
+def _ctypes_token_data():
+    global _c_token_data
+    if _c_token_data is None:
+        import ctypes
+
+        class CTokenData(ctypes.Structure):
+            # include/whisper.h:88-108 field order; ctypes computes the
+            # same alignment/stride (56 bytes) the C compiler does
+            _fields_ = [("id", ctypes.c_int32), ("tid", ctypes.c_int32),
+                        ("p", ctypes.c_float), ("plog", ctypes.c_float),
+                        ("pt", ctypes.c_float), ("ptsum", ctypes.c_float),
+                        ("t0", ctypes.c_int64), ("t1", ctypes.c_int64),
+                        ("t_dtw", ctypes.c_int64), ("vlen", ctypes.c_float)]
+
+        _c_token_data = CTokenData
+    return _c_token_data
+
+
+def _install_c_callbacks(p, h: int, sh: int, cb_json: Optional[str],
+                         keepalive: list) -> None:
+    """Wire C function pointers (addresses in cb_json) into TranscribeParams'
+    Python callbacks.  cb_json keys: new_segment/progress/encoder_begin/
+    abort/logits_filter (+ _ud suffixes).  The new_segment wrapper also
+    publishes the live segment list into the accessor tables so the C host
+    can call whisper_full_get_segment_* from inside the callback, mid-run
+    (reference contract: whisper.h:456-458)."""
+    import ctypes
+
+    cbs = json.loads(cb_json) if cb_json else {}
+    seg_table, seg_key = (_state_segments, sh) if sh else (_segments, h)
+
+    def publish(result_all):
+        seg_table[seg_key] = result_all
+
+    ns_addr = cbs.get("new_segment", 0)
+    ns_fn = (ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_int, ctypes.c_void_p)(ns_addr)
+             if ns_addr else None)
+    ns_ud = ctypes.c_void_p(cbs.get("new_segment_ud", 0))
+
+    def new_segment(ctx, result_all, n_new):
+        publish(result_all)
+        if ns_fn is not None:
+            ns_fn(h, sh, n_new, ns_ud)
+
+    p.new_segment_callback = new_segment
+    keepalive.extend([ns_fn, ns_ud])
+
+    if cbs.get("progress"):
+        pr_fn = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int, ctypes.c_void_p)(
+            cbs["progress"])
+        pr_ud = ctypes.c_void_p(cbs.get("progress_ud", 0))
+        p.progress_callback = lambda ctx, progress: pr_fn(
+            h, sh, int(progress), pr_ud)
+        keepalive.extend([pr_fn, pr_ud])
+
+    if cbs.get("encoder_begin"):
+        eb_fn = ctypes.CFUNCTYPE(ctypes.c_bool, ctypes.c_void_p,
+                                 ctypes.c_void_p, ctypes.c_void_p)(
+            cbs["encoder_begin"])
+        eb_ud = ctypes.c_void_p(cbs.get("encoder_begin_ud", 0))
+        p.encoder_begin_callback = lambda ctx: bool(eb_fn(h, sh, eb_ud))
+        keepalive.extend([eb_fn, eb_ud])
+
+    if cbs.get("abort"):
+        # ggml_abort_callback (ggml.h): bool (*)(void * data); true = abort
+        ab_fn = ctypes.CFUNCTYPE(ctypes.c_bool, ctypes.c_void_p)(cbs["abort"])
+        ab_ud = ctypes.c_void_p(cbs.get("abort_ud", 0))
+        p.abort_callback = lambda ctx: bool(ab_fn(ab_ud))
+        keepalive.extend([ab_fn, ab_ud])
+
+    if cbs.get("logits_filter"):
+        CTok = _ctypes_token_data()
+        lf_fn = ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(CTok),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_void_p)(cbs["logits_filter"])
+        lf_ud = ctypes.c_void_p(cbs.get("logits_filter_ud", 0))
+
+        def logits_filter(tokens_cur, logits):
+            n = len(tokens_cur)
+            arr = (CTok * max(n, 1))()
+            for k, td in enumerate(tokens_cur):
+                arr[k].id = int(td.id)
+                arr[k].tid = int(td.tid)
+                arr[k].p = float(td.p)
+                arr[k].plog = float(td.plog)
+                arr[k].pt = float(td.pt)
+                arr[k].ptsum = float(td.ptsum)
+                arr[k].t0 = int(td.t0)
+                arr[k].t1 = int(td.t1)
+                arr[k].t_dtw = int(td.t_dtw)
+                arr[k].vlen = float(td.vlen)
+            # logits is the filter chain's contiguous f32 working copy —
+            # the C callback mutates it in place, exactly like the
+            # reference (whisper.h:473-478)
+            lf_fn(h, sh, arr,
+                  n, logits.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                  lf_ud)
+
+        p.logits_filter_callback = logits_filter
+        keepalive.extend([lf_fn, lf_ud])
+
+
+def full_struct(h: int, sh: int, params_json: Optional[str],
+                cb_json: Optional[str], samples: np.ndarray) -> int:
+    """whisper_full / whisper_full_with_state with struct params + C
+    callbacks.  sh=0 runs on the context (whisper_full), else on the state
+    (whisper_full_with_state)."""
+    from .decoding.full import transcribe
+
+    if sh:
+        target = _states.get(sh)
+        if _contexts.get(h) is None or target is None:
+            return -1
+    else:
+        target = _contexts.get(h)
+        if target is None:
+            return -1
+    try:
+        p = _params_from_json(params_json)
+        keepalive: list = []
+        _install_c_callbacks(p, h, sh, cb_json, keepalive)
+        segs = transcribe(target, p, np.asarray(samples, np.float32))
+    except Exception:
+        return -6
+    if sh:
+        _state_segments[sh] = segs
+    else:
+        _segments[h] = segs
+    return 0
+
+
+def full_parallel_struct(h: int, params_json: Optional[str],
+                         cb_json: Optional[str], samples: np.ndarray,
+                         n_processors: int) -> int:
+    """whisper_full_parallel with struct params + C callbacks (the merge
+    loop fires new_segment per stitched segment, src/whisper.cpp:9330)."""
+    from .decoding.parallel import transcribe_parallel
+
+    ctx = _contexts.get(h)
+    if ctx is None:
+        return -1
+    try:
+        p = _params_from_json(params_json)
+        keepalive: list = []
+        _install_c_callbacks(p, h, 0, cb_json, keepalive)
+        segs = transcribe_parallel(ctx, p, np.asarray(samples, np.float32),
+                                   n_processors)
+    except Exception:
+        return -6
+    _segments[h] = segs
     return 0
 
 
@@ -627,42 +814,61 @@ def vad_free(h: int) -> None:
     _scratch.pop(h, None)
 
 
-def vad_segments_from_samples(h: int, params_json: Optional[str],
-                              samples: np.ndarray) -> int:
-    """whisper_vad_segments_from_samples (whisper.h:744): detect + segment;
-    returns the segment count (<0 on error), accessors below."""
+def _vad_params_from_json(params_json: Optional[str]):
     from .decoding.params import VadParams
-    from .models.vad.silero import segments_from_probs
 
-    ctx = _contexts.get(h)
-    if ctx is None:
-        return -1
     vp = VadParams()
     for key, val in (json.loads(params_json) if params_json else {}).items():
         if hasattr(vp, key):
             setattr(vp, key, val)
+    return vp
+
+
+# whisper_vad_segments handles (whisper.h:733-750): the reference returns
+# an allocated struct whisper_vad_segments* freed by
+# whisper_vad_free_segments; here each result is its own handle
+_vad_segments: Dict[int, list] = {}
+
+
+def vad_segments_from_samples(h: int, params_json: Optional[str],
+                              samples: np.ndarray) -> int:
+    """whisper_vad_segments_from_samples (whisper.h:739): detect + segment;
+    returns a segments HANDLE (0 on error) for the accessors below, freed
+    by vad_free_segments — the reference's whisper_vad_segments* shape."""
+    from .models.vad.silero import segments_from_probs
+
+    ctx = _contexts.get(h)
+    if ctx is None:
+        return 0
     try:
+        vp = _vad_params_from_json(params_json)
         ctx.reset_state()
         probs = ctx.detect_speech(np.asarray(samples, np.float32))
         segs = segments_from_probs(np.asarray(probs), vp)
     except Exception:
-        return -1
-    _scratch.setdefault(h, {})["vad_segments"] = segs
-    return len(segs)
+        return 0
+    sh = next(_handle)
+    _vad_segments[sh] = segs
+    return sh
 
 
-def vad_segments_n_segments(h: int) -> int:
-    return len(_scratch.get(h, {}).get("vad_segments", []))
+def vad_segments_n_segments(sh: int) -> int:
+    return len(_vad_segments.get(sh, []))
 
 
-def vad_segments_get_segment_t0(h: int, i: int) -> float:
+def vad_segments_get_segment_t0(sh: int, i: int) -> float:
     """In centiseconds, like the reference (whisper.h:746 'probably
     best to use 1/100th of a second')."""
-    return float(_scratch[h]["vad_segments"][i].start)
+    return float(_vad_segments[sh][i].start)
 
 
-def vad_segments_get_segment_t1(h: int, i: int) -> float:
-    return float(_scratch[h]["vad_segments"][i].end)
+def vad_segments_get_segment_t1(sh: int, i: int) -> float:
+    return float(_vad_segments[sh][i].end)
+
+
+def vad_free_segments(sh: int) -> None:
+    """whisper_vad_free_segments (whisper.h:750)."""
+    _vad_segments.pop(sh, None)
 
 
 # ---- built-in microbenchmarks (whisper.h:756-759) --------------------------
@@ -846,25 +1052,21 @@ def vad_reset_state(h: int) -> None:
 
 def vad_segments_from_probs(h: int, params_json: Optional[str]) -> int:
     """whisper_vad_segments_from_probs (whisper.h:734): segment the probs
-    from the last detect_speech; accessors shared with
-    vad_segments_from_samples."""
-    from .decoding.params import VadParams
+    from the last detect_speech; returns a segments handle (0 on error),
+    accessors shared with vad_segments_from_samples."""
     from .models.vad.silero import segments_from_probs as _segs
 
     ctx = _contexts.get(h)
     probs = getattr(ctx, "probs", None) if ctx is not None else None
     if probs is None:
-        return -1
-    vp = VadParams()
-    for key, val in (json.loads(params_json) if params_json else {}).items():
-        if hasattr(vp, key):
-            setattr(vp, key, val)
+        return 0
     try:
-        segs = _segs(np.asarray(probs), vp)
+        segs = _segs(np.asarray(probs), _vad_params_from_json(params_json))
     except Exception:
-        return -1
-    _scratch.setdefault(h, {})["vad_segments"] = segs
-    return len(segs)
+        return 0
+    sh = next(_handle)
+    _vad_segments[sh] = segs
+    return sh
 
 
 # ---------------------------------------------------------------------------
