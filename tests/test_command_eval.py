@@ -14,24 +14,31 @@ def test_wer_basics():
     from whisper_tpu.evals.wer import normalize_english, wer
 
     assert normalize_english("Hello, World!") == "hello world"
-    assert normalize_english("Mr. Smith's car (loudly)") == "mr smith s car"
+    # reference-normalizer behavior: "mr" -> "mister", "'s" -> " is"
+    assert normalize_english("Mr. Smith's car (loudly)") == \
+        "mister smith is car"
     assert normalize_english("I can't    stop") == "i can not stop"
 
 
 def test_normalize_numbers():
+    """Expectations are the REFERENCE normalizer's outputs verbatim
+    (OpenAI EnglishTextNormalizer quirks included: currency words become
+    prefix symbols, literal 'one' stays spelled out, bare 'second' is read
+    as the ordinal 2nd); the full differential sweep lives in
+    tests/test_wer_normalizer.py."""
     from whisper_tpu.evals.wer import normalize_english as N
 
-    assert N("One hundred and twenty three dollars.") == "123 dollars"
+    assert N("One hundred and twenty three dollars.") == "$123"
     assert N("twenty-one pilots") == "21 pilots"
     assert N("three point five percent") == "3.5%"
     assert N("the twenty-first century") == "the 21st century"
     assert N("two thousand and five") == "2005"
     assert N("one million four hundred thousand") == "1400000"
     assert N("the third quarter") == "the 3rd quarter"
-    assert N("one and two") == "1 and 2"
+    assert N("one and two") == "one and 2"
     assert N("zero point zero five") == "0.05"
-    assert N("nineteen eighty four") == "19 84"
-    assert N("a hundredth of a second") == "a 100th of a second"
+    assert N("nineteen eighty four") == "1984"
+    assert N("a hundredth of a second") == "a 100th of a 2nd"
     assert N("twenty second of May") == "22nd of may"
     assert N("five hundred and sixty seven") == "567"
     assert N("no numbers here") == "no numbers here"
