@@ -142,10 +142,14 @@ def _rel_attention_global(x, layer, n_head: int, mask_1d, dtype):
     content = jnp.einsum("qhd,khd->hqk", q_u, k)
     rel = jnp.einsum("qhd,whd->hqw", q_v, pos)  # [h, T, 2T-1]
 
-    # Transformer-XL shift: score[q, k] = rel[q, T-1 - q + k]
-    idx = (T - 1) - jnp.arange(T)[:, None] + jnp.arange(T)[None, :]
-    rel_shifted = jnp.take_along_axis(
-        rel, jnp.broadcast_to(idx[None], (n_head, T, T)), axis=2)
+    # Transformer-XL shift: score[q, k] = rel[q, T-1 - q + k], via the
+    # classic pad/reshape skew — pure data movement XLA lowers to cheap
+    # copies.  (A take_along_axis gather here lowered to a generic TPU
+    # gather costing ~13.5 ms/layer — 325 ms of the round-3 332 ms encode;
+    # tools/perf_parakeet.py 'noshift' ablation.)
+    rel_shifted = jnp.pad(rel, ((0, 0), (0, 0), (1, 0)))   # [h, T, 2T]
+    rel_shifted = rel_shifted.reshape(n_head, 2 * T, T)[:, 1:, :]
+    rel_shifted = rel_shifted.reshape(n_head, T, 2 * T - 1)[:, :, :T]
 
     scores = (content + rel_shifted) * scale + mask_1d[None, None, :]
     probs = jax.nn.softmax(scores, axis=-1)
@@ -201,11 +205,13 @@ def _rel_attention_local(x, layer, n_head: int, valid_1d, dtype):
 
     dense = jnp.einsum("gqhd,gkhd->hgqk", q_g, k_chunk)  # [h, g, C, n_kv]
 
-    # band extraction: band[q, w] = dense[q, q + w], w in [0, win)
-    bidx = jnp.arange(C)[:, None] + jnp.arange(win)[None, :]  # [C, win]
-    band = jnp.take_along_axis(
-        dense, jnp.broadcast_to(bidx[None, None], (n_head, n_group, C, win)),
-        axis=3)
+    # band extraction: band[q, w] = dense[q, q + w], w in [0, win), via the
+    # flatten-skew trick (row q starts at q*(n_kv+1) in the padded flat
+    # view) — the take_along_axis form of this diagonal gather is the op
+    # that cost the global path 325 ms/encode (tools/perf_parakeet.py)
+    band = dense.reshape(n_head, n_group, C * n_kv)
+    band = jnp.pad(band, ((0, 0), (0, 0), (0, C)))
+    band = band.reshape(n_head, n_group, C, n_kv + 1)[..., :win]
     band = band.reshape(n_head, Tp, win)[:, :T, :]
 
     scores = (band + rel) * scale
