@@ -1813,3 +1813,720 @@ struct whisper_vad_segments * whisper_vad_segments_from_samples(
 }
 
 }  // extern "C"
+
+// ============================================================================
+// Parakeet C ABI (include/parakeet.h:1-342) — the second model family's
+// public C surface, forwarded to whisper_tpu.capi_parakeet through the same
+// embedded interpreter.  Context/state handles follow the whisper pattern:
+// the opaque pointer value IS the Python handle (0 == NULL); passing
+// state == NULL routes to the context's default state (sh=0), exactly like
+// the reference's ctx->state.  See native/parakeet_tpu.h for the consumer
+// declarations.
+// ============================================================================
+
+extern "C" {
+
+struct parakeet_context;
+struct parakeet_state;
+
+typedef int32_t parakeet_token;
+
+struct parakeet_context_params {
+    bool use_gpu;
+    int  gpu_device;
+};
+
+typedef struct parakeet_token_data {
+    parakeet_token id;
+    int duration_idx;
+    int duration_value;
+    int frame_index;
+    float p;
+    float plog;
+    int64_t t0;
+    int64_t t1;
+    bool is_word_start;
+} parakeet_token_data;
+
+typedef struct parakeet_model_loader {
+    void * context;
+    size_t (*read)(void * ctx, void * output, size_t read_size);
+    bool   (*eof)(void * ctx);
+    void   (*close)(void * ctx);
+} parakeet_model_loader;
+
+enum parakeet_sampling_strategy {
+    PARAKEET_SAMPLING_GREEDY,
+};
+
+typedef void (*parakeet_new_token_callback)(
+        struct parakeet_context * ctx, struct parakeet_state * state,
+        const parakeet_token_data * token_data, void * user_data);
+typedef void (*parakeet_new_segment_callback)(
+        struct parakeet_context * ctx, struct parakeet_state * state,
+        int n_new, void * user_data);
+typedef void (*parakeet_progress_callback)(
+        struct parakeet_context * ctx, struct parakeet_state * state,
+        int progress, void * user_data);
+typedef bool (*parakeet_encoder_begin_callback)(
+        struct parakeet_context * ctx, struct parakeet_state * state,
+        void * user_data);
+
+struct parakeet_full_params {
+    enum parakeet_sampling_strategy strategy;
+
+    int n_threads;
+    int offset_ms;
+    int duration_ms;
+
+    bool no_context;
+
+    int audio_ctx;
+
+    parakeet_new_segment_callback new_segment_callback;
+    void * new_segment_callback_user_data;
+
+    parakeet_new_token_callback new_token_callback;
+    void * new_token_callback_user_data;
+
+    parakeet_progress_callback progress_callback;
+    void * progress_callback_user_data;
+
+    parakeet_encoder_begin_callback encoder_begin_callback;
+    void * encoder_begin_callback_user_data;
+
+    ggml_abort_callback abort_callback;
+    void * abort_callback_user_data;
+};
+
+}  // extern "C" (declarations; definitions continue below)
+
+namespace {
+
+// serialize context params into pk_init_*'s cparams JSON
+std::string pk_cparams_to_json(const struct parakeet_context_params & p) {
+    std::string out = "{";
+    add_bool(out, "use_gpu", p.use_gpu);
+    add_int(out, "gpu_device", p.gpu_device);
+    out.back() = '}';
+    return out;
+}
+
+std::string pk_fparams_to_json(const struct parakeet_full_params & p) {
+    std::string out = "{";
+    add_int(out, "strategy", (int) p.strategy);
+    add_int(out, "n_threads", p.n_threads);
+    add_int(out, "offset_ms", p.offset_ms);
+    add_int(out, "duration_ms", p.duration_ms);
+    add_bool(out, "no_context", p.no_context);
+    add_int(out, "audio_ctx", p.audio_ctx);
+    out.back() = '}';
+    return out;
+}
+
+// function-pointer addresses for capi_parakeet._pk_install_c_callbacks
+std::string pk_callbacks_to_json(const struct parakeet_full_params & p) {
+    std::string out = "{";
+    add_int(out, "new_segment", (long long) (uintptr_t) p.new_segment_callback);
+    add_int(out, "new_segment_ud", (long long) (uintptr_t) p.new_segment_callback_user_data);
+    add_int(out, "new_token", (long long) (uintptr_t) p.new_token_callback);
+    add_int(out, "new_token_ud", (long long) (uintptr_t) p.new_token_callback_user_data);
+    add_int(out, "progress", (long long) (uintptr_t) p.progress_callback);
+    add_int(out, "progress_ud", (long long) (uintptr_t) p.progress_callback_user_data);
+    add_int(out, "encoder_begin", (long long) (uintptr_t) p.encoder_begin_callback);
+    add_int(out, "encoder_begin_ud", (long long) (uintptr_t) p.encoder_begin_callback_user_data);
+    add_int(out, "abort", (long long) (uintptr_t) p.abort_callback);
+    add_int(out, "abort_ud", (long long) (uintptr_t) p.abort_callback_user_data);
+    out.back() = '}';
+    return out;
+}
+
+int pk_run(const char * pyfn, long h, long sh,
+           const struct parakeet_full_params & params,
+           const float * samples, int n_samples) {
+    ensure_runtime();
+    std::string pj = pk_fparams_to_json(params);
+    std::string cj = pk_callbacks_to_json(params);
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples ? samples : (const float *) "",
+                                 samples ? (Py_ssize_t) n_samples : 0);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call(pyfn, Py_BuildValue("(l,l,s,s,O)", h, sh,
+                                                  pj.c_str(), cj.c_str(),
+                                                  arr));
+        if (res) {
+            rc = (int) PyLong_AsLong(res);
+            Py_DECREF(res);
+        }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char * parakeet_version(void) {
+    return call_str("pk_version", nullptr);
+}
+
+// ---- lifecycle -------------------------------------------------------------
+
+struct parakeet_context * parakeet_init_from_file_with_params(
+        const char * path_model, struct parakeet_context_params params) {
+    std::string cj = pk_cparams_to_json(params);
+    return (struct parakeet_context *) (intptr_t) call_long(
+        "pk_init_from_file", 0, "(s,s)", path_model, cj.c_str());
+}
+
+struct parakeet_context * parakeet_init_from_buffer_with_params(
+        void * buffer, size_t buffer_size,
+        struct parakeet_context_params params) {
+    ensure_runtime();
+    std::string cj = pk_cparams_to_json(params);
+    PyGILState_STATE gil = PyGILState_Ensure();
+    // tuple built manually: Py_BuildValue's "y#" length-type depends on
+    // PY_SSIZE_T_CLEAN-era headers — avoid the varargs pitfall entirely
+    PyObject * args = PyTuple_New(2);
+    PyTuple_SET_ITEM(args, 0, PyBytes_FromStringAndSize(
+                                  (const char *) buffer,
+                                  (Py_ssize_t) buffer_size));
+    PyTuple_SET_ITEM(args, 1, PyUnicode_FromString(cj.c_str()));
+    PyObject * res = call("pk_init_from_buffer", args);
+    intptr_t h = 0;
+    if (res) {
+        h = (intptr_t) PyLong_AsLong(res);
+        Py_DECREF(res);
+    }
+    PyGILState_Release(gil);
+    return (struct parakeet_context *) h;
+}
+
+// drain a parakeet_model_loader into memory, then init from the buffer
+struct parakeet_context * parakeet_init_with_params(
+        struct parakeet_model_loader * loader,
+        struct parakeet_context_params params) {
+    if (!loader || !loader->read) return nullptr;
+    std::vector<char> buf;
+    char chunk[1 << 16];
+    while (!(loader->eof && loader->eof(loader->context))) {
+        size_t n = loader->read(loader->context, chunk, sizeof(chunk));
+        if (n == 0) break;
+        buf.insert(buf.end(), chunk, chunk + n);
+    }
+    if (loader->close) loader->close(loader->context);
+    if (buf.empty()) return nullptr;
+    return parakeet_init_from_buffer_with_params(buf.data(), buf.size(),
+                                                 params);
+}
+
+// *_no_state: no separately-allocated XLA compute state to defer — aliases
+struct parakeet_context * parakeet_init_from_file_with_params_no_state(
+        const char * path_model, struct parakeet_context_params params) {
+    return parakeet_init_from_file_with_params(path_model, params);
+}
+
+struct parakeet_context * parakeet_init_from_buffer_with_params_no_state(
+        void * buffer, size_t buffer_size,
+        struct parakeet_context_params params) {
+    return parakeet_init_from_buffer_with_params(buffer, buffer_size, params);
+}
+
+struct parakeet_context * parakeet_init_with_params_no_state(
+        struct parakeet_model_loader * loader,
+        struct parakeet_context_params params) {
+    return parakeet_init_with_params(loader, params);
+}
+
+struct parakeet_state * parakeet_init_state(struct parakeet_context * ctx) {
+    return (struct parakeet_state *) (intptr_t) call_long(
+        "pk_init_state", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+void parakeet_free(struct parakeet_context * ctx) {
+    if (!ctx) return;
+    call_long("pk_free", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+void parakeet_free_state(struct parakeet_state * state) {
+    if (!state) return;
+    call_long("pk_free_state", 0, "(l)", (long) (intptr_t) state);
+}
+
+void parakeet_free_params(struct parakeet_full_params * params) {
+    free(params);
+}
+
+void parakeet_free_context_params(struct parakeet_context_params * params) {
+    free(params);
+}
+
+// ---- pcm -> mel ------------------------------------------------------------
+
+int parakeet_pcm_to_mel_with_state(struct parakeet_context * ctx,
+                                   struct parakeet_state * state,
+                                   const float * samples, int n_samples,
+                                   int n_threads) {
+    (void) n_threads;  // XLA owns threading
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call("pk_pcm_to_mel",
+                              Py_BuildValue("(l,l,O)", (long) (intptr_t) ctx,
+                                            (long) (intptr_t) state, arr));
+        if (res) { rc = (int) PyLong_AsLong(res); Py_DECREF(res); }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int parakeet_pcm_to_mel(struct parakeet_context * ctx, const float * samples,
+                        int n_samples, int n_threads) {
+    return parakeet_pcm_to_mel_with_state(ctx, nullptr, samples, n_samples,
+                                          n_threads);
+}
+
+int parakeet_set_mel_with_state(struct parakeet_context * ctx,
+                                struct parakeet_state * state,
+                                const float * data, int n_len, int n_mel) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(data, (Py_ssize_t) n_len * n_mel);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call("pk_set_mel",
+                              Py_BuildValue("(l,l,O,i,i)",
+                                            (long) (intptr_t) ctx,
+                                            (long) (intptr_t) state, arr,
+                                            n_len, n_mel));
+        if (res) { rc = (int) PyLong_AsLong(res); Py_DECREF(res); }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+int parakeet_set_mel(struct parakeet_context * ctx, const float * data,
+                     int n_len, int n_mel) {
+    return parakeet_set_mel_with_state(ctx, nullptr, data, n_len, n_mel);
+}
+
+// ---- encoder ---------------------------------------------------------------
+
+int parakeet_encode_with_state(struct parakeet_context * ctx,
+                               struct parakeet_state * state, int offset,
+                               int n_threads) {
+    (void) n_threads;
+    return (int) call_long("pk_encode", -1, "(l,l,i)",
+                           (long) (intptr_t) ctx, (long) (intptr_t) state,
+                           offset);
+}
+
+int parakeet_encode(struct parakeet_context * ctx, int offset,
+                    int n_threads) {
+    return parakeet_encode_with_state(ctx, nullptr, offset, n_threads);
+}
+
+// ---- tokenizer -------------------------------------------------------------
+
+int parakeet_tokenize(struct parakeet_context * ctx, const char * text,
+                      parakeet_token * tokens, int n_max_tokens) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * res = call("pk_tokenize",
+                          Py_BuildValue("(l,s)", (long) (intptr_t) ctx,
+                                        text));
+    int n = -1;
+    if (res && PyList_Check(res)) {
+        n = (int) PyList_GET_SIZE(res);
+        if (!tokens || n > n_max_tokens) {
+            n = -n;  // reference contract: negative count on overflow
+        } else {
+            for (int k = 0; k < n; k++) {
+                tokens[k] = (parakeet_token) PyLong_AsLong(
+                    PyList_GET_ITEM(res, k));
+            }
+        }
+    }
+    Py_XDECREF(res);
+    PyGILState_Release(gil);
+    return n;
+}
+
+int parakeet_token_count(struct parakeet_context * ctx, const char * text) {
+    return (int) call_long("pk_token_count", -1, "(l,s)",
+                           (long) (intptr_t) ctx, text);
+}
+
+// ---- introspection ----------------------------------------------------------
+
+int parakeet_n_len(struct parakeet_context * ctx) {
+    return (int) call_long("pk_n_len", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+int parakeet_n_len_from_state(struct parakeet_state * state) {
+    return (int) call_long("pk_n_len_from_state", 0, "(l)",
+                           (long) (intptr_t) state);
+}
+
+int parakeet_n_vocab(struct parakeet_context * ctx) {
+    return (int) call_long("pk_n_vocab", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+int parakeet_n_audio_ctx(struct parakeet_context * ctx) {
+    return (int) call_long("pk_n_audio_ctx", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+int parakeet_model_n_vocab(struct parakeet_context * ctx) {
+    return parakeet_n_vocab(ctx);
+}
+
+int parakeet_model_n_audio_ctx(struct parakeet_context * ctx) {
+    return parakeet_n_audio_ctx(ctx);
+}
+
+int parakeet_model_n_audio_state(struct parakeet_context * ctx) {
+    return (int) call_long("pk_model_n_audio_state", 0, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+int parakeet_model_n_audio_head(struct parakeet_context * ctx) {
+    return (int) call_long("pk_model_n_audio_head", 0, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+int parakeet_model_n_audio_layer(struct parakeet_context * ctx) {
+    return (int) call_long("pk_model_n_audio_layer", 0, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+int parakeet_model_n_mels(struct parakeet_context * ctx) {
+    return (int) call_long("pk_model_n_mels", 0, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+int parakeet_model_ftype(struct parakeet_context * ctx) {
+    return (int) call_long("pk_model_ftype", 0, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+// ---- logits (rows = decoded tokens of the last full/chunk) ------------------
+
+int parakeet_n_logits_rows(struct parakeet_context * ctx) {
+    return (int) call_long("pk_n_logits_rows", 0, "(l,l)",
+                           (long) (intptr_t) ctx, 0L);
+}
+
+int parakeet_n_logits_cols(struct parakeet_context * ctx) {
+    return (int) call_long("pk_n_logits_cols", 0, "(l,l)",
+                           (long) (intptr_t) ctx, 0L);
+}
+
+static float * pk_logits_buffer(long h, long sh) {
+    static std::mutex mu;
+    static std::map<long, std::vector<float>> bufs;
+    long rows = call_long("pk_n_logits_rows", 0, "(l,l)", h, sh);
+    long cols = call_long("pk_n_logits_cols", 0, "(l,l)", h, sh);
+    std::lock_guard<std::mutex> lock(mu);
+    std::vector<float> & buf = bufs[sh ? -sh : h];
+    buf.resize((size_t) (rows > 0 ? rows * cols : 0));
+    if (rows > 0) {
+        call_bytes_out("pk_get_logits_bytes", (char *) buf.data(),
+                       (long) buf.size() * 4, "(l,l)", h, sh);
+    }
+    return buf.data();
+}
+
+float * parakeet_get_logits(struct parakeet_context * ctx) {
+    return pk_logits_buffer((long) (intptr_t) ctx, 0);
+}
+
+float * parakeet_get_logits_from_state(struct parakeet_state * state) {
+    return pk_logits_buffer(0, (long) (intptr_t) state);
+}
+
+// ---- token strings -----------------------------------------------------------
+
+const char * parakeet_token_to_str(struct parakeet_context * ctx,
+                                   parakeet_token token) {
+    return call_str("pk_token_to_str", "(l,i)", (long) (intptr_t) ctx,
+                    (int) token);
+}
+
+int parakeet_token_to_text(const char * token_str, bool is_first,
+                           char * output, int max_len) {
+    if (!token_str || !output || max_len <= 0) return -1;
+    const char * s = call_str("pk_token_to_text", "(s,i)", token_str,
+                              is_first ? 1 : 0);
+    int n = (int) strlen(s);
+    if (n >= max_len) n = max_len - 1;
+    memcpy(output, s, (size_t) n);
+    output[n] = '\0';
+    return n;
+}
+
+parakeet_token parakeet_token_blank(struct parakeet_context * ctx) {
+    return (parakeet_token) call_long("pk_token_blank", -1, "(l)",
+                                      (long) (intptr_t) ctx);
+}
+
+parakeet_token parakeet_token_unk(struct parakeet_context * ctx) {
+    return (parakeet_token) call_long("pk_token_unk", -1, "(l)",
+                                      (long) (intptr_t) ctx);
+}
+
+parakeet_token parakeet_token_bos(struct parakeet_context * ctx) {
+    return (parakeet_token) call_long("pk_token_bos", -1, "(l)",
+                                      (long) (intptr_t) ctx);
+}
+
+// ---- timings ----------------------------------------------------------------
+
+struct parakeet_timings {
+    float sample_ms;
+    float encode_ms;
+    float decode_ms;
+};
+
+struct parakeet_timings * parakeet_get_timings(struct parakeet_context * ctx) {
+    static std::mutex mu;
+    static std::map<long, parakeet_timings> slots;
+    long h = (long) (intptr_t) ctx;
+    char packed[sizeof(parakeet_timings)] = {0};
+    call_bytes_out("pk_get_timings_packed", packed, sizeof(packed),
+                   "(l)", h);
+    std::lock_guard<std::mutex> lock(mu);
+    parakeet_timings & t = slots[h];
+    memcpy(&t, packed, sizeof(t));
+    return &t;
+}
+
+void parakeet_print_timings(struct parakeet_context * ctx) {
+    call_long("pk_print_timings", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+void parakeet_reset_timings(struct parakeet_context * ctx) {
+    call_long("pk_reset_timings", 0, "(l)", (long) (intptr_t) ctx);
+}
+
+const char * parakeet_print_system_info(void) {
+    return call_str("pk_system_info", nullptr);
+}
+
+// ---- context/full default params ---------------------------------------------
+
+struct parakeet_context_params parakeet_context_default_params(void) {
+    struct parakeet_context_params p;
+    memset(&p, 0, sizeof(p));
+    p.use_gpu = true;  // reference default (src/parakeet.cpp:3500-3510)
+    p.gpu_device = 0;
+    return p;
+}
+
+struct parakeet_context_params * parakeet_context_default_params_by_ref(void) {
+    struct parakeet_context_params * p =
+        (struct parakeet_context_params *) malloc(sizeof(*p));
+    if (p) *p = parakeet_context_default_params();
+    return p;
+}
+
+// reference defaults, src/parakeet.cpp:3526-3548 (n_threads accepted but
+// XLA owns threading)
+struct parakeet_full_params parakeet_full_default_params(
+        enum parakeet_sampling_strategy strategy) {
+    struct parakeet_full_params p;
+    memset(&p, 0, sizeof(p));
+    p.strategy   = strategy;
+    p.n_threads  = 4;
+    p.no_context = true;
+    p.audio_ctx  = 0;
+    return p;
+}
+
+struct parakeet_full_params * parakeet_full_default_params_by_ref(
+        enum parakeet_sampling_strategy strategy) {
+    struct parakeet_full_params * p =
+        (struct parakeet_full_params *) malloc(sizeof(*p));
+    if (p) *p = parakeet_full_default_params(strategy);
+    return p;
+}
+
+const char * parakeet_full_default_params_json(int strategy) {
+    return call_str("pk_full_default_params_json", "(i)", strategy);
+}
+
+// ---- run the model -------------------------------------------------------------
+
+int parakeet_full(struct parakeet_context * ctx,
+                  struct parakeet_full_params params,
+                  const float * samples, int n_samples) {
+    return pk_run("pk_full", (long) (intptr_t) ctx, 0, params, samples,
+                  n_samples);
+}
+
+int parakeet_full_with_state(struct parakeet_context * ctx,
+                             struct parakeet_state * state,
+                             struct parakeet_full_params params,
+                             const float * samples, int n_samples) {
+    return pk_run("pk_full", (long) (intptr_t) ctx,
+                  (long) (intptr_t) state, params, samples, n_samples);
+}
+
+int parakeet_chunk(struct parakeet_context * ctx,
+                   struct parakeet_state * state,
+                   struct parakeet_full_params params,
+                   const float * samples, int n_samples) {
+    return pk_run("pk_chunk", (long) (intptr_t) ctx,
+                  (long) (intptr_t) state, params, samples, n_samples);
+}
+
+int parakeet_full_json(struct parakeet_context * ctx,
+                       const char * params_json,
+                       const float * samples, int n_samples) {
+    ensure_runtime();
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject * arr = np_f32_view(samples, (Py_ssize_t) n_samples);
+    int rc = -1;
+    if (arr) {
+        PyObject * res = call("pk_full",
+                              Py_BuildValue("(l,l,s,s,O)",
+                                            (long) (intptr_t) ctx, 0L,
+                                            params_json, "{}", arr));
+        if (res) { rc = (int) PyLong_AsLong(res); Py_DECREF(res); }
+        Py_DECREF(arr);
+    }
+    PyGILState_Release(gil);
+    return rc;
+}
+
+// ---- results --------------------------------------------------------------------
+
+int parakeet_full_n_segments(struct parakeet_context * ctx) {
+    return (int) call_long("pk_full_n_segments", 0, "(l)",
+                           (long) (intptr_t) ctx);
+}
+
+int parakeet_full_n_segments_from_state(struct parakeet_state * state) {
+    return (int) call_long("pk_full_n_segments_from_state", 0, "(l)",
+                           (long) (intptr_t) state);
+}
+
+int64_t parakeet_full_get_segment_t0(struct parakeet_context * ctx, int i) {
+    return (int64_t) call_long("pk_full_get_segment_t0", -1, "(l,l,i)",
+                               (long) (intptr_t) ctx, 0L, i);
+}
+
+int64_t parakeet_full_get_segment_t0_from_state(struct parakeet_state * state,
+                                                int i) {
+    return (int64_t) call_long("pk_full_get_segment_t0", -1, "(l,l,i)",
+                               0L, (long) (intptr_t) state, i);
+}
+
+int64_t parakeet_full_get_segment_t1(struct parakeet_context * ctx, int i) {
+    return (int64_t) call_long("pk_full_get_segment_t1", -1, "(l,l,i)",
+                               (long) (intptr_t) ctx, 0L, i);
+}
+
+int64_t parakeet_full_get_segment_t1_from_state(struct parakeet_state * state,
+                                                int i) {
+    return (int64_t) call_long("pk_full_get_segment_t1", -1, "(l,l,i)",
+                               0L, (long) (intptr_t) state, i);
+}
+
+const char * parakeet_full_get_segment_text(struct parakeet_context * ctx,
+                                            int i) {
+    return call_str("pk_full_get_segment_text", "(l,l,i)",
+                    (long) (intptr_t) ctx, 0L, i);
+}
+
+const char * parakeet_full_get_segment_text_from_state(
+        struct parakeet_state * state, int i) {
+    return call_str("pk_full_get_segment_text", "(l,l,i)",
+                    0L, (long) (intptr_t) state, i);
+}
+
+int parakeet_full_n_tokens(struct parakeet_context * ctx, int i) {
+    return (int) call_long("pk_full_n_tokens", 0, "(l,l,i)",
+                           (long) (intptr_t) ctx, 0L, i);
+}
+
+int parakeet_full_n_tokens_from_state(struct parakeet_state * state, int i) {
+    return (int) call_long("pk_full_n_tokens", 0, "(l,l,i)",
+                           0L, (long) (intptr_t) state, i);
+}
+
+const char * parakeet_full_get_token_text(struct parakeet_context * ctx,
+                                          int i, int j) {
+    return call_str("pk_full_get_token_text", "(l,l,i,i)",
+                    (long) (intptr_t) ctx, 0L, i, j);
+}
+
+const char * parakeet_full_get_token_text_from_state(
+        struct parakeet_context * ctx, struct parakeet_state * state,
+        int i, int j) {
+    return call_str("pk_full_get_token_text", "(l,l,i,i)",
+                    (long) (intptr_t) ctx, (long) (intptr_t) state, i, j);
+}
+
+parakeet_token parakeet_full_get_token_id(struct parakeet_context * ctx,
+                                          int i, int j) {
+    return (parakeet_token) call_long("pk_full_get_token_id", -1,
+                                      "(l,l,i,i)", (long) (intptr_t) ctx,
+                                      0L, i, j);
+}
+
+parakeet_token parakeet_full_get_token_id_from_state(
+        struct parakeet_state * state, int i, int j) {
+    return (parakeet_token) call_long("pk_full_get_token_id", -1,
+                                      "(l,l,i,i)", 0L,
+                                      (long) (intptr_t) state, i, j);
+}
+
+static parakeet_token_data pk_token_data_fetch(long h, long sh, int i, int j) {
+    parakeet_token_data td;
+    memset(&td, 0, sizeof(td));
+    char packed[48] = {0};
+    long n = call_bytes_out("pk_full_get_token_data_packed", packed,
+                            sizeof(packed), "(l,l,i,i)", h, sh, i, j);
+    if (n == sizeof(packed)) {
+        // packed layout == struct layout (<4i2f2q?7x, 48 bytes)
+        memcpy(&td, packed, sizeof(td) < sizeof(packed) ? sizeof(td)
+                                                        : sizeof(packed));
+    }
+    return td;
+}
+
+parakeet_token_data parakeet_full_get_token_data(
+        struct parakeet_context * ctx, int i, int j) {
+    return pk_token_data_fetch((long) (intptr_t) ctx, 0, i, j);
+}
+
+parakeet_token_data parakeet_full_get_token_data_from_state(
+        struct parakeet_state * state, int i, int j) {
+    return pk_token_data_fetch(0, (long) (intptr_t) state, i, j);
+}
+
+float parakeet_full_get_token_p(struct parakeet_context * ctx, int i, int j) {
+    return (float) call_double("pk_full_get_token_p", 0.0, "(l,l,i,i)",
+                               (long) (intptr_t) ctx, 0L, i, j);
+}
+
+float parakeet_full_get_token_p_from_state(struct parakeet_state * state,
+                                           int i, int j) {
+    return (float) call_double("pk_full_get_token_p", 0.0, "(l,l,i,i)",
+                               0L, (long) (intptr_t) state, i, j);
+}
+
+// ---- logging (shared sink with whisper_log_set) -----------------------------
+
+void parakeet_log_set(whisper_log_callback callback, void * user_data) {
+    whisper_log_set(callback, user_data);
+}
+
+}  // extern "C"

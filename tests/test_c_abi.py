@@ -458,3 +458,113 @@ def test_capi_log_sink_roundtrip():
         capi.log_set_c_sink(0, 0)
     assert lines == [(2, b"log sink test\n")]  # INFO == ggml level 2
     log_info("")  # default sink restored, must not raise
+
+
+PARAKEET_MODEL = pathlib.Path(
+    "/root/reference/models/for-tests-ggml-parakeet-tdt.bin")
+
+
+def test_c_host_parakeet(abi_build):
+    """Parakeet C ABI (native/parakeet_tpu.h; reference
+    include/parakeet.h:1-342): a pure-C host inits from file/buffer/loader,
+    runs parakeet_full with the struct params + all five callbacks
+    (new_segment with live accessor reads, new_token with token_data
+    structs, progress, encoder_begin veto -> -6, abort -> -6), the state
+    API, chunk streaming, tokenizer, logits, and timings — and its
+    transcript must equal the Python path's text."""
+    if not PARAKEET_MODEL.exists():
+        pytest.skip("parakeet test model not available")
+    if not JFK.exists():
+        pytest.skip("jfk.wav not available")
+    from whisper_tpu.audio.io import load_audio
+
+    exe = BUILD / "test_abi_parakeet"
+    src = REPO / "native" / "test_abi_parakeet.c"
+    hdr = REPO / "native" / "parakeet_tpu.h"
+    so = BUILD / "libwhisper_tpu.so"
+    if (not exe.exists()
+            or exe.stat().st_mtime < src.stat().st_mtime
+            or exe.stat().st_mtime < hdr.stat().st_mtime
+            or exe.stat().st_mtime < so.stat().st_mtime):
+        subprocess.run(
+            ["gcc", "-O2", "-Wall", "-Werror", f"-I{REPO / 'native'}",
+             str(src), "-o", str(exe),
+             f"-L{BUILD}", "-lwhisper_tpu", f"-Wl,-rpath,{BUILD}"],
+            check=True)
+
+    samples, _ = load_audio(str(JFK))
+    pcm = BUILD / "jfk_full.pcm.f32"
+    samples.astype("<f4").tofile(pcm)
+
+    # Python-path transcript for the equality gate
+    from whisper_tpu.models.parakeet.context import ParakeetContext
+
+    ctx = ParakeetContext.from_file(str(PARAKEET_MODEL))
+    assert ctx.full(samples) == 0
+    py_text = ctx.full_text()
+    assert py_text
+
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [str(exe), str(PARAKEET_MODEL), str(pcm)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PARAKEET-ABI-OK" in proc.stdout, proc.stdout
+    c_text = [ln for ln in proc.stdout.splitlines()
+              if ln.startswith("TEXT=")][0][len("TEXT="):]
+    assert c_text == py_text  # C ABI == Python path, token for token
+    assert "run B: veto rc=-6" in proc.stdout
+    assert "run C: abort rc=-6" in proc.stdout
+    assert "run D: state text match=1" in proc.stdout
+
+
+def test_capi_parakeet_python_surface():
+    """Python half of the parakeet handle API (capi_parakeet.py),
+    independent of the C build."""
+    if not PARAKEET_MODEL.exists():
+        pytest.skip("parakeet test model not available")
+    import struct as _struct
+
+    from whisper_tpu import capi
+
+    h = capi.pk_init_from_file(str(PARAKEET_MODEL))
+    assert h > 0
+    assert capi.pk_init_from_file("/nonexistent.bin") == 0
+    assert capi.pk_n_vocab(h) == 10
+    assert capi.pk_model_n_mels(h) == 16
+    assert capi.pk_token_blank(h) == 10
+
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    voice = (np.sin(2 * np.pi * 220 * t) * 0.3).astype(np.float32)
+    assert capi.pk_full(h, 0, None, None, voice) == 0
+    n = capi.pk_full_n_segments(h)
+    for i in range(n):
+        assert isinstance(capi.pk_full_get_segment_text(h, 0, i), str)
+        for j in range(capi.pk_full_n_tokens(h, 0, i)):
+            raw = capi.pk_full_get_token_data_packed(h, 0, i, j)
+            assert len(raw) == 48
+            vals = _struct.unpack("<4i2f2q?7x", raw)
+            assert vals[0] == capi.pk_full_get_token_id(h, 0, i, j)
+    # logits of the last decode: one full joint row per emitted token
+    rows = capi.pk_n_logits_rows(h, 0)
+    cols = capi.pk_n_logits_cols(h, 0)
+    if rows:
+        buf = np.frombuffer(capi.pk_get_logits_bytes(h, 0), "<f4")
+        assert buf.shape == (rows * cols,)
+        assert np.isfinite(buf).all()
+    # set_mel with the wrong n_mel fails like the reference
+    assert capi.pk_set_mel(h, 0, np.zeros(100 * 4, np.float32), 100, 4) == -1
+    assert capi.pk_set_mel(
+        h, 0, np.zeros(100 * 16, np.float32), 100, 16) == 0
+    assert capi.pk_n_len(h) == 100
+    assert capi.pk_encode(h, 0, 0) == 0
+    # timings pack as 3 f32
+    tms = _struct.unpack("<3f", capi.pk_get_timings_packed(h))
+    assert all(v >= 0.0 for v in tms)
+    # tokenizer + display transform
+    toks = capi.pk_tokenize(h, "bee")
+    assert toks and capi.pk_token_count(h, "bee") == len(toks)
+    assert capi.pk_token_to_text("▁bee", True) == "bee"
+    assert capi.pk_token_to_text("▁bee", False) == " bee"
+    capi.pk_free(h)
+    assert capi.pk_full_n_segments(h) == 0

@@ -1203,3 +1203,11 @@ def vad_init_from_buffer(data: bytes) -> int:
             os.unlink(path)
         except OSError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Parakeet half of the ABI (include/parakeet.h): the C shim calls through
+# this module's namespace, so re-export the pk_* handle functions here.
+# ---------------------------------------------------------------------------
+
+from .capi_parakeet import *  # noqa: F401,F403,E402

@@ -36,14 +36,30 @@ class ParakeetSegment:
 
 @dataclass
 class FullParams:
-    """parakeet_full_params subset (include/parakeet.h:150-200)."""
+    """parakeet_full_params (include/parakeet.h:239-278).
 
+    strategy is always GREEDY (the only reference strategy); offset_ms /
+    duration_ms are declared by the reference header but unused by its
+    implementation (src/parakeet.cpp:3526-3548 defaults only) — kept here
+    for struct-layout parity.  Callbacks:
+      new_segment_callback(ctx, segment)
+      new_token_callback(ctx, token_data)
+      progress_callback(ctx, progress_int)
+      encoder_begin_callback(ctx) -> bool   (False vetoes the run, rc -6)
+      abort_callback() -> bool              (True aborts, rc -6/-7)
+    """
+
+    strategy: int = 0
     n_threads: int = 4
-    audio_ctx: int = 0
+    offset_ms: int = 0
+    duration_ms: int = 0
     no_context: bool = True
+    audio_ctx: int = 0
     new_segment_callback: Any = None
     new_token_callback: Any = None
     progress_callback: Any = None
+    encoder_begin_callback: Any = None
+    abort_callback: Any = None
 
 
 class ParakeetContext:
@@ -63,6 +79,10 @@ class ParakeetContext:
         self.decoded_tokens: List[int] = []
         self.decoded_token_data: List[ParakeetTokenData] = []
         self.t_mel_us = self.t_encode_us = self.t_decode_us = 0
+        # parakeet_get_logits support: when True, the decode loop also
+        # stores one joint-logit row per emitted token (last full/chunk)
+        self.capture_logits = False
+        self.last_logits: Optional[np.ndarray] = None
         # packed conformer weights for quantized files (load.py
         # build_packed_overlay): default ON for TPU — quantized storage
         # stays in HBM (half the bytes) with the dequant fused into the
@@ -94,6 +114,23 @@ class ParakeetContext:
     @staticmethod
     def from_file(path: str, **kw) -> "ParakeetContext":
         return ParakeetContext(load_parakeet_model(path), **kw)
+
+    def fork_state(self) -> "ParakeetContext":
+        """parakeet_init_state (include/parakeet.h:93): a decode state
+        sharing the context's device weights — fresh mel / LSTM state /
+        segments / timings, zero weight re-upload."""
+        st = object.__new__(ParakeetContext)
+        st.__dict__.update(self.__dict__)
+        st.mel = None
+        st.n_len_org = 0
+        st.result_all = []
+        st.decoded_tokens = []
+        st.decoded_token_data = []
+        st.t_mel_us = st.t_encode_us = st.t_decode_us = 0
+        st.last_logits = None
+        if self.decoder is not None:
+            st.decoder = self.decoder.clone()
+        return st
 
     # -- API surface ---------------------------------------------------------
 
@@ -132,7 +169,27 @@ class ParakeetContext:
         self.result_all.clear()
         if params.no_context:
             self.reset_state()
-        return self.chunk(samples, params)
+        if params.progress_callback:
+            params.progress_callback(self, 0)
+        rc = self.chunk(samples, params)
+        # the reference fires progress=100 only on its dynamic-graph long
+        # path (mel > n_audio_ctx, src/parakeet.cpp:3628); same gate here
+        if (rc == 0 and params.progress_callback
+                and self.n_len_org > self.hp.n_audio_ctx):
+            params.progress_callback(self, 100)
+        return rc
+
+    def encode_only(self, offset: int = 0) -> int:
+        """parakeet_encode (include/parakeet.h:137): run the conformer on
+        the stored mel from `offset`, caching the frames for inspection."""
+        if self.mel is None or self.model.is_empty:
+            return -1
+        mel = self.mel[offset:]
+        enc = self._encode_jit(self.params, jnp.asarray(mel, self.dtype),
+                               mel.shape[0], hp=self.hp, dtype=self.dtype)
+        enc.block_until_ready()
+        self._cached_enc = enc
+        return 0
 
     def chunk(self, samples: Optional[np.ndarray],
               params: Optional[FullParams] = None) -> int:
@@ -146,6 +203,10 @@ class ParakeetContext:
         if self.model.is_empty:
             return 0  # header-only test model: full pipeline no-op
 
+        # encoder_begin veto -> -6 (src/parakeet.cpp:3718-3723)
+        if params.encoder_begin_callback is not None:
+            if not params.encoder_begin_callback(self):
+                return -6
         mel = self.mel
         n_len_org = self.n_len_org
         if not self.exact_shapes:
@@ -159,14 +220,23 @@ class ParakeetContext:
                                n_len_org, hp=self.hp, dtype=self.dtype)
         enc.block_until_ready()
         self.t_encode_us += int((time.perf_counter() - t0) * 1e6)
+        # the reference checks abort after each graph compute: encode fail
+        # -> -6, decode fail -> -7 (src/parakeet.cpp:2099,2411,3724-3733)
+        if params.abort_callback is not None and params.abort_callback():
+            return -6
 
         n_frames = (n_len_org + self.hp.subsampling_factor - 1) \
             // self.hp.subsampling_factor
         n_frames = min(n_frames, enc.shape[0])
 
         t0 = time.perf_counter()
-        new_tokens = self.decoder.decode(enc, n_frames)
+        new_tokens = self.decoder.decode(enc, n_frames,
+                                         capture_logits=self.capture_logits)
+        if self.capture_logits:
+            self.last_logits = self.decoder.last_logits
         self.t_decode_us += int((time.perf_counter() - t0) * 1e6)
+        if params.abort_callback is not None and params.abort_callback():
+            return -7
 
         if params.new_token_callback:
             for td in new_tokens:

@@ -41,11 +41,16 @@ class ParakeetTokenData:
 
 def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
                        h0: jax.Array, c0: jax.Array, hp: ParakeetHParams,
-                       max_out: int, dtype=jnp.float32):
+                       max_out: int, dtype=jnp.float32,
+                       capture_logits: bool = False):
     """Run the full TDT loop on-device.
 
     enc: [T_max, n_state]; n_frames: actual frame count (scalar).
-    Returns (tokens, frame_idx, dur_idx, dur_val, p, plog, n_out, h, c).
+    Returns (tokens, frame_idx, dur_idx, dur_val, p, plog, n_out, h, c),
+    plus the per-emitted-token joint logit rows [max_out, n_joint_out]
+    when capture_logits (parakeet_get_logits contract: the reference
+    stores one n_vocab+durations+1 row per decoded token,
+    src/parakeet.cpp:2396-2404).
     """
     pred_p, joint_p = params["pred"], params["joint"]
     blank_id = hp.blank_id
@@ -62,9 +67,13 @@ def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
     out_dval = jnp.zeros(max_out, jnp.int32)
     out_p = jnp.zeros(max_out, jnp.float32)
     out_plog = jnp.zeros(max_out, jnp.float32)
+    # tiny placeholder when not capturing so the carry structure is static
+    out_logits = jnp.zeros(
+        (max_out, hp.n_joint_out) if capture_logits else (1, 1), jnp.float32)
 
     state = (jnp.int32(0), jnp.int32(0), jnp.int32(0), pred_out, h, c,
-             out_tok, out_frame, out_didx, out_dval, out_p, out_plog)
+             out_tok, out_frame, out_didx, out_dval, out_p, out_plog,
+             out_logits)
 
     def cond(s):
         t, n_out = s[0], s[1]
@@ -72,7 +81,8 @@ def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
 
     def body(s):
         t, n_out, emitted, pred_out, h, c, *bufs = s
-        out_tok, out_frame, out_didx, out_dval, out_p, out_plog = bufs
+        (out_tok, out_frame, out_didx, out_dval, out_p, out_plog,
+         out_logits) = bufs
 
         logits = M.joint_logits(joint_p, enc[t], pred_out, dtype)
         tok_logits = logits[:n_vocab_logits].astype(jnp.float32)
@@ -89,18 +99,22 @@ def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
         def blank_case(_):
             return (t + jnp.maximum(dur, 1), n_out, jnp.int32(0),
                     pred_out, h, c,
-                    out_tok, out_frame, out_didx, out_dval, out_p, out_plog)
+                    out_tok, out_frame, out_didx, out_dval, out_p, out_plog,
+                    out_logits)
 
         # ---- emit branch: store token data, advance predictor, then step t
         def emit_case(_):
             p = jnp.exp(max_logit - jax.scipy.special.logsumexp(tok_logits))
             i = n_out
+            logits_buf = (out_logits.at[i].set(logits.astype(jnp.float32))
+                          if capture_logits else out_logits)
             bufs2 = (out_tok.at[i].set(best_tok),
                      out_frame.at[i].set(t),
                      out_didx.at[i].set(didx),
                      out_dval.at[i].set(dur),
                      out_p.at[i].set(p),
-                     out_plog.at[i].set(max_logit))
+                     out_plog.at[i].set(max_logit),
+                     logits_buf)
             pred2, h2, c2 = M.lstm_predict(pred_p, joint_p, best_tok, h, c,
                                            hp, dtype)
             adv = dur > 0
@@ -114,10 +128,14 @@ def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
 
     final = jax.lax.while_loop(cond, body, state)
     t, n_out, _, pred_out, h, c, *bufs = final
-    return (*bufs, n_out, h, c)
+    if capture_logits:
+        return (*bufs[:6], n_out, h, c, bufs[6])
+    return (*bufs[:6], n_out, h, c)
 
 
-tdt_greedy_decode = partial(jax.jit, static_argnames=("hp", "max_out", "dtype"))(
+tdt_greedy_decode = partial(
+    jax.jit,
+    static_argnames=("hp", "max_out", "dtype", "capture_logits"))(
     _tdt_greedy_decode)
 
 
@@ -164,19 +182,35 @@ class TdtDecoder:
         D, L = self.hp.n_pred_dim, self.hp.n_pred_layers
         self.h = jnp.zeros((L, D), dtype)
         self.c = jnp.zeros((L, D), dtype)
+        self.last_logits: Any = None  # np [n_out, n_joint_out] when captured
+
+    def clone(self) -> "TdtDecoder":
+        """A fresh-LSTM decoder sharing the device weight arrays — the
+        per-state half of parakeet_init_state (include/parakeet.h:93)."""
+        d = object.__new__(TdtDecoder)
+        d.model, d.hp, d.dtype = self.model, self.hp, self.dtype
+        d.params = self.params
+        d.h = jnp.zeros_like(self.h)
+        d.c = jnp.zeros_like(self.c)
+        d.last_logits = None
+        return d
 
     def reset_state(self) -> None:
         """parakeet_reset_state LSTM clear (src/parakeet.cpp:3552-3560)."""
         self.h = jnp.zeros_like(self.h)
         self.c = jnp.zeros_like(self.c)
 
-    def decode(self, enc: jax.Array, n_frames: int) -> List[ParakeetTokenData]:
+    def decode(self, enc: jax.Array, n_frames: int,
+               capture_logits: bool = False) -> List[ParakeetTokenData]:
         hp = self.hp
         max_out = int(min(n_frames * hp.n_max_tokens, 4 * n_frames + 64))
         max_out = max(max_out, 16)
-        (tok, frame, didx, dval, p, plog, n_out, self.h, self.c) = \
-            tdt_greedy_decode(self.params, enc, jnp.int32(n_frames),
-                              self.h, self.c, hp, max_out, self.dtype)
+        out = tdt_greedy_decode(self.params, enc, jnp.int32(n_frames),
+                                self.h, self.c, hp, max_out, self.dtype,
+                                capture_logits=capture_logits)
+        (tok, frame, didx, dval, p, plog, n_out, self.h, self.c) = out[:9]
+        if capture_logits:
+            self.last_logits = np.asarray(out[9][: int(n_out)])
         return unpack_token_data(self.model.vocab, hp.subsampling_factor,
                                  tok, frame, didx, dval, p, plog, int(n_out))
 
