@@ -293,12 +293,18 @@ def conformer_block(x, layer, hp: ParakeetHParams, mask_or_valid, local: bool,
 
 
 def encode(params: Dict[str, Any], mel: jax.Array, n_len_org,
-           hp: ParakeetHParams, dtype=jnp.float32) -> jax.Array:
+           hp: ParakeetHParams, dtype=jnp.float32,
+           unroll: bool = True) -> jax.Array:
     """Full encoder: mel (n_time, n_mels) -> (n_frames, n_state).
 
     n_len_org: original (unpadded) mel frame count; keys beyond
     ceil(n_len_org / subsampling) are masked (src/parakeet.cpp:2016-2042).
-    """
+
+    unroll=True python-unrolls the 24-layer loop instead of lax.scan:
+    XLA then CSEs the per-layer pos-embedding/skew prologue and drops the
+    scan's carry copies — measured 7.6 -> 5.2 ms/30 s on v5e
+    (tools/perf_parakeet.py, docs/PERF.md parakeet anatomy).  Set False
+    for memory-tight training-style use (scan + remat)."""
     x = pre_encode(params["pre"], mel, hp, dtype)
     T = x.shape[0]
     n_real = (n_len_org + hp.subsampling_factor - 1) // hp.subsampling_factor
@@ -309,6 +315,14 @@ def encode(params: Dict[str, Any], mel: jax.Array, n_len_org,
     else:
         mask_or_valid = jnp.where(jnp.arange(T) < n_real, 0.0, MASK_VALUE
                                   ).astype(dtype)
+
+    if unroll:
+        L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+        for il in range(L):
+            layer = jax.tree_util.tree_map(lambda a, _il=il: a[_il],
+                                           params["layers"])
+            x = conformer_block(x, layer, hp, mask_or_valid, local, dtype)
+        return x
 
     def body(carry, layer):
         return conformer_block(carry, layer, hp, mask_or_valid, local,
