@@ -48,16 +48,18 @@ def dec_models():
     f16 from seed, quantized files with OUR tool."""
     if not JFK.exists():
         pytest.skip("reference samples not available")
-    f16 = FIXTURES / TP.model_filename("f16")
-    if not f16.exists():
-        FIXTURES.mkdir(exist_ok=True)
-        subprocess.run(
-            [sys.executable, str(REPO / "tools" / "make_test_model.py"),
-             "--header-from",
-             "/root/reference/models/for-tests-ggml-tiny.en.bin",
-             "--out", str(f16), *TP.MODEL_ARGS],
-            check=True, env=None)
-    models = {"f16": f16}
+    models = {}
+    for base in ("f16", "ml-f16"):
+        path = FIXTURES / TP.model_filename(base)
+        if not path.exists():
+            FIXTURES.mkdir(exist_ok=True)
+            donor, margs = TP.model_recipe(base)
+            subprocess.run(
+                [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+                 "--header-from", donor, "--out", str(path), *margs],
+                check=True, env=None)
+        models[base] = path
+    f16 = models["f16"]
     from whisper_tpu.cli.quantize import quantize_model
     from whisper_tpu.formats import requant
 
@@ -82,15 +84,21 @@ def parity_audio():
 _CTX_CACHE = {}
 
 
-def _ctx_for(model_path):
-    """One WhisperContext per model file, shared across cases so the jit
-    cache is reused (the contexts are stateless between transcribe calls
-    with the default no_context=True)."""
+def _ctx_for(model_path, dtw: str = "", precision: str = ""):
+    """One WhisperContext per (model file, dtw preset, precision), shared
+    across cases so the jit cache is reused (the contexts are stateless
+    between transcribe calls with the default no_context=True).  DTW is a
+    context-creation parameter in the reference (whisper_context_params
+    .dtw_aheads_preset), hence part of the cache key."""
     from whisper_tpu.runtime.context import WhisperContext
 
-    key = str(model_path)
+    key = (str(model_path), dtw, precision)
     if key not in _CTX_CACHE:
-        _CTX_CACHE[key] = WhisperContext.from_file(key)
+        ctx = WhisperContext.from_file(str(model_path),
+                                       precision=precision or None)
+        if dtw:
+            ctx.enable_dtw(preset=dtw)
+        _CTX_CACHE[key] = ctx
     return _CTX_CACHE[key]
 
 
@@ -114,16 +122,22 @@ def test_text_parity(case, dec_models, parity_audio):
     if case.vad and not pathlib.Path(TP.SILERO_MODEL).exists():
         pytest.skip("silero test model not available")
 
+    ctx = _ctx_for(model, case.dtw, case.precision)
     if case.processors > 1:
         from whisper_tpu.decoding.parallel import transcribe_parallel
 
-        segs = transcribe_parallel(_ctx_for(model),
-                                   TP.transcribe_params(case), samples,
+        segs = transcribe_parallel(ctx, TP.transcribe_params(case), samples,
                                    case.processors)
     else:
-        segs = transcribe(_ctx_for(model), TP.transcribe_params(case),
-                          samples)
-    got = TP.segments_to_rows(segs)
+        segs = transcribe(ctx, TP.transcribe_params(case), samples)
+    got = TP.segments_to_rows(segs, vocab=ctx.vocab if case.dtw else None)
+
+    if "result_language" in ref:
+        # -l auto: the language whisper_lang_auto_detect chose must match the
+        # reference's result.language (cli.cpp JSON "result" object)
+        from whisper_tpu.decoding.languages import lang_str
+
+        assert lang_str(ctx.lang_id) == ref["result_language"]
 
     stats = TP.compare(ref["segments"], got)
     assert got == ref["segments"], (
@@ -131,6 +145,47 @@ def test_text_parity(case, dec_models, parity_audio):
         f"(similarity={stats['similarity']:.3f}, "
         f"exact prefix {stats['n_exact_prefix_segments']}/"
         f"{stats['n_ref_segments']})\nref: {ref['segments']}\ngot: {got}")
+
+
+@pytest.mark.parametrize("seed", TP.STAT_SEEDS)
+def test_statistical_parity(seed, parity_audio):
+    """Statistical tier (VERDICT r3 weak #4): NON-decisive-margin minis
+    (--boost 3: top-2 gaps near cross-implementation rounding noise — the
+    regime real models decode in).  Gate = text similarity >= 0.95 + equal
+    segment count (the reference's own en-ref tests and Parakeet's
+    verification header are similarity gates, not exact diffs); tick-level
+    timestamps MAY legitimately differ here, unlike the decisive tier."""
+    from whisper_tpu.decoding.full import transcribe
+
+    ref_file = REF_DIR / f"stat-s{seed}.json"
+    assert ref_file.exists(), (
+        f"missing committed reference {ref_file}; regenerate with "
+        "tools/make_text_refs.py")
+    ref = json.loads(ref_file.read_text())
+
+    model = FIXTURES / TP.stat_model_filename(seed)
+    if not model.exists():
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+             "--header-from", TP.EN_DONOR, "--out", str(model),
+             *TP.STAT_MODEL_ARGS, "--seed", str(seed)], check=True)
+    assert _sha(model) == ref["model_sha256"], (
+        f"{model.name} differs from the file the reference transcribed")
+    samples, wav_path = parity_audio["jfk"]
+    assert _sha(wav_path) == ref["audio_sha256"]
+
+    from whisper_tpu.decoding.params import GreedyParams, TranscribeParams
+
+    p = TranscribeParams(print_progress=False)
+    p.greedy = GreedyParams(best_of=1)
+    p.temperature_inc = 0.0
+    got = TP.segments_to_rows(transcribe(_ctx_for(model), p, samples))
+
+    stats = TP.compare(ref["segments"], got)
+    assert stats["n_got_segments"] == stats["n_ref_segments"], stats
+    assert stats["similarity"] >= TP.STAT_SIMILARITY_GATE, (
+        f"stat-s{seed}: similarity {stats['similarity']:.3f} below "
+        f"{TP.STAT_SIMILARITY_GATE} gate\nref: {ref['segments']}\ngot: {got}")
 
 
 def test_decisive_margins(dec_models, parity_audio):

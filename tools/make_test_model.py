@@ -113,10 +113,28 @@ def make_decisive(tensors, hp: WhisperHParams, seed: int,
     the margins hold on every sampled step."""
     W = tensors["decoder.token_embedding.weight"]
     n_vocab = W.shape[0]
-    # special-token ids for the tiny.en-style vocab (non-multilingual,
-    # n_vocab=51864): eot=50256, beg=50363 (src/whisper.cpp:1625-1672)
-    token_eot = 50256
-    token_beg = 50363
+    if n_vocab >= 51865:
+        # multilingual vocab: eot/sot shift by 1 and the variable language
+        # block shifts the specials by dt = num_languages - 98
+        # (src/whisper.cpp:1625-1672, :451-456)
+        n_lang = n_vocab - 51765 - 1
+        dt = n_lang - 98
+        token_eot = 50257
+        token_sot = 50258
+        token_beg = 50363 + 1 + dt
+        # Make `-l auto` decisive: whisper_lang_auto_detect decodes [sot]
+        # alone and softmaxes the POSITION-0 logits over the language block
+        # (src/whisper.cpp:4045-4118).  Position 0 is never SAMPLED in normal
+        # transcription (sot is forced), so mixing one boosted language row
+        # into P[0] scripts the detected language without touching text.
+        lang_es = token_sot + 1 + 3            # whisper_token_lang(es): id 3
+        W[lang_es] *= boost
+        tensors["decoder.positional_embedding"][0] += 3.0 * W[lang_es]
+    else:
+        # tiny.en-style vocab (non-multilingual, n_vocab=51864):
+        # eot=50256, beg=50363 (src/whisper.cpp:1625-1672)
+        token_eot = 50256
+        token_beg = 50363
     rng = np.random.default_rng(seed + 7777)
     active = rng.choice(np.arange(1000, 50000), size=n_text_active,
                         replace=False)
@@ -172,6 +190,11 @@ def main():
                     help="boost a small active token set so decode text is "
                          "robust to cross-implementation rounding noise "
                          "(full-pipeline text-parity fixtures)")
+    ap.add_argument("--boost", type=float, default=25.0,
+                    help="decisive boost factor; 25 gives ~100x-noise argmax "
+                         "margins (exact-match tier), lower values give "
+                         "REALISTIC margins for the statistical parity tier "
+                         "(margins scale ~boost^2)")
     args = ap.parse_args()
 
     with open(args.header_from, "rb") as f:
@@ -190,7 +213,7 @@ def main():
 
     tensors = synth_tensors(hp, args.seed)
     if args.decisive:
-        make_decisive(tensors, hp, args.seed)
+        make_decisive(tensors, hp, args.seed, boost=args.boost)
     vocab_tokens = [vocab.id_to_token[i] for i in range(n_vocab_read)]
     write_model_file(args.out, hp, filters, vocab_tokens, tensors,
                      use_f16=not args.f32)

@@ -37,13 +37,15 @@ def sha256(p: Path) -> str:
 
 
 def ensure_models() -> dict:
-    models = {"f16": FIXTURES / TP.model_filename("f16")}
-    if not models["f16"].exists():
-        subprocess.run(
-            [sys.executable, str(REPO / "tools" / "make_test_model.py"),
-             "--header-from",
-             "/root/reference/models/for-tests-ggml-tiny.en.bin",
-             "--out", str(models["f16"]), *TP.MODEL_ARGS], check=True)
+    models = {}
+    for base in ("f16", "ml-f16"):
+        models[base] = FIXTURES / TP.model_filename(base)
+        if not models[base].exists():
+            donor, margs = TP.model_recipe(base)
+            subprocess.run(
+                [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+                 "--header-from", donor,
+                 "--out", str(models[base]), *margs], check=True)
     for q in ("q5_0", "q8_0"):
         out = FIXTURES / TP.model_filename(q)
         if not out.exists():
@@ -64,7 +66,39 @@ def main() -> int:
              "jfk3": TP.make_long_audio(str(JFK), FIXTURES / "jfk3.wav")}
     OUT_DIR.mkdir(parents=True, exist_ok=True)
 
+    only = set(sys.argv[1:])  # optional case-name filter
+    # statistical tier: greedy -nf refs on the NON-decisive-margin minis
+    for seed in TP.STAT_SEEDS:
+        name = f"stat-s{seed}"
+        if only and name not in only:
+            continue
+        model = FIXTURES / TP.stat_model_filename(seed)
+        if not model.exists():
+            subprocess.run(
+                [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+                 "--header-from", TP.EN_DONOR, "--out", str(model),
+                 *TP.STAT_MODEL_ARGS, "--seed", str(seed)], check=True)
+        out_base = FIXTURES / f"textref-{name}"
+        args = ["-m", str(model), "-f", str(JFK), "-np", "-oj",
+                "-of", str(out_base), "-nf", "-bo", "1", "-bs", "1"]
+        r = subprocess.run([str(ORACLE_BIN / "whisper-cli"), *args],
+                           capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            print(f"FAIL {name}: {r.stderr[-800:]}")
+            return 1
+        rows = TP.parse_cli_json(Path(f"{out_base}.json"))
+        doc = {"case": name, "model": TP.stat_model_filename(seed),
+               "model_sha256": sha256(model), "audio": "jfk",
+               "audio_sha256": sha256(JFK), "cli_args": args[4:],
+               "oracle": "whisper-cli (build-portable, GGML_NATIVE=OFF)",
+               "segments": rows}
+        (OUT_DIR / f"{name}.json").write_text(
+            json.dumps(doc, indent=1, ensure_ascii=False) + "\n")
+        print(f"{name:18s} {len(rows):3d} segments")
+
     for case in TP.CASES:
+        if only and case.name not in only:
+            continue
         model = models[case.model]
         wav = audio[case.audio]
         out_base = FIXTURES / f"textref-{case.name}"
@@ -74,7 +108,8 @@ def main() -> int:
         if r.returncode != 0:
             print(f"FAIL {case.name}: {r.stderr[-800:]}")
             return 1
-        rows = TP.parse_cli_json(Path(f"{out_base}.json"))
+        out_json = Path(f"{out_base}.json")
+        rows = TP.parse_cli_json(out_json, tokens=bool(case.dtw))
         doc = {
             "case": case.name,
             "model": TP.model_filename(case.model),
@@ -85,6 +120,10 @@ def main() -> int:
             "oracle": "whisper-cli (build-portable, GGML_NATIVE=OFF)",
             "segments": rows,
         }
+        if case.language == "auto":
+            # cli.cpp result.language — what whisper_lang_auto_detect chose
+            cli_doc = json.loads(out_json.read_text(), strict=False)
+            doc["result_language"] = cli_doc["result"]["language"]
         ref = OUT_DIR / f"{case.name}.json"
         ref.write_text(json.dumps(doc, indent=1, ensure_ascii=False) + "\n")
         text = "".join(s["text"] for s in rows)
