@@ -225,3 +225,44 @@ def test_full_batch_empty_and_state():
     assert ctx.full_batch([]) == []
     # batched path must not disturb the streaming decode state
     assert ctx.decoded_tokens == []
+
+
+def test_chunked_decode_matches_frame_loop():
+    """The chunked TDT loop (decode._tdt_greedy_decode_chunked, the
+    production default) must reproduce the per-frame reference loop
+    token-for-token: same tokens, frame indices, durations and LSTM state
+    (p/plog/logits may differ at f32 ULP from the batched joint matmul's
+    reduction order — bounded here)."""
+    if not TEST_MODEL.exists():
+        pytest.skip("parakeet test model not available")
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.models.parakeet.decode import _tdt_greedy_decode
+
+    m = load_parakeet_model(str(TEST_MODEL))
+    hp = m.hparams
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                                    m.params)
+    rng = np.random.default_rng(0)
+    h0 = jnp.zeros((hp.n_pred_layers, hp.n_pred_dim), jnp.float32)
+    c0 = jnp.zeros_like(h0)
+    for T in (5, 37, 120):
+        enc = jnp.asarray(
+            rng.standard_normal((T, hp.n_audio_state)).astype(np.float32))
+        a = _tdt_greedy_decode(params, enc, jnp.int32(T), h0, c0, hp,
+                               4 * T + 64, capture_logits=True, chunk=1)
+        b = _tdt_greedy_decode(params, enc, jnp.int32(T), h0, c0, hp,
+                               4 * T + 64, capture_logits=True, chunk=16)
+        na, nb = int(a[6]), int(b[6])
+        assert na == nb, (T, na, nb)
+        for i in (0, 1, 2, 3):   # tok, frame, didx, dval: exact
+            assert np.array_equal(np.asarray(a[i][:na]),
+                                  np.asarray(b[i][:na])), (T, i)
+        for i in (4, 5):         # p, plog: ULP-level
+            assert np.allclose(np.asarray(a[i][:na]), np.asarray(b[i][:na]),
+                               atol=1e-4), (T, i)
+        assert np.array_equal(np.asarray(a[7]), np.asarray(b[7]))  # h
+        assert np.array_equal(np.asarray(a[8]), np.asarray(b[8]))  # c
+        assert np.allclose(np.asarray(a[9][:na]), np.asarray(b[9][:na]),
+                           atol=1e-4)

@@ -42,7 +42,7 @@ class ParakeetTokenData:
 def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
                        h0: jax.Array, c0: jax.Array, hp: ParakeetHParams,
                        max_out: int, dtype=jnp.float32,
-                       capture_logits: bool = False):
+                       capture_logits: bool = False, chunk: int = 16):
     """Run the full TDT loop on-device.
 
     enc: [T_max, n_state]; n_frames: actual frame count (scalar).
@@ -51,7 +51,20 @@ def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
     when capture_logits (parakeet_get_logits contract: the reference
     stores one n_vocab+durations+1 row per decoded token,
     src/parakeet.cpp:2396-2404).
+
+    chunk>1 selects the CHUNKED loop (_tdt_greedy_decode_chunked): the
+    per-frame while_loop is dispatch-bound on TPU (~60 us/trip x ~1
+    trip/frame), but the LSTM state only changes on non-blank emissions,
+    so runs of blank frames share one pred_out — each outer trip scores a
+    `chunk`-frame block in one batched joint matmul and walks the
+    duration-skip chain with unrolled scalar ops, costing ~1 trip per
+    EMITTED token instead of per frame.  chunk=1 keeps the original
+    frame-loop (used by tests to prove token equality).
     """
+    if chunk > 1:
+        return _tdt_greedy_decode_chunked(params, enc, n_frames, h0, c0, hp,
+                                          max_out, dtype, capture_logits,
+                                          chunk)
     pred_p, joint_p = params["pred"], params["joint"]
     blank_id = hp.blank_id
     n_vocab_logits = blank_id + 1
@@ -133,9 +146,142 @@ def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
     return (*bufs[:6], n_out, h, c)
 
 
+def _tdt_greedy_decode_chunked(params: Dict[str, Any], enc: jax.Array,
+                               n_frames, h0: jax.Array, c0: jax.Array,
+                               hp: ParakeetHParams, max_out: int,
+                               dtype=jnp.float32,
+                               capture_logits: bool = False, K: int = 16):
+    """Chunked TDT loop: one outer while_loop trip per emitted token (plus
+    one per K-frame blank run) instead of per frame.
+
+    Correctness rests on the transducer invariant that blank frames do not
+    touch the prediction network (src/parakeet.cpp:2496-2640 only calls the
+    pred graph on emission), so the joint logits of every frame reachable
+    before the next emission are computable from the CURRENT pred_out in one
+    (K, n_joint) batched matmul.  The duration-skip chain (t += max(dur,1)
+    on blanks) is then walked with K unrolled scalar steps on the argmax/
+    duration vectors — pure dataflow, no loop dispatch.  The encoder half of
+    the joint (enc @ enc_w + enc_b) is pred-independent and hoisted out of
+    the loop entirely (batched over ALL frames on the MXU).
+    """
+    pred_p, joint_p = params["pred"], params["joint"]
+    blank_id = hp.blank_id
+    n_vocab_logits = blank_id + 1
+    durations = jnp.asarray(hp.tdt_durations, jnp.int32)
+
+    # hoisted encoder projection for every frame, padded by K rows so the
+    # in-loop dynamic_slice stays in bounds (padded rows are never VISITED:
+    # the walk stops at t + off >= n_frames)
+    enc_proj = (enc.astype(dtype) @ joint_p["enc_w"].astype(dtype).T
+                + joint_p["enc_b"].astype(dtype))
+    enc_proj = jnp.pad(enc_proj, ((0, K), (0, 0)))
+
+    pred_out, h, c = M.lstm_predict(pred_p, joint_p, jnp.int32(blank_id),
+                                    h0, c0, hp, dtype)
+
+    out_tok = jnp.zeros(max_out, jnp.int32)
+    out_frame = jnp.zeros(max_out, jnp.int32)
+    out_didx = jnp.zeros(max_out, jnp.int32)
+    out_dval = jnp.zeros(max_out, jnp.int32)
+    out_p = jnp.zeros(max_out, jnp.float32)
+    out_plog = jnp.zeros(max_out, jnp.float32)
+    out_logits = jnp.zeros(
+        (max_out, hp.n_joint_out) if capture_logits else (1, 1), jnp.float32)
+
+    state = (jnp.int32(0), jnp.int32(0), jnp.int32(0), pred_out, h, c,
+             out_tok, out_frame, out_didx, out_dval, out_p, out_plog,
+             out_logits)
+
+    def cond(s):
+        t, n_out = s[0], s[1]
+        return (t < n_frames) & (n_out < max_out)
+
+    def body(s):
+        t, n_out, emitted, pred_out, h, c, *bufs = s
+        (out_tok, out_frame, out_didx, out_dval, out_p, out_plog,
+         out_logits) = bufs
+
+        rows = jax.lax.dynamic_slice(
+            enc_proj, (t, 0), (K, enc_proj.shape[1]))
+        logits_K = (jax.nn.relu(rows + pred_out[None])
+                    @ joint_p["net_w"].astype(dtype).T
+                    + joint_p["net_b"].astype(dtype))
+        tokK = jnp.argmax(
+            logits_K[:, :n_vocab_logits], axis=1).astype(jnp.int32)
+        didxK = jnp.argmax(
+            logits_K[:, n_vocab_logits:], axis=1).astype(jnp.int32)
+        durK = durations[didxK]
+        blankK = tokK == blank_id
+
+        # walk the duration-skip chain: each blank advances >= 1, so K
+        # unrolled steps fully resolve the chunk (no loop dispatch)
+        off = jnp.int32(0)
+        emit = jnp.bool_(False)
+        done = jnp.bool_(False)
+        for _ in range(K):
+            offc = jnp.minimum(off, K - 1)
+            cur_blank = blankK[offc]
+            cur_dur = durK[offc]
+            visit = (~done) & (t + off < n_frames) & (off < K)
+            is_emit = visit & (~cur_blank)
+            emit = emit | is_emit
+            done = done | is_emit | (~visit)
+            off = jnp.where(visit & cur_blank,
+                            off + jnp.maximum(cur_dur, 1), off)
+
+        offc = jnp.minimum(off, K - 1)
+
+        # ---- blank-only chunk: t advances by the walked distance; any
+        # visited blank resets the consecutive-emission counter
+        def blank_case(_):
+            return (t + off, n_out, jnp.int32(0), pred_out, h, c,
+                    out_tok, out_frame, out_didx, out_dval, out_p, out_plog,
+                    out_logits)
+
+        # ---- emit at t + off (src/parakeet.cpp emit semantics verbatim)
+        def emit_case(_):
+            row = logits_K[offc].astype(jnp.float32)
+            tok_logits = row[:n_vocab_logits]
+            best_tok = tokK[offc]
+            max_logit = tok_logits[best_tok]
+            didx = didxK[offc]
+            dur = durK[offc]
+            t_at = t + off
+            p = jnp.exp(max_logit - jax.scipy.special.logsumexp(tok_logits))
+            i = n_out
+            logits_buf = (out_logits.at[i].set(row)
+                          if capture_logits else out_logits)
+            bufs2 = (out_tok.at[i].set(best_tok),
+                     out_frame.at[i].set(t_at),
+                     out_didx.at[i].set(didx),
+                     out_dval.at[i].set(dur),
+                     out_p.at[i].set(p),
+                     out_plog.at[i].set(max_logit),
+                     logits_buf)
+            pred2, h2, c2 = M.lstm_predict(pred_p, joint_p, best_tok, h, c,
+                                           hp, dtype)
+            # blanks visited before the emission reset the counter
+            emitted_eff = jnp.where(off > 0, 0, emitted)
+            adv = dur > 0
+            emitted2 = jnp.where(adv, 0, emitted_eff + 1)
+            force = (~adv) & (emitted2 >= hp.n_max_tokens)
+            t2 = jnp.where(adv, t_at + dur,
+                           jnp.where(force, t_at + 1, t_at))
+            emitted2 = jnp.where(force, 0, emitted2)
+            return (t2, n_out + 1, emitted2, pred2, h2, c2) + bufs2
+
+        return jax.lax.cond(emit, emit_case, blank_case, None)
+
+    final = jax.lax.while_loop(cond, body, state)
+    t, n_out, _, pred_out, h, c, *bufs = final
+    if capture_logits:
+        return (*bufs[:6], n_out, h, c, bufs[6])
+    return (*bufs[:6], n_out, h, c)
+
+
 tdt_greedy_decode = partial(
     jax.jit,
-    static_argnames=("hp", "max_out", "dtype", "capture_logits"))(
+    static_argnames=("hp", "max_out", "dtype", "capture_logits", "chunk"))(
     _tdt_greedy_decode)
 
 
