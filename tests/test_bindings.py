@@ -1,12 +1,16 @@
-"""Language bindings over the C ABI (VERDICT r2 item 8).
+"""Language bindings over the C ABI (VERDICT r2 item 8, r3 missing #4).
 
 The reference ships go/java/javascript/ruby wrappers of whisper.h
 (bindings/go/whisper.go); whisper_tpu ships the consumer header
-(native/whisper_tpu.h), a header-only C++ RAII binding (bindings/cpp) and a
-cgo Go binding (bindings/go).  The C++ consumer builds AND runs in CI
-against the decisive mini model — a binding-shaped proof of the ABI
-contract beyond the in-repo pure-C host (tests/test_c_abi.py); the Go test
-runs whenever a Go toolchain exists on the machine.
+(native/whisper_tpu.h), a header-only C++ RAII binding (bindings/cpp), a
+cgo Go binding (bindings/go), a stdlib-fiddle Ruby binding (bindings/ruby)
+and an FFM Java binding (bindings/java).  The C++ consumer builds AND runs
+in CI against the decisive mini model — a binding-shaped proof of the ABI
+contract beyond the in-repo pure-C host (tests/test_c_abi.py); the
+go/ruby/java tests run whenever the matching toolchain exists on the
+machine (none do on this host — each binding's header documents that
+status; the reference's javascript binding is emscripten/wasm, which stays
+documented out-of-scope with the other wasm targets).
 """
 
 import os
@@ -118,3 +122,63 @@ def test_go_binding(libwhisper_tpu, dec_models, pcm_file):
         cwd=str(REPO / "bindings" / "go"),
         capture_output=True, text=True, timeout=900, env=env)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_ruby_binding(libwhisper_tpu, dec_models, pcm_file):
+    """fiddle binding smoke test — runs when a Ruby interpreter is present
+    (same policy as the Go test: no toolchain on this host => skip)."""
+    ruby = shutil.which("ruby")
+    if ruby is None:
+        pytest.skip("ruby interpreter not installed")
+    script = f"""
+$LOAD_PATH.unshift {str(REPO / 'bindings' / 'ruby' / 'lib')!r}
+ENV["WHISPER_TPU_LIB"] = {str(libwhisper_tpu)!r}
+require "whisper_tpu"
+ctx = WhisperTpu::Context.new({str(dec_models['f16'])!r})
+pcm = File.binread({str(pcm_file)!r})
+segs = ctx.transcribe(pcm, beam_size: 1, best_of: 1, temperature_inc: 0)
+raise "no segments" if segs.empty?
+segs.each {{ |s| raise "bad ticks" unless s.t1 >= s.t0 }}
+puts segs.map(&:text).join
+ctx.close
+"""
+    proc = subprocess.run([ruby, "-e", script], capture_output=True,
+                          text=True, timeout=900, env=_run_env())
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert proc.stdout.strip()
+
+
+def test_java_binding(libwhisper_tpu, dec_models, pcm_file):
+    """FFM binding smoke test — runs when a JDK (>= 22) is present."""
+    java = shutil.which("java")
+    if java is None:
+        pytest.skip("java runtime not installed")
+    main = f"""
+import java.nio.*; import java.nio.file.*; import java.util.*;
+public class Smoke {{
+  public static void main(String[] a) throws Exception {{
+    byte[] raw = Files.readAllBytes(Path.of({str(pcm_file)!r}));
+    FloatBuffer fb = ByteBuffer.wrap(raw)
+        .order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer();
+    float[] pcm = new float[fb.remaining()]; fb.get(pcm);
+    try (WhisperTpu w = new WhisperTpu({str(dec_models['f16'])!r})) {{
+      List<WhisperTpu.Segment> segs = w.fullTranscribe(pcm,
+          "{{\\"beam_size\\":1,\\"best_of\\":1,\\"temperature_inc\\":0}}");
+      if (segs.isEmpty()) throw new RuntimeException("no segments");
+      for (WhisperTpu.Segment s : segs) System.out.println(s.text());
+    }}
+  }}
+}}
+"""
+    workdir = BUILD / "java_smoke"
+    workdir.mkdir(parents=True, exist_ok=True)
+    (workdir / "Smoke.java").write_text(main)
+    shutil.copy(REPO / "bindings" / "java" / "WhisperTpu.java", workdir)
+    env = _run_env()
+    proc = subprocess.run(
+        [java, "--enable-native-access=ALL-UNNAMED",
+         f"-Dwhisper_tpu.lib={libwhisper_tpu}", "Smoke.java"],
+        cwd=str(workdir), capture_output=True, text=True, timeout=900,
+        env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert proc.stdout.strip()
