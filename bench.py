@@ -87,10 +87,11 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     xk, xv = encode_fn(params, mel)
 
     # ---- decode: n-lane greedy token loop ---------------------------------
-    def make_dec_chain(n_beam):
+    def make_dec_chain(n_beam, q8=False):
         @jax.jit
         def chain(K, params, xk, xv):
-            cache = M.KVCache.zeros(hp, n_beam, dtype)
+            cache = (M.new_cache(hp, n_beam, dtype, itype="q8") if q8
+                     else M.KVCache.zeros(hp, n_beam, dtype))
 
             def body(i, carry):
                 cache, tok = carry
@@ -160,6 +161,22 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     dec_q_ms = _per_op_ms(make_dec_chain(1), 32, 128, lambda: (packed, xk, xv))
     bch5_q_ms = _per_op_ms(make_dec_chain(5), 16, 64, lambda: (packed, xk, xv))
 
+    # ---- W=1 with the serving path's int8 cache formats (q8 self-cache —
+    # engages the Pallas decode-attn kernel — + int8 cross-KV planes):
+    # the W=1 step is stream-bound and the dense-f16 cross-KV read is its
+    # second-largest stream (0.43 ms of 2.62 — tools/perf_w1.py knockouts,
+    # docs/PERF.md W=1 anatomy); int8 halves it
+    @jax.jit
+    def quantize_cross(xk, xv):
+        from whisper_tpu.models.whisper.model import XK8, _quantize_rows
+        kq, ks = _quantize_rows(xk)
+        vq, vs = _quantize_rows(xv)
+        return XK8(kq, ks), XK8(vq, vs)
+
+    xk8, xv8 = quantize_cross(xk, xv)
+    dec_q8_ms = _per_op_ms(make_dec_chain(1, q8=True), 32, 128,
+                           lambda: (packed, xk8, xv8))
+
     # ---- batched serving: W windows decoded in lockstep --------------------
     # Continuous batching (runtime/batching.py) amortizes the decoder weight
     # reads across windows.  Windows ride decode_step's beam axis NATIVELY
@@ -173,15 +190,6 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     # int8: W=16 454x, W=24 393x, W=32 349x rt/chip; f16 self-cache:
     # W=8 358x, W=16 372x).
     W = 16
-
-    @jax.jit
-    def quantize_cross(xk, xv):
-        from whisper_tpu.models.whisper.model import _quantize_rows, XK8
-        kq, ks = _quantize_rows(xk)
-        vq, vs = _quantize_rows(xv)
-        return XK8(kq, ks), XK8(vq, vs)
-
-    xk8, xv8 = quantize_cross(xk, xv)
 
     @jax.jit
     def batched_chain(K, params, xkb, xvb):
@@ -259,7 +267,7 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
 
     # headline uses the better decode path (dense bf16 vs packed q5_0) — a
     # q5_0 checkpoint runs whichever the context selects
-    dec_best = min(dec_ms, dec_q_ms) if dec_q_ms > 0 else dec_ms
+    dec_best = min(dec_ms, dec_q_ms, dec_q8_ms) if dec_q_ms > 0 else dec_ms
     window_s = (enc_ms + n_dec_tokens * dec_best) / 1000.0
     rtf = 30.0 / window_s if window_s > 0 else 0.0
     # batched serving RTF: W windows in flight; the decode loop runs as one
@@ -272,7 +280,8 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
                   n_dec_tokens * dec_b_best) / 1000.0
     rtf_batched = 30.0 / window_b_s if window_b_s > 0 else 0.0
     return dict(model=name, enc_ms=round(enc_ms, 2), dec_ms=round(dec_ms, 3),
-                dec_q_ms=round(dec_q_ms, 3), bch5_ms=round(bch5_ms, 3),
+                dec_q_ms=round(dec_q_ms, 3), dec_q8_ms=round(dec_q8_ms, 3),
+                bch5_ms=round(bch5_ms, 3),
                 bch5_q_ms=round(bch5_q_ms, 3), prompt_ms=round(prompt_ms, 2),
                 dec_b_ms=round(dec_b_per_window_ms, 3),
                 dec_bq_ms=round(dec_bq_per_window_ms, 3),
@@ -290,7 +299,6 @@ def bench_parakeet():
     conformer weights (models/parakeet/model.PQW)."""
     from whisper_tpu.formats import quants
     from whisper_tpu.models.parakeet import model as PM
-    from whisper_tpu.models.parakeet.decode import tdt_greedy_decode
     from whisper_tpu.models.parakeet.hparams import ParakeetHParams
     from whisper_tpu.models.parakeet.load import (PACKED_LAYER_KEYS,
                                                   build_param_pytree)
@@ -325,15 +333,22 @@ def bench_parakeet():
     h0 = jnp.zeros((L, D), dtype)
     c0 = jnp.zeros((L, D), dtype)
 
-    def dec_once():
-        out = tdt_greedy_decode(params, enc, jnp.int32(n_frames), h0, c0,
-                                hp, 512, dtype)
-        return np.asarray(out[6])  # n_out readback
+    # chained like every other measurement (the round-3 single-call timing
+    # reported ~29 ms — that was tunnel RTT, not device time; the chained
+    # decode measures 3.6 ms on v5e — tools/perf_tdt.py, docs/PERF.md)
+    from whisper_tpu.models.parakeet.decode import _tdt_greedy_decode
 
-    dec_once()
-    t0 = time.perf_counter()
-    dec_once()
-    dec_ms = (time.perf_counter() - t0) * 1000
+    @jax.jit
+    def dec_chain(K, params, enc):
+        def body(i, carry):
+            e, acc = carry
+            out = _tdt_greedy_decode(params, e, jnp.int32(n_frames), h0, c0,
+                                     hp, 512, dtype)
+            return e + (out[6].astype(dtype) * 1e-12), acc + out[6]
+        e, acc = jax.lax.fori_loop(0, K, body, (enc, jnp.int32(0)))
+        return acc + (e.sum() * 0).astype(jnp.int32)
+
+    dec_ms = _per_op_ms(dec_chain, 1, 3, lambda: (params, enc))
 
     # packed q5_0 conformer weights
     def to_pqw(name_key):
@@ -366,8 +381,10 @@ def main():
     r = bench_model(name, hp)
     pk = (bench_parakeet()
           if os.environ.get("WTPU_BENCH_PARAKEET", "1") != "0" else {})
-    dec_used = min(r["dec_ms"], r["dec_q_ms"]) if r["dec_q_ms"] > 0 else r["dec_ms"]
-    path = "q5_0-packed" if r["packed_decode"] else "bf16"
+    dec_used = (min(r["dec_ms"], r["dec_q_ms"], r["dec_q8_ms"])
+                if r["dec_q_ms"] > 0 else r["dec_ms"])
+    path = ("q5_0-packed+q8kv" if r["dec_q8_ms"] == dec_used
+            else "q5_0-packed" if r["packed_decode"] else "bf16")
     spath = "q5_0-packed" if r["packed_serving"] else "bf16"
     dec_b_used = (min(r["dec_b_ms"], r["dec_bq_ms"]) if r["dec_bq_ms"] > 0
                   else r["dec_b_ms"])
@@ -377,7 +394,8 @@ def main():
                   f"{dec_b_used}ms/tok/window [dense {r['dec_b_ms']}, packed "
                   f"{r['dec_bq_ms']}] + solo enc {r['enc_ms']}ms, 64 tok/"
                   f"window; single-stream {path}: enc + 64tok x {dec_used}ms "
-                  f"[dense {r['dec_ms']}, packed {r['dec_q_ms']}] = "
+                  f"[dense {r['dec_ms']}, packed {r['dec_q_ms']}, "
+                  f"packed+q8kv {r['dec_q8_ms']}] = "
                   f"{r['rtf']}x; bch5 {r['bch5_ms']}/{r['bch5_q_ms']}ms/tok, "
                   f"prompt256 {r['prompt_ms']}ms; vmapped-enc "
                   f"{r['enc_b_ms']}ms/window"

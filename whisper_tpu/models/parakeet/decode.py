@@ -42,7 +42,7 @@ class ParakeetTokenData:
 def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
                        h0: jax.Array, c0: jax.Array, hp: ParakeetHParams,
                        max_out: int, dtype=jnp.float32,
-                       capture_logits: bool = False, chunk: int = 16):
+                       capture_logits: bool = False, chunk: int = 1):
     """Run the full TDT loop on-device.
 
     enc: [T_max, n_state]; n_frames: actual frame count (scalar).
@@ -52,14 +52,20 @@ def _tdt_greedy_decode(params: Dict[str, Any], enc: jax.Array, n_frames,
     stores one n_vocab+durations+1 row per decoded token,
     src/parakeet.cpp:2396-2404).
 
-    chunk>1 selects the CHUNKED loop (_tdt_greedy_decode_chunked): the
-    per-frame while_loop is dispatch-bound on TPU (~60 us/trip x ~1
-    trip/frame), but the LSTM state only changes on non-blank emissions,
-    so runs of blank frames share one pred_out — each outer trip scores a
-    `chunk`-frame block in one batched joint matmul and walks the
-    duration-skip chain with unrolled scalar ops, costing ~1 trip per
-    EMITTED token instead of per frame.  chunk=1 keeps the original
-    frame-loop (used by tests to prove token equality).
+    chunk>1 selects the CHUNKED loop (_tdt_greedy_decode_chunked): since
+    the LSTM state only changes on non-blank emissions, runs of blank
+    frames share one pred_out, so each outer trip can score a
+    `chunk`-frame block in one batched joint matmul and walk the
+    duration-skip chain with unrolled scalar ops — ~1 trip per EMITTED
+    token instead of per frame.  Probed and REJECTED as the default
+    (tools/perf_tdt.py, v5e, 30 s / 375 frames / 94 emissions): the
+    frame loop measures 3.61 ms/decode chained vs 5.10/5.35/8.22 ms at
+    chunk=8/16/32 — an on-device while trip costs only ~8 us, so cutting
+    ~470 trips to ~130 saves less than the fatter chunk body adds.  (The
+    round-3 bench's 29.3 ms "decode" was tunnel RTT in an unchained
+    measurement, not device time — docs/PERF.md.)  The chunked path stays
+    as a verified probe: token/frame/duration/LSTM-state bit-equal to the
+    frame loop (tests/test_parakeet.py::test_chunked_decode_matches_frame_loop).
     """
     if chunk > 1:
         return _tdt_greedy_decode_chunked(params, enc, n_frames, h0, c0, hp,
