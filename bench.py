@@ -324,6 +324,34 @@ def bench_parakeet():
 
     enc_ms = _per_op_ms(enc_chain, 1, 3, lambda: (params, mel_j))
 
+    # device mel (models/parakeet/mel._log_mel_jax — the TPU 'auto' path):
+    # pcm -> normalized log-mel for the 30 s utterance, chained.  The host
+    # numpy mel costs ~40 ms/30 s, 5x the whole encode+decode, so the e2e
+    # RTF is quoted mel-INCLUSIVE with the device path.
+    from whisper_tpu.models.parakeet.mel import _log_mel_jax
+
+    n_samp = 30 * 16000
+    pcm = jnp.asarray(np.random.default_rng(1).standard_normal(n_samp)
+                      .astype(np.float32) * 0.1)
+    pad = hp.n_fft // 2
+    n_len_b = (n_samp + 2 * pad - hp.n_fft) // 160 + 1
+    filt = jnp.asarray(tensors["filters"] if "filters" in tensors else
+                       np.random.default_rng(2).standard_normal(
+                           (hp.n_mels, hp.n_fft // 2 + 1)).astype(np.float32)
+                       * 0.01)
+    win = jnp.asarray(np.hanning(hp.n_fft).astype(np.float32))
+
+    @jax.jit
+    def mel_chain(K, pcm):
+        def body(i, x):
+            m = _log_mel_jax(x, jnp.int32(n_samp),
+                             jnp.int32(min(n_samp // 160, n_len_b)),
+                             filt, win, hp.n_fft, 160, n_len_b, hp.n_fft)
+            return x + (m.sum() * 1e-12).astype(x.dtype)
+        return jax.lax.fori_loop(0, K, body, pcm).sum()
+
+    mel_ms = _per_op_ms(mel_chain, 2, 6, lambda: (pcm,))
+
     # TDT decode over the whole utterance (one on-device while_loop)
     enc = jax.jit(lambda p, m: PM.encode(p, m, mel.shape[0], hp,
                                          dtype=dtype))(params, mel_j)
@@ -371,8 +399,9 @@ def bench_parakeet():
     enc_q_ms = _per_op_ms(enc_chain, 1, 3, lambda: (packed, mel_j))
 
     return dict(pk_enc_ms=round(enc_ms, 2), pk_enc_q5_ms=round(enc_q_ms, 2),
-                pk_dec_ms=round(dec_ms, 2),
-                pk_rtf=round(30_000.0 / (min(enc_ms, enc_q_ms) + dec_ms), 1))
+                pk_dec_ms=round(dec_ms, 2), pk_mel_ms=round(mel_ms, 2),
+                pk_rtf=round(
+                    30_000.0 / (mel_ms + min(enc_ms, enc_q_ms) + dec_ms), 1))
 
 
 def main():
@@ -399,9 +428,10 @@ def main():
                   f"{r['rtf']}x; bch5 {r['bch5_ms']}/{r['bch5_q_ms']}ms/tok, "
                   f"prompt256 {r['prompt_ms']}ms; vmapped-enc "
                   f"{r['enc_b_ms']}ms/window"
-                  + (f"; parakeet-tdt-0.6b 30s: enc {pk['pk_enc_ms']}ms "
-                     f"bf16 / {pk['pk_enc_q5_ms']}ms packed-q5_0, TDT "
-                     f"decode {pk['pk_dec_ms']}ms -> {pk['pk_rtf']}x"
+                  + (f"; parakeet-tdt-0.6b 30s: mel {pk['pk_mel_ms']}ms + "
+                     f"enc {pk['pk_enc_ms']}ms bf16 / {pk['pk_enc_q5_ms']}ms "
+                     f"packed-q5_0 + TDT decode {pk['pk_dec_ms']}ms -> "
+                     f"{pk['pk_rtf']}x e2e"
                      if pk else "") + ")",
         "value": r["rtf_batched"],
         "unit": "x realtime",

@@ -61,3 +61,30 @@ def test_native_mel_matches_numpy(lib):
     got = native.log_mel(padded, filters, N_FFT, HOP_LENGTH, n_len)
     assert got is not None and got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_jax_mel_matches_numpy():
+    """LogMel backend='jax' (the TPU 'auto' default, runtime/context.py) vs
+    the reference-exact numpy path: FFT rounding only.  Mirrors the native
+    backend check above; the normalized output is O(1)-scaled so a tight
+    absolute tolerance bounds relative error."""
+    import numpy as np
+
+    from whisper_tpu.audio.io import load_audio
+    from whisper_tpu.audio.mel import LogMel
+    from whisper_tpu.models.whisper.load import _read_header
+
+    header = "/root/reference/models/for-tests-ggml-tiny.en.bin"
+    import pathlib
+
+    if not pathlib.Path(header).exists():
+        import pytest
+
+        pytest.skip("reference test models not available")
+    with open(header, "rb") as f:
+        _, filters, _, _ = _read_header(f)
+    samples, _ = load_audio("/root/reference/samples/jfk.wav")
+    a, n_org_a = LogMel(filters.data)(samples)
+    b, n_org_b = LogMel(filters.data, backend="jax")(samples)
+    assert a.shape == b.shape and n_org_a == n_org_b
+    assert np.max(np.abs(a - b)) < 2e-4, np.max(np.abs(a - b))

@@ -266,3 +266,42 @@ def test_chunked_decode_matches_frame_loop():
         assert np.array_equal(np.asarray(a[8]), np.asarray(b[8]))  # c
         assert np.allclose(np.asarray(a[9][:na]), np.asarray(b[9][:na]),
                            atol=1e-4)
+
+
+def test_jax_mel_matches_numpy():
+    """Device-path mel (mel.log_mel_spectrogram_jax, ParakeetContext
+    mel_backend='jax') vs the oracle-exact numpy path: same shape, FFT/
+    accumulation rounding only (the normalized mel is O(1)-scaled, so a
+    tight absolute tolerance bounds the relative error)."""
+    if not TEST_MODEL.exists():
+        pytest.skip("parakeet test model not available")
+    from whisper_tpu.audio.io import load_audio
+    from whisper_tpu.models.parakeet.mel import (log_mel_spectrogram,
+                                                 log_mel_spectrogram_jax)
+
+    m = load_parakeet_model(str(TEST_MODEL))
+    samples, _ = load_audio(str(JFK))
+    rng = np.random.default_rng(3)
+    cases = [samples, samples[: 16000 * 2 + 137],
+             rng.standard_normal(16000).astype(np.float32) * 0.1]
+    for s in cases:
+        a = log_mel_spectrogram(s, m.filters, m.window, m.hparams.n_fft)
+        b = np.asarray(log_mel_spectrogram_jax(s, m.filters, m.window,
+                                               m.hparams.n_fft))
+        assert a.shape == b.shape, (a.shape, b.shape)
+        assert np.max(np.abs(a - b)) < 2e-4, np.max(np.abs(a - b))
+
+
+def test_mel_backend_jax_transcribes():
+    """ParakeetContext(mel_backend='jax') end-to-end: the device mel's
+    ~1e-6 rounding must not change the test model's transcript."""
+    if not TEST_MODEL.exists():
+        pytest.skip("parakeet test model not available")
+    from whisper_tpu.audio.io import load_audio
+
+    samples, _ = load_audio(str(JFK))
+    ref = ParakeetContext.from_file(str(TEST_MODEL))
+    ref.full(samples, FullParams())
+    jx = ParakeetContext.from_file(str(TEST_MODEL), mel_backend="jax")
+    jx.full(samples, FullParams())
+    assert jx.full_text() == ref.full_text()

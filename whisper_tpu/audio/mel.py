@@ -53,8 +53,15 @@ def mel_frame_counts(n_samples: int) -> Tuple[int, int]:
 @functools.partial(jax.jit, static_argnames=("n_len",))
 def _log_mel_jax(padded: jax.Array, filters: jax.Array, window: jax.Array, n_len: int) -> jax.Array:
     """padded audio -> normalized log-mel (n_mel, n_len)."""
-    idx = jnp.arange(n_len)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
-    frames = padded[idx] * window[None, :]           # (n_len, 400)
+    # overlapped frames as N_FFT strided slices (column j = padded[j::hop]):
+    # advanced indexing here lowers to a generic TPU gather costing ~11 ms
+    # per 30 s window vs ~1 ms for the bit-identical slice stack (probed on
+    # v5e; same disease/fix as the conformer rel-pos shift, docs/PERF.md)
+    end = (n_len - 1) * HOP_LENGTH + 1
+    frames = jnp.stack(
+        [jax.lax.slice(padded, (j,), (end + j,), (HOP_LENGTH,))
+         for j in range(N_FFT)], axis=1)
+    frames = frames * window[None, :]                # (n_len, 400)
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=N_FFT, axis=-1)
     power = (spec.real * spec.real + spec.imag * spec.imag)  # (n_len, 201)
     mel = power @ filters.T                          # (n_len, n_mel)

@@ -64,11 +64,20 @@ class FullParams:
 
 class ParakeetContext:
     def __init__(self, model: ParakeetModel, dtype=jnp.float32,
-                 exact_shapes: bool = True, use_packed_weights=None):
+                 exact_shapes: bool = True, use_packed_weights=None,
+                 mel_backend: str = "auto"):
         self.model = model
         self.hp = model.hparams
         self.vocab = model.vocab
         self.dtype = dtype
+        # mel backend: the host-numpy mel is the oracle-exact path but costs
+        # ~40 ms for 30 s — 5x the whole TPU encode+decode (docs/PERF.md);
+        # "auto" picks the batched-rfft device mel on TPU (~1e-6 rel FFT
+        # rounding vs the numpy path) and numpy elsewhere
+        if mel_backend == "auto":
+            mel_backend = ("jax" if jax.default_backend() == "tpu"
+                           else "numpy")
+        self.mel_backend = mel_backend
         # exact_shapes=True mirrors the reference's per-length dynamic graph
         # (bit-parity); False pads mel time to power-of-two buckets so jit
         # compiles are reused across utterances (production mode).
@@ -136,8 +145,15 @@ class ParakeetContext:
 
     def pcm_to_mel(self, samples: np.ndarray) -> None:
         t0 = time.perf_counter()
-        self.mel = log_mel_spectrogram(samples, self.model.filters,
-                                       self.model.window, self.hp.n_fft)
+        if self.mel_backend == "jax":
+            from .mel import log_mel_spectrogram_jax
+
+            self.mel = np.asarray(log_mel_spectrogram_jax(
+                samples, self.model.filters, self.model.window,
+                self.hp.n_fft))
+        else:
+            self.mel = log_mel_spectrogram(samples, self.model.filters,
+                                           self.model.window, self.hp.n_fft)
         self.n_len_org = self.mel.shape[0]
         self.t_mel_us += int((time.perf_counter() - t0) * 1e6)
 

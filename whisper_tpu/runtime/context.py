@@ -41,7 +41,8 @@ class WhisperContext:
     def __init__(self, model: WhisperModel, dtype=jnp.float32,
                  compute_dtype=None, use_packed_weights=None,
                  kv_itype: str = "f16", cross_itype: str = "f16",
-                 precision: Optional[str] = None):
+                 precision: Optional[str] = None,
+                 mel_backend: str = "auto"):
         self.model = model
         self.hp = model.hparams
         self.vocab = model.vocab
@@ -139,7 +140,15 @@ class WhisperContext:
                 self.params["dec"]["tok_embd_t"] = QWeightT(
                     jnp.asarray(np.ascontiguousarray(codes.T), jnp.int8),
                     jnp.asarray(np.ascontiguousarray(scales.T), jnp.float32))
-        self.mel_fn = LogMel(model.filters.data)
+        # mel backend: "auto" runs the batched-rfft DEVICE mel on TPU (the
+        # host-numpy 30 s mel costs ~40 ms — comparable to the whole encode;
+        # FFT rounding differs ~1e-6 rel from the oracle-exact numpy path)
+        # and keeps the reference-exact numpy path everywhere else,
+        # including the ggml_cpu_f16 parity mode
+        if mel_backend == "auto":
+            mel_backend = ("jax" if jax.default_backend() == "tpu"
+                           and not self.parity else "numpy")
+        self.mel_fn = LogMel(model.filters.data, backend=mel_backend)
         self.timings = Timings()
         self.filter_tables: Optional[LogitFilterTables] = None  # set per audio_ctx
 
