@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Generate committed OUTPUT-WRITER byte-parity references with the REFERENCE
+whisper-cli binary.
+
+The text-parity tier (tools/make_text_refs.py) proves segment text/timestamps
+match; this tier proves the FILE WRITERS (-otxt/-osrt/-ovtt/-ocsv/-olrc/-oj/
+-ojf/-owts, examples/cli/cli.cpp:560-960) produce byte-identical files.
+
+Three oracle runs on the decisive f16 mini model over jfk.wav:
+  plain  -otxt -osrt -ovtt -ocsv -olrc -oj
+  wts    -owts -fp tests/data/writer_parity/mono.ttf   (implies -ml 60 +
+         token timestamps, cli.cpp:1227-1229)
+  full   -ojf                                          (implies token ts)
+
+Byte-compare caveats handled by the pytest, not here:
+  * the "systeminfo" JSON line is implementation-identifying by design;
+  * full-json token "p" is %f-printed float whose low digits depend on
+    backend arithmetic — compared numerically instead.
+
+Usage: python tools/make_writer_refs.py   (requires the portable oracle
+build; run tools/oracle/build_oracles.sh first)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from whisper_tpu.evals import text_parity as TP  # noqa: E402
+
+FIXTURES = REPO / ".fixtures"
+OUT_DIR = REPO / "tests" / "data" / "writer_parity"
+ORACLE_BIN = REPO / ".oracle" / "build-portable" / "bin"
+JFK = Path("/root/reference/samples/jfk.wav")
+FONT = "tests/data/writer_parity/mono.ttf"  # placeholder; existence-checked
+                                            # by the oracle, embedded in .wts
+
+BASE = ["-np", "-nf", "-bo", "1", "-bs", "1"]
+RUNS = {
+    # run name -> (extra cli args, produced extensions)
+    "plain": (["-otxt", "-osrt", "-ovtt", "-ocsv", "-olrc", "-oj"],
+              ["txt", "srt", "vtt", "csv", "lrc", "json"]),
+    "wts": (["-owts", "-fp", FONT], ["wts"]),
+    "full": (["-ojf"], ["json"]),
+}
+
+
+def sha256(p: Path) -> str:
+    return hashlib.sha256(p.read_bytes()).hexdigest()
+
+
+def main() -> None:
+    model = FIXTURES / TP.model_filename("f16")
+    if not model.exists():
+        donor, margs = TP.model_recipe("f16")
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+             "--header-from", donor, "--out", str(model), *margs], check=True)
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    (OUT_DIR / "mono.ttf").touch()
+
+    meta = {
+        "model": model.name,
+        "model_sha256": sha256(model),
+        "audio": str(JFK),
+        "audio_sha256": sha256(JFK),
+        "oracle": "whisper-cli (build-portable, GGML_NATIVE=OFF)",
+        "runs": {},
+    }
+    for name, (extra, exts) in RUNS.items():
+        prefix = FIXTURES / f"writerref-{name}"
+        args = ["-m", str(model.relative_to(REPO)), "-f", str(JFK),
+                *BASE, *extra, "-of", str(prefix)]
+        r = subprocess.run([str(ORACLE_BIN / "whisper-cli"), *args],
+                           cwd=REPO, capture_output=True, text=True)
+        if r.returncode != 0:
+            raise SystemExit(f"{name}: oracle failed: {r.stderr[-800:]}")
+        for ext in exts:
+            src = prefix.with_name(prefix.name + f".{ext}")
+            dst = OUT_DIR / f"{name}.{ext}"
+            shutil.copyfile(src, dst)
+            print(f"  {dst.relative_to(REPO)}  {dst.stat().st_size} bytes")
+        meta["runs"][name] = {"cli_args": args, "files": exts}
+    (OUT_DIR / "meta.json").write_text(json.dumps(meta, indent=2) + "\n")
+    print(f"wrote {OUT_DIR / 'meta.json'}")
+
+
+if __name__ == "__main__":
+    main()

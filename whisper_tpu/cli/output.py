@@ -98,7 +98,9 @@ def write_csv(segments, f, diarize=False, stereo=None) -> None:
 
 def write_lrc(segments, f) -> None:
     """examples/cli/cli.cpp:937-960: [mm:ss.cc] lines."""
-    f.write("[by:whisper_tpu]\n")
+    # the "[by:whisper.cpp]" credit line is part of the reference's byte
+    # format (cli.cpp:941); emitting it keeps .lrc outputs byte-identical
+    f.write("[by:whisper.cpp]\n")
     for s in segments:
         t = s.t0
         msec = t * 10
@@ -107,7 +109,7 @@ def write_lrc(segments, f) -> None:
         ss = msec // 1000
         msec -= ss * 1000
         hund = msec // 10
-        f.write(f"[{mi:02d}:{ss:02d}.{hund:02d}]{s.text.lstrip(' ')}\n")
+        f.write(f"[{mi:02d}:{ss:02d}.{hund:02d}]{s.text}\n")
 
 
 def write_wts(segments, f, vocab, fname_inp: str, t_sec: float,
@@ -118,9 +120,14 @@ def write_wts(segments, f, vocab, fname_inp: str, t_sec: float,
     def esc(s: str) -> str:
         return s.replace("'", "’").replace('"', '\\"')
 
+    def g(x: float) -> str:
+        # C++ ostream default float formatting (6 significant digits,
+        # trailing zeros stripped): 1.0 -> "1", 11.0625 -> "11.0625"
+        return f"{x:.6g}"
+
     f.write("#!/bin/bash\n\n")
     f.write(f"ffmpeg -i {fname_inp} -f lavfi -i "
-            f"color=size=1200x120:duration={t_sec}:rate=25:color=black "
+            f"color=size=1200x120:duration={g(t_sec)}:rate=25:color=black "
             f"-vf \"")
     for i, seg in enumerate(segments):
         toks = [t for t in seg.tokens]
@@ -128,7 +135,7 @@ def write_wts(segments, f, vocab, fname_inp: str, t_sec: float,
             f.write(",")
         f.write(f"drawtext=fontfile='{font_path}':fontsize=24:fontcolor=gray:"
                 f"x=(w-text_w)/2:y=h/2:text='':enable='between(t,"
-                f"{seg.t0 / 100.0},{seg.t0 / 100.0})'")
+                f"{g(seg.t0 / 100.0)},{g(seg.t0 / 100.0)})'")
         speaker = ""
         if diarize and stereo is not None:
             speaker = estimate_diarization_speaker(stereo, seg.t0, seg.t1)
@@ -155,16 +162,16 @@ def write_wts(segments, f, vocab, fname_inp: str, t_sec: float,
                 f.write(f",drawtext=fontfile='{font_path}':fontsize=24:"
                         f"fontcolor=gray:x=(w-text_w)/2:y=h/2:"
                         f"text='{esc(txt_bg)}':enable='between(t,"
-                        f"{seg.t0 / 100.0},{seg.t1 / 100.0})'")
+                        f"{g(seg.t0 / 100.0)},{g(seg.t1 / 100.0)})'")
                 first = False
             f.write(f",drawtext=fontfile='{font_path}':fontsize=24:"
                     f"fontcolor=lightgreen:x=(w-text_w)/2+8:y=h/2:"
                     f"text='{esc(txt_fg)}':enable='between(t,"
-                    f"{tok.t0 / 100.0},{tok.t1 / 100.0})'")
+                    f"{g(tok.t0 / 100.0)},{g(tok.t1 / 100.0)})'")
             f.write(f",drawtext=fontfile='{font_path}':fontsize=24:"
                     f"fontcolor=lightgreen:x=(w-text_w)/2+8:y=h/2+16:"
                     f"text='{esc(txt_ul)}':enable='between(t,"
-                    f"{tok.t0 / 100.0},{tok.t1 / 100.0})'")
+                    f"{g(tok.t0 / 100.0)},{g(tok.t1 / 100.0)})'")
     f.write(f"\" -c:v libx264 -pix_fmt yuv420p -y {fname_inp}.mp4\n")
     f.write(f"\n\necho \"Your video has been saved to {fname_inp}.mp4\"\n")
     f.write(f"\necho \"  ffplay {fname_inp}.mp4\"\n\n")
@@ -233,5 +240,7 @@ def write_json(segments, f, ctx, params, language: str, full: bool = False,
         if getattr(s, "speaker_turn_next", False):
             seg["speaker_turn_next"] = True
         out["transcription"].append(seg)
-    json.dump(out, f, indent=2, ensure_ascii=False)
+    # tab indentation matches the reference writer (cli.cpp output_json's
+    # indent() emits \t) so -oj files are byte-comparable
+    json.dump(out, f, indent="\t", ensure_ascii=False)
     f.write("\n")

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grammar-penalty", type=float, default=100.0)
     p.add_argument("-owts", "--output-words", action="store_true")
     p.add_argument("-fp", "--font-path", default="/System/Library/Fonts/Supplemental/Courier New Bold.ttf")
+    p.add_argument("--precision", default="",
+                   choices=["", "default", "ggml_cpu_f16"],
+                   help="numeric mode; ggml_cpu_f16 reproduces the reference "
+                        "CPU backend's f16 arithmetic (docs/VERIFICATION.md)")
     p.add_argument("-debug", "--debug-mode", action="store_true")
     p.add_argument("--log-score", action="store_true")
     p.add_argument("-vad", "--vad", action="store_true")
@@ -140,7 +144,8 @@ def run(argv: Optional[List[str]] = None) -> int:
     if not args.no_prints:
         print(f"whisper_tpu: loading model from '{args.model}'", file=sys.stderr)
     ctx = wt.WhisperContext.from_file(args.model, kv_itype=args.kv_itype,
-                                      cross_itype=args.cross_kv_itype)
+                                      cross_itype=args.cross_kv_itype,
+                                      precision=args.precision or None)
     if args.dtw:
         if args.dtw.startswith("top:"):
             ctx.enable_dtw(n_top_most=int(args.dtw[4:]))
@@ -178,9 +183,13 @@ def run(argv: Optional[List[str]] = None) -> int:
             p.n_max_text_ctx = args.max_context
         p.offset_ms = args.offset_t_ms
         p.duration_ms = args.duration_ms
-        p.token_timestamps = args.output_words or args.max_len > 0
+        # cli.cpp:1227-1229: -owts/-ojf imply token timestamps, and -owts
+        # with no explicit -ml defaults to 60-char karaoke lines
+        p.token_timestamps = (args.output_words or args.output_json_full
+                              or args.max_len > 0)
         p.thold_pt = args.word_thold
-        p.max_len = args.max_len
+        p.max_len = (60 if args.output_words and args.max_len == 0
+                     else args.max_len)
         p.split_on_word = args.split_on_word
         p.audio_ctx = args.audio_ctx
         p.suppress_regex = args.suppress_regex
@@ -266,8 +275,9 @@ def run(argv: Optional[List[str]] = None) -> int:
             import os
 
             with open(base + ".wts", "w") as f:
+                # cli.cpp:1335 pads the video duration by 1000 samples
                 OW.write_wts(segments, f, ctx.vocab, fname,
-                             len(mono) / 16000.0, args.font_path,
+                             (len(mono) + 1000) / 16000.0, args.font_path,
                              args.diarize, stereo)
             os.chmod(base + ".wts", 0o755)
         if args.output_json or args.output_json_full:
