@@ -53,6 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nth", "--no-speech-thold", type=float, default=0.6)
     p.add_argument("-tp", "--temperature", type=float, default=0.0)
     p.add_argument("-tpi", "--temperature-inc", type=float, default=0.2)
+    p.add_argument("-fa", "--flash-attn", action="store_true", default=True,
+                   help="flash/Pallas attention kernels (default; whisper-cli"
+                        " parity flag)")
+    p.add_argument("-nfa", "--no-flash-attn", action="store_true",
+                   help="disable the flash/Pallas attention kernels and keep "
+                        "the plain XLA graphs (whisper-cli -nfa analogue)")
+    p.add_argument("-ng", "--no-gpu", action="store_true",
+                   help="run on host CPU instead of the TPU (whisper-cli -ng "
+                        "analogue)")
     p.add_argument("-tr", "--translate", action="store_true")
     p.add_argument("-di", "--diarize", action="store_true")
     p.add_argument("-tdrz", "--tinydiarize", action="store_true")
@@ -135,6 +144,20 @@ def run(argv: Optional[List[str]] = None) -> int:
     if not files:
         print("error: no input files specified", file=sys.stderr)
         return 1
+
+    if args.no_gpu:
+        # must land before the first jax device query (cli.cpp use_gpu=false)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.no_flash_attn:
+        import os
+
+        from whisper_tpu.ops import attention as _att
+
+        _att.set_flash_enabled(False)
+        os.environ.setdefault("WTPU_ENC_ATTN", "xla")
+        os.environ.setdefault("WTPU_DECODE_ATTN", "xla")
 
     import whisper_tpu as wt
     from whisper_tpu.audio.io import load_audio

@@ -83,11 +83,22 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.astype(jnp.float32)
 
 
+_flash_enabled = True  # CLI -nfa / whisper-cli's --no-flash-attn analogue
+
+
+def set_flash_enabled(enable: bool) -> None:
+    """Global kill-switch for the flash kernels (whisper-cli -nfa).  The
+    non-flash graphs are the ones `precision=\"ggml_cpu_f16\"` emulates, so
+    this also gives a CLI path onto the reference's -nfa numerics."""
+    global _flash_enabled
+    _flash_enabled = bool(enable)
+
+
 def use_flash(t: int, dtype=jnp.bfloat16) -> bool:
     """Flash pays off when the score matrix is the bottleneck.
 
     The kernel computes in bf16, so it is only selected when the requested
     compute dtype is bf16 — encode(dtype=float32) (the bit-accuracy mode)
     must keep the exact XLA path."""
-    return (jax.default_backend() == "tpu" and t >= 256
+    return (_flash_enabled and jax.default_backend() == "tpu" and t >= 256
             and dtype == jnp.bfloat16)
