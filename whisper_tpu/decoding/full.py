@@ -278,8 +278,8 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
         if not ctx.is_empty:
             ctx.encode_window(seek, params.audio_ctx)
         else:
-            ctx.filter_tables = LF.LogitFilterTables(
-                vocab, params.audio_ctx or hp.n_audio_ctx)
+            # model-hparams ctx, NOT the -ac truncation (whisper.cpp:6338)
+            ctx.filter_tables = LF.LogitFilterTables(vocab, hp.n_audio_ctx)
 
         # drop history near the very end (hallucination guard)
         if seek > seek_start and seek + 500 >= seek_end:

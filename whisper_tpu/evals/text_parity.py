@@ -115,6 +115,10 @@ class Case:
     translate: bool = False      # -tr (task token = translate)
     dtw: str = ""                # -dtw PRESET; compares per-token t_dtw
     precision: str = ""          # "" (default TPU math) | "ggml_cpu_f16"
+    offset_ms: int = 0           # -ot: start transcription mid-audio
+    duration_ms: int = 0         # -d: transcribe only this much audio
+    max_context: int = -1        # -mc: cap carried cross-window context
+    audio_ctx: int = 0           # -ac: truncate the encoder context
 
 
 CASES: Tuple[Case, ...] = (
@@ -203,6 +207,19 @@ CASES: Tuple[Case, ...] = (
     # the reference cannot materialize cross-attn weights, so every t_dtw
     # stays -1 (verified empirically; whisper.cpp disables aheads capture)
     Case("ml-dtw", "ml-f16", language="es", dtw="tiny", nfa=True),
+    # --- orchestrator seek-window flags (round-4): -ot / -d / -mc / -ac ---
+    # -ot: seek starts at offset/10 cs mid-audio (src/whisper.cpp:7155);
+    # on the 33 s concat this also shifts every window boundary
+    Case("f16-greedy-ot", "f16", audio="jfk3", offset_ms=12000),
+    # -d: clamps n_samples before the seek loop (cli.cpp -> duration_ms)
+    Case("f16-greedy-dur", "f16", duration_ms=5000),
+    # -mc 0: no cross-window conditioning — prompt_past stays empty, so
+    # window 2+ decodes from a bare [sot] prompt (src/whisper.cpp:7031-7039)
+    Case("f16-greedy-mc0", "f16", audio="jfk3", max_context=0),
+    # -ac: encoder runs a truncated audio context (src/whisper.cpp:2171,
+    # whisper_encode's n_ctx override) — exercises the static-shape
+    # audio_ctx bucket path on our side
+    Case("f16-greedy-ac", "f16", audio_ctx=768),
 )
 
 
@@ -248,6 +265,14 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
     if case.dtw:
         # -ojf: full JSON with per-token {id, p, t_dtw} rows (cli.cpp:793)
         args += ["-dtw", case.dtw, "-ojf"]
+    if case.offset_ms:
+        args += ["-ot", str(case.offset_ms)]
+    if case.duration_ms:
+        args += ["-d", str(case.duration_ms)]
+    if case.max_context >= 0:
+        args += ["-mc", str(case.max_context)]
+    if case.audio_ctx:
+        args += ["-ac", str(case.audio_ctx)]
     return args
 
 
@@ -289,6 +314,14 @@ def transcribe_params(case: Case):
         p.i_start_rule = parsed.start_rule_id(case.grammar_rule)
     p.language = case.language
     p.translate = case.translate
+    if case.offset_ms:
+        p.offset_ms = case.offset_ms
+    if case.duration_ms:
+        p.duration_ms = case.duration_ms
+    if case.max_context >= 0:
+        p.n_max_text_ctx = case.max_context
+    if case.audio_ctx:
+        p.audio_ctx = case.audio_ctx
     return p
 
 

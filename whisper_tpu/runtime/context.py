@@ -269,7 +269,10 @@ class WhisperContext:
         jax.block_until_ready(self.xk)
         self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
         self.timings.n_encode += 1
-        self.filter_tables = LogitFilterTables(self.vocab, n_ctx)
+        # max_initial_ts precision derives from the MODEL's full audio ctx
+        # even when -ac truncates the encode (src/whisper.cpp:6338 reads
+        # ctx.model.hparams.n_audio_ctx, not exp_n_audio_ctx)
+        self.filter_tables = LogitFilterTables(self.vocab, hp.n_audio_ctx)
 
     def new_cache(self, n_beam: int, dtype=None):
         if dtype is None:
