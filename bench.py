@@ -78,6 +78,30 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
 
     enc_ms = _per_op_ms(enc_chain, 2, 6, lambda: (params, mel))
 
+    # device mel (audio/mel._log_mel_jax, the TPU 'auto' context path):
+    # informational — the serving headline stays enc+decode for round-over-
+    # round comparability (the reference's bench is encoder-only too); the
+    # host-numpy mel this replaced cost ~40 ms/30 s
+    from whisper_tpu.audio.mel import N_SAMPLES_PER_CHUNK as _NSPC
+    from whisper_tpu.audio.mel import _log_mel_jax, hann_window, pad_audio
+
+    pcm30 = np.random.default_rng(3).standard_normal(
+        16000 * 30).astype(np.float32) * 0.1
+    padded30 = jnp.asarray(pad_audio(pcm30))
+    n_len30 = (len(pad_audio(pcm30)) - 400) // 160
+    filt_j = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (hp.n_mels, 201)).astype(np.float32) * 0.01)
+    win_j = jnp.asarray(hann_window())
+
+    @jax.jit
+    def mel_chain(K, x):
+        def body(i, x):
+            m = _log_mel_jax(x, filt_j, win_j, n_len30)
+            return x + (m.sum() * 1e-12).astype(x.dtype)
+        return jax.lax.fori_loop(0, K, body, x).sum()
+
+    mel_ms = _per_op_ms(mel_chain, 2, 6, lambda: (padded30,))
+
     # precomputed cross-KV for the decode benches
     @jax.jit
     def encode_fn(params, mel):
@@ -279,7 +303,8 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     window_b_s = (min(enc_ms, enc_b_per_window_ms) +
                   n_dec_tokens * dec_b_best) / 1000.0
     rtf_batched = 30.0 / window_b_s if window_b_s > 0 else 0.0
-    return dict(model=name, enc_ms=round(enc_ms, 2), dec_ms=round(dec_ms, 3),
+    return dict(model=name, mel_ms=round(mel_ms, 2),
+                enc_ms=round(enc_ms, 2), dec_ms=round(dec_ms, 3),
                 dec_q_ms=round(dec_q_ms, 3), dec_q8_ms=round(dec_q8_ms, 3),
                 bch5_ms=round(bch5_ms, 3),
                 bch5_q_ms=round(bch5_q_ms, 3), prompt_ms=round(prompt_ms, 2),
@@ -421,7 +446,8 @@ def main():
         "metric": f"e2e realtime factor, {name} {spath} batched serving, "
                   f"1 chip ({r['n_windows']}-window lockstep decode at "
                   f"{dec_b_used}ms/tok/window [dense {r['dec_b_ms']}, packed "
-                  f"{r['dec_bq_ms']}] + solo enc {r['enc_ms']}ms, 64 tok/"
+                  f"{r['dec_bq_ms']}] + solo enc {r['enc_ms']}ms (device mel "
+                  f"{r['mel_ms']}ms), 64 tok/"
                   f"window; single-stream {path}: enc + 64tok x {dec_used}ms "
                   f"[dense {r['dec_ms']}, packed {r['dec_q_ms']}, "
                   f"packed+q8kv {r['dec_q8_ms']}] = "
