@@ -49,7 +49,7 @@ def dec_models():
     if not JFK.exists():
         pytest.skip("reference samples not available")
     models = {}
-    for base in ("f16", "ml-f16"):
+    for base in ("f16", "ml-f16", "tdrz-f16"):
         path = FIXTURES / TP.model_filename(base)
         if not path.exists():
             FIXTURES.mkdir(exist_ok=True)
@@ -130,7 +130,8 @@ def test_text_parity(case, dec_models, parity_audio):
                                    case.processors)
     else:
         segs = transcribe(ctx, TP.transcribe_params(case), samples)
-    got = TP.segments_to_rows(segs, vocab=ctx.vocab if case.dtw else None)
+    got = TP.segments_to_rows(segs, vocab=ctx.vocab if case.dtw else None,
+                              tdrz=case.tdrz)
 
     if "result_language" in ref:
         # -l auto: the language whisper_lang_auto_detect chose must match the

@@ -96,7 +96,8 @@ def synth_tensors(hp: WhisperHParams, seed: int = 0):
 
 def make_decisive(tensors, hp: WhisperHParams, seed: int,
                   n_text_active: int = 64, ts_stride: int = 25,
-                  boost: float = 25.0, eot_boost: float = 1.15) -> None:
+                  boost: float = 25.0, eot_boost: float = 1.15,
+                  tdrz: bool = False) -> None:
     """Rescale decoder token-embedding rows so greedy/beam decoding has
     LARGE argmax margins (gap >> any cross-implementation rounding noise).
 
@@ -170,6 +171,20 @@ def make_decisive(tensors, hp: WhisperHParams, seed: int,
     kind = rng.choice(3, size=n_pos, p=[0.80, 0.17, 0.03])
     script = pool[kind, np.arange(n_pos)]
     P += 3.0 * W[script] + 1.2 * W[ts_choice]
+    if tdrz:
+        # [TDRZ] script the solm speaker-turn token at a few mid-segment
+        # positions: boost its row and mix it ABOVE the primary script
+        # (4.5 > 3.0) so solm wins when -tdrz leaves it unsuppressed
+        # (src/whisper.cpp:6260-6262, :7657-7660) while the primary text
+        # script still wins decisively when the base mask bans it.
+        # solm id 50359 is fixed for the 51864 en vocab (whisper.cpp:445);
+        # multilingual shifts by dt (handled above when needed).
+        token_solm = 50359 if W.shape[0] < 51865 else 50361 + dt
+        W[token_solm] *= boost
+        # 8.0 > the 3.0 primary script because the positional direction
+        # attenuates through the layer stack + final layernorm (measured:
+        # 4.5 left solm ranked #2 behind the script at the sampled step)
+        P[[5]] += 8.0 * W[token_solm]
 
 
 def main():
@@ -195,6 +210,9 @@ def main():
                          "margins (exact-match tier), lower values give "
                          "REALISTIC margins for the statistical parity tier "
                          "(margins scale ~boost^2)")
+    ap.add_argument("--tdrz", action="store_true",
+                    help="script the [_SOLM_] speaker-turn token at a few "
+                         "positions (tinydiarize text-parity fixtures)")
     args = ap.parse_args()
 
     with open(args.header_from, "rb") as f:
@@ -213,7 +231,8 @@ def main():
 
     tensors = synth_tensors(hp, args.seed)
     if args.decisive:
-        make_decisive(tensors, hp, args.seed, boost=args.boost)
+        make_decisive(tensors, hp, args.seed, boost=args.boost,
+                      tdrz=args.tdrz)
     vocab_tokens = [vocab.id_to_token[i] for i in range(n_vocab_read)]
     write_model_file(args.out, hp, filters, vocab_tokens, tensors,
                      use_f16=not args.f32)

@@ -60,7 +60,7 @@ EN_DONOR = "/root/reference/models/for-tests-ggml-tiny.en.bin"
 
 
 def model_filename(quant: str) -> str:
-    if quant.startswith("ml-"):
+    if quant.startswith("ml-") or quant.startswith("tdrz-"):
         return f"mini-{quant}.bin"
     return f"mini-dec-{quant}.bin"
 
@@ -69,6 +69,9 @@ def model_recipe(quant: str):
     """(donor header, make_test_model args) for a Case.model string."""
     if quant.startswith("ml-"):
         return ML_DONOR, MODEL_ARGS_ML
+    if quant.startswith("tdrz-"):
+        # same en recipe + a scripted [_SOLM_] speaker turn mid-segment-2
+        return EN_DONOR, MODEL_ARGS + ["--tdrz"]
     return EN_DONOR, MODEL_ARGS
 
 
@@ -115,6 +118,7 @@ class Case:
     translate: bool = False      # -tr (task token = translate)
     dtw: str = ""                # -dtw PRESET; compares per-token t_dtw
     precision: str = ""          # "" (default TPU math) | "ggml_cpu_f16"
+    tdrz: bool = False           # -tdrz: tinydiarize speaker-turn detection
     offset_ms: int = 0           # -ot: start transcription mid-audio
     duration_ms: int = 0         # -d: transcribe only this much audio
     max_context: int = -1        # -mc: cap carried cross-window context
@@ -220,6 +224,15 @@ CASES: Tuple[Case, ...] = (
     # whisper_encode's n_ctx override) — exercises the static-shape
     # audio_ctx bucket path on our side
     Case("f16-greedy-ac", "f16", audio_ctx=768),
+    # --- tinydiarize (round-4): the tdrz mini scripts [_SOLM_] (50359)
+    # mid-segment-2.  With -tdrz the suppression lifts (whisper.cpp:6260-62),
+    # solm is sampled, the segment gets speaker_turn_next=true and its text
+    # drops the scripted " Taj"; withOUT -tdrz the base mask bans solm and
+    # the underlying script wins — one model exercises both branches,
+    # speaker flags compared via the -oj JSON's speaker_turn_next field
+    # (cli.cpp:803-805, whisper.cpp:7645-7679)
+    Case("f16-tdrz", "tdrz-f16", tdrz=True),
+    Case("f16-tdrz-off", "tdrz-f16"),
 )
 
 
@@ -265,6 +278,8 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
     if case.dtw:
         # -ojf: full JSON with per-token {id, p, t_dtw} rows (cli.cpp:793)
         args += ["-dtw", case.dtw, "-ojf"]
+    if case.tdrz:
+        args += ["-tdrz"]
     if case.offset_ms:
         args += ["-ot", str(case.offset_ms)]
     if case.duration_ms:
@@ -314,6 +329,8 @@ def transcribe_params(case: Case):
         p.i_start_rule = parsed.start_rule_id(case.grammar_rule)
     p.language = case.language
     p.translate = case.translate
+    if case.tdrz:
+        p.tdrz_enable = True
     if case.offset_ms:
         p.offset_ms = case.offset_ms
     if case.duration_ms:
@@ -357,6 +374,8 @@ def parse_cli_json(path: Path, tokens: bool = False) -> List[dict]:
     for s in doc["transcription"]:
         row = {"t0_ms": s["offsets"]["from"], "t1_ms": s["offsets"]["to"],
                "text": s["text"]}
+        if "speaker_turn_next" in s:  # present iff -tdrz (cli.cpp:803-805)
+            row["speaker_turn_next"] = bool(s["speaker_turn_next"])
         if tokens:
             # the CLI prints t_dtw through value_f (cli.cpp:793) — cast back
             row["tokens"] = [{"id": t["id"], "t_dtw": int(t["t_dtw"])}
@@ -388,7 +407,7 @@ def _utf8_trailing_bytes_needed(b: bytes) -> int:
     return 0 if have >= expected else expected - have
 
 
-def segments_to_rows(segments, vocab=None) -> List[dict]:
+def segments_to_rows(segments, vocab=None, tdrz: bool = False) -> List[dict]:
     """whisper_tpu Segment list → the same normalized rows (ticks are 10 ms).
 
     vocab given => also emit each segment's merged per-token [{id, t_dtw}]
@@ -398,6 +417,9 @@ def segments_to_rows(segments, vocab=None) -> List[dict]:
     rows = []
     for seg in segments:
         row = {"t0_ms": seg.t0 * 10, "t1_ms": seg.t1 * 10, "text": seg.text}
+        if tdrz:
+            row["speaker_turn_next"] = bool(
+                getattr(seg, "speaker_turn_next", False))
         if vocab is not None:
             toks, j, n = [], 0, len(seg.tokens)
             while j < n:
