@@ -77,8 +77,10 @@ def parity_audio():
     from whisper_tpu.audio.io import load_audio
 
     jfk3 = TP.make_long_audio(str(JFK), FIXTURES / "jfk3.wav")
+    jfk3st = TP.make_stereo_audio(str(JFK), FIXTURES / "jfk3-stereo.wav")
     return {"jfk": (load_audio(str(JFK))[0], JFK),
-            "jfk3": (load_audio(str(jfk3))[0], jfk3)}
+            "jfk3": (load_audio(str(jfk3))[0], jfk3),
+            "jfk3st": (load_audio(str(jfk3st))[0], jfk3st)}
 
 
 _CTX_CACHE = {}
@@ -130,8 +132,14 @@ def test_text_parity(case, dec_models, parity_audio):
                                    case.processors)
     else:
         segs = transcribe(ctx, TP.transcribe_params(case), samples)
+    stereo = None
+    if case.diarize:
+        from whisper_tpu.audio.io import load_audio
+
+        stereo = load_audio(str(wav_path))[1]
+        assert stereo is not None
     got = TP.segments_to_rows(segs, vocab=ctx.vocab if case.dtw else None,
-                              tdrz=case.tdrz)
+                              tdrz=case.tdrz, stereo=stereo)
 
     if "result_language" in ref:
         # -l auto: the language whisper_lang_auto_detect chose must match the

@@ -63,7 +63,9 @@ def ensure_models() -> dict:
 def main() -> int:
     models = ensure_models()
     audio = {"jfk": JFK,
-             "jfk3": TP.make_long_audio(str(JFK), FIXTURES / "jfk3.wav")}
+             "jfk3": TP.make_long_audio(str(JFK), FIXTURES / "jfk3.wav"),
+             "jfk3st": TP.make_stereo_audio(str(JFK),
+                                            FIXTURES / "jfk3-stereo.wav")}
     OUT_DIR.mkdir(parents=True, exist_ok=True)
 
     only = set(sys.argv[1:])  # optional case-name filter

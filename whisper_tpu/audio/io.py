@@ -46,8 +46,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
     if n_ch == 2:
         data = data.reshape(-1, 2)
         stereo = data.copy()
-        # reference downmix: (l + r) / 2 (examples/common-whisper.cpp:101)
-        data = data.mean(axis=1)
+        # reference downmix is the plain SUM l + r, no /2
+        # (examples/common-whisper.cpp:64 read_audio_from_decoder)
+        data = data.sum(axis=1)
     elif n_ch != 1:
         data = data.reshape(-1, n_ch).mean(axis=1)
     return data.astype(np.float32), stereo, sr

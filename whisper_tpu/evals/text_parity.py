@@ -119,6 +119,7 @@ class Case:
     dtw: str = ""                # -dtw PRESET; compares per-token t_dtw
     precision: str = ""          # "" (default TPU math) | "ggml_cpu_f16"
     tdrz: bool = False           # -tdrz: tinydiarize speaker-turn detection
+    diarize: bool = False        # -di: stereo channel-energy diarization
     offset_ms: int = 0           # -ot: start transcription mid-audio
     duration_ms: int = 0         # -d: transcribe only this much audio
     max_context: int = -1        # -mc: cap carried cross-window context
@@ -233,6 +234,13 @@ CASES: Tuple[Case, ...] = (
     # (cli.cpp:803-805, whisper.cpp:7645-7679)
     Case("f16-tdrz", "tdrz-f16", tdrz=True),
     Case("f16-tdrz-off", "tdrz-f16"),
+    # -di: stereo channel-energy diarization (cli.cpp:320-356).  The stereo
+    # fixture pans the 33 s concat hard-left then hard-right at the midpoint,
+    # so valid-range segments resolve to concrete speaker ids while the
+    # decisive script's reversed-timestamp segments exercise the "?" branch;
+    # per-segment labels compared via the -oj JSON "speaker" field
+    # (cli.cpp:799-801)
+    Case("f16-greedy-diarize", "f16", audio="jfk3st", diarize=True),
 )
 
 
@@ -280,6 +288,8 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
         args += ["-dtw", case.dtw, "-ojf"]
     if case.tdrz:
         args += ["-tdrz"]
+    if case.diarize:
+        args += ["-di"]
     if case.offset_ms:
         args += ["-ot", str(case.offset_ms)]
     if case.duration_ms:
@@ -342,6 +352,42 @@ def transcribe_params(case: Case):
     return p
 
 
+def make_stereo_audio(jfk_wav: str, out_wav: Path) -> Path:
+    """Deterministic STEREO fixture for -di: the 3x concat panned left for
+    the first half and right for the second, constructed so L + R == x
+    bit-exactly — the reference's downmix is the plain SUM of the channels
+    (common-whisper.cpp:64), so the transcribed mono equals the jfk3 mono
+    cases' samples and the decode trajectory stays the committed decisive
+    one; only the channel-energy speaker estimate sees the panning
+    (|L|/|R|~3 vs the 1.1 threshold, cli.cpp:343-350)."""
+    import wave
+
+    import numpy as np
+
+    if out_wav.exists():
+        return out_wav
+    with wave.open(jfk_wav, "rb") as r:
+        frames = r.readframes(r.getnframes())
+    x = np.frombuffer(frames * 3, np.int16).astype(np.int32)
+    n = len(x)
+    h1 = x >> 1          # floor halves: h1 + h2 == x exactly
+    h2 = x - h1
+    d = x >> 2
+    sign = np.where(np.arange(n) < n // 2, 1, -1)
+    left = (h1 + sign * d).astype(np.int16)
+    right = (h2 - sign * d).astype(np.int16)
+    assert ((left.astype(np.int32) + right) == x).all()
+    st = np.empty(2 * n, np.int16)
+    st[0::2], st[1::2] = left, right
+    out_wav.parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(out_wav), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(st.tobytes())
+    return out_wav
+
+
 def make_long_audio(jfk_wav: str, out_wav: Path, repeats: int = 3) -> Path:
     """Deterministic >30 s input: jfk.wav int16 frames concatenated
     `repeats` times (byte-exact samples, no float round-trip)."""
@@ -376,6 +422,8 @@ def parse_cli_json(path: Path, tokens: bool = False) -> List[dict]:
                "text": s["text"]}
         if "speaker_turn_next" in s:  # present iff -tdrz (cli.cpp:803-805)
             row["speaker_turn_next"] = bool(s["speaker_turn_next"])
+        if "speaker" in s:            # present iff -di (cli.cpp:799-801)
+            row["speaker"] = s["speaker"]
         if tokens:
             # the CLI prints t_dtw through value_f (cli.cpp:793) — cast back
             row["tokens"] = [{"id": t["id"], "t_dtw": int(t["t_dtw"])}
@@ -407,7 +455,8 @@ def _utf8_trailing_bytes_needed(b: bytes) -> int:
     return 0 if have >= expected else expected - have
 
 
-def segments_to_rows(segments, vocab=None, tdrz: bool = False) -> List[dict]:
+def segments_to_rows(segments, vocab=None, tdrz: bool = False,
+                     stereo=None) -> List[dict]:
     """whisper_tpu Segment list → the same normalized rows (ticks are 10 ms).
 
     vocab given => also emit each segment's merged per-token [{id, t_dtw}]
@@ -420,6 +469,11 @@ def segments_to_rows(segments, vocab=None, tdrz: bool = False) -> List[dict]:
         if tdrz:
             row["speaker_turn_next"] = bool(
                 getattr(seg, "speaker_turn_next", False))
+        if stereo is not None:
+            from ..cli.output import estimate_diarization_speaker
+
+            row["speaker"] = estimate_diarization_speaker(
+                stereo, seg.t0, seg.t1, id_only=True)
         if vocab is not None:
             toks, j, n = [], 0, len(seg.tokens)
             while j < n:
