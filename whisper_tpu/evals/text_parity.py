@@ -120,6 +120,7 @@ class Case:
     precision: str = ""          # "" (default TPU math) | "ggml_cpu_f16"
     tdrz: bool = False           # -tdrz: tinydiarize speaker-turn detection
     diarize: bool = False        # -di: stereo channel-energy diarization
+    suppress_regex: str = ""     # --suppress-regex (std::regex_match = fullmatch)
     offset_ms: int = 0           # -ot: start transcription mid-audio
     duration_ms: int = 0         # -d: transcribe only this much audio
     max_context: int = -1        # -mc: cap carried cross-window context
@@ -241,6 +242,12 @@ CASES: Tuple[Case, ...] = (
     # per-segment labels compared via the -oj JSON "speaker" field
     # (cli.cpp:799-801)
     Case("f16-greedy-diarize", "f16", audio="jfk3st", diarize=True),
+    # --suppress-regex bans the scripted " Taj" (FULL-match semantics,
+    # std::regex_match == re.fullmatch, whisper.cpp:6284-6290) — the step
+    # deterministically falls through to the secondary timestamp mix, so
+    # segmentation changes (verified stable across the reference's flash
+    # and non-flash graphs before committing)
+    Case("f16-greedy-sre", "f16", suppress_regex=" Taj"),
 )
 
 
@@ -290,6 +297,8 @@ def cli_args(case: Case, model: Path, audio: Path, out_base: Path) -> List[str]:
         args += ["-tdrz"]
     if case.diarize:
         args += ["-di"]
+    if case.suppress_regex:
+        args += ["--suppress-regex", case.suppress_regex]
     if case.offset_ms:
         args += ["-ot", str(case.offset_ms)]
     if case.duration_ms:
@@ -341,6 +350,8 @@ def transcribe_params(case: Case):
     p.translate = case.translate
     if case.tdrz:
         p.tdrz_enable = True
+    if case.suppress_regex:
+        p.suppress_regex = case.suppress_regex
     if case.offset_ms:
         p.offset_ms = case.offset_ms
     if case.duration_ms:
