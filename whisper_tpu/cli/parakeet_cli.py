@@ -24,8 +24,19 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", action="store_true",
                     help="transcribe all input files in one batched device "
                          "call (vmapped encoder + TDT loop)")
+    ap.add_argument("-ng", "--no-gpu", action="store_true",
+                    help="run on host CPU instead of the TPU (parakeet-cli "
+                         "-ng analogue)")
+    ap.add_argument("-dev", "--device", type=int, default=0,
+                    help="accepted for parakeet-cli argv compatibility; the "
+                         "single-TPU runtime has one device")
     ap.add_argument("files_pos", nargs="*", default=[])
     args = ap.parse_args(argv)
+
+    if args.no_gpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     files = args.files + args.files_pos
     if not files:
