@@ -38,6 +38,8 @@ pytestmark = pytest.mark.skipif(not JFK.exists(),
 
 @pytest.fixture(scope="session")
 def writer_meta(dec_models_shared):
+    from whisper_tpu.evals import text_parity as TP
+
     meta = json.loads((REF_DIR / "meta.json").read_text())
     import hashlib
     model = FIXTURES / meta["model"]
@@ -45,6 +47,10 @@ def writer_meta(dec_models_shared):
         meta["model_sha256"], "mini model drifted from the committed ref"
     assert hashlib.sha256(JFK.read_bytes()).hexdigest() == \
         meta["audio_sha256"]
+    st = TP.make_stereo_audio(str(JFK), FIXTURES / "jfk-stereo.wav",
+                              repeats=1)
+    assert hashlib.sha256(st.read_bytes()).hexdigest() == \
+        meta["stereo_sha256"], "stereo fixture drifted from the committed ref"
     return meta
 
 
@@ -98,6 +104,27 @@ def _drop_systeminfo(text: str) -> str:
 def test_json_byte_identical_mod_systeminfo(writer_meta, _plain_prefix):
     ref = (REF_DIR / "plain.json").read_text()
     ours = _plain_prefix.with_name(_plain_prefix.name + ".json").read_text()
+    assert _drop_systeminfo(ours) == _drop_systeminfo(ref)
+
+
+@pytest.fixture(scope="session")
+def _diarize_prefix(writer_meta, tmp_path_factory):
+    return _run_ours(writer_meta, "diarize",
+                     tmp_path_factory.mktemp("writer_di"))
+
+
+@pytest.mark.parametrize("ext", ["txt", "srt", "vtt", "csv", "lrc"])
+def test_diarize_writers_byte_identical(writer_meta, ext, _diarize_prefix):
+    ref = (REF_DIR / f"diarize.{ext}").read_bytes()
+    ours = _diarize_prefix.with_name(
+        _diarize_prefix.name + f".{ext}").read_bytes()
+    assert ours == ref
+
+
+def test_diarize_json_identical_mod_systeminfo(writer_meta, _diarize_prefix):
+    ref = (REF_DIR / "diarize.json").read_text()
+    ours = _diarize_prefix.with_name(
+        _diarize_prefix.name + ".json").read_text()
     assert _drop_systeminfo(ours) == _drop_systeminfo(ref)
 
 

@@ -49,6 +49,11 @@ RUNS = {
               ["txt", "srt", "vtt", "csv", "lrc", "json"]),
     "wts": (["-owts", "-fp", FONT], ["wts"]),
     "full": (["-ojf"], ["json"]),
+    # -di on a panned single-jfk stereo fixture (channel SUM == mono jfk, so
+    # the decisive trajectory is unchanged): every writer that embeds
+    # "(speaker N)" labels (cli.cpp write_txt/srt/vtt/csv/lrc + json)
+    "diarize": (["-di", "-otxt", "-osrt", "-ovtt", "-ocsv", "-olrc", "-oj"],
+                ["txt", "srt", "vtt", "csv", "lrc", "json"]),
 }
 
 
@@ -65,6 +70,8 @@ def main() -> None:
              "--header-from", donor, "--out", str(model), *margs], check=True)
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     (OUT_DIR / "mono.ttf").touch()
+    jfkst = TP.make_stereo_audio(str(JFK), FIXTURES / "jfk-stereo.wav",
+                                 repeats=1)
 
     meta = {
         "model": model.name,
@@ -74,9 +81,12 @@ def main() -> None:
         "oracle": "whisper-cli (build-portable, GGML_NATIVE=OFF)",
         "runs": {},
     }
+    meta["stereo_audio"] = str(jfkst.relative_to(REPO))
+    meta["stereo_sha256"] = sha256(jfkst)
     for name, (extra, exts) in RUNS.items():
         prefix = FIXTURES / f"writerref-{name}"
-        args = ["-m", str(model.relative_to(REPO)), "-f", str(JFK),
+        wav = jfkst if name == "diarize" else JFK
+        args = ["-m", str(model.relative_to(REPO)), "-f", str(wav),
                 *BASE, *extra, "-of", str(prefix)]
         r = subprocess.run([str(ORACLE_BIN / "whisper-cli"), *args],
                            cwd=REPO, capture_output=True, text=True)

@@ -96,7 +96,7 @@ def write_csv(segments, f, diarize=False, stereo=None) -> None:
         f.write(f'"{text}"\n')
 
 
-def write_lrc(segments, f) -> None:
+def write_lrc(segments, f, diarize=False, stereo=None) -> None:
     """examples/cli/cli.cpp:937-960: [mm:ss.cc] lines."""
     # the "[by:whisper.cpp]" credit line is part of the reference's byte
     # format (cli.cpp:941); emitting it keeps .lrc outputs byte-identical
@@ -109,7 +109,10 @@ def write_lrc(segments, f) -> None:
         ss = msec // 1000
         msec -= ss * 1000
         hund = msec // 10
-        f.write(f"[{mi:02d}:{ss:02d}.{hund:02d}]{s.text}\n")
+        speaker = ""
+        if diarize and stereo is not None:
+            speaker = estimate_diarization_speaker(stereo, s.t0, s.t1)
+        f.write(f"[{mi:02d}:{ss:02d}.{hund:02d}]{speaker}{s.text}\n")
 
 
 def write_wts(segments, f, vocab, fname_inp: str, t_sec: float,

@@ -293,7 +293,7 @@ def run(argv: Optional[List[str]] = None) -> int:
                 OW.write_csv(segments, f, args.diarize, stereo)
         if args.output_lrc:
             with open(base + ".lrc", "w") as f:
-                OW.write_lrc(segments, f)
+                OW.write_lrc(segments, f, args.diarize, stereo)
         if args.output_words:
             import os
 

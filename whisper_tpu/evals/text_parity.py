@@ -363,7 +363,7 @@ def transcribe_params(case: Case):
     return p
 
 
-def make_stereo_audio(jfk_wav: str, out_wav: Path) -> Path:
+def make_stereo_audio(jfk_wav: str, out_wav: Path, repeats: int = 3) -> Path:
     """Deterministic STEREO fixture for -di: the 3x concat panned left for
     the first half and right for the second, constructed so L + R == x
     bit-exactly — the reference's downmix is the plain SUM of the channels
@@ -379,7 +379,7 @@ def make_stereo_audio(jfk_wav: str, out_wav: Path) -> Path:
         return out_wav
     with wave.open(jfk_wav, "rb") as r:
         frames = r.readframes(r.getnframes())
-    x = np.frombuffer(frames * 3, np.int16).astype(np.int32)
+    x = np.frombuffer(frames * repeats, np.int16).astype(np.int32)
     n = len(x)
     h1 = x >> 1          # floor halves: h1 + h2 == x exactly
     h2 = x - h1
