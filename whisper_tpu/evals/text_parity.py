@@ -10,9 +10,10 @@ committed) and whisper_tpu must reproduce the segment text + t0/t1 through
 its own full `transcribe()` pipeline — greedy AND beam-5, with timestamps,
 across f16/q5_0/q8_0, plus a VAD-prefiltered run and a >30 s seek-loop run.
 
-All cases run `-nf` (no fallback): at temperature 0 both implementations are
-deterministic; the fallback ladder samples with an RNG and is covered by its
-own unit tests instead.
+Most cases run `-nf` (no fallback): at temperature 0 both implementations
+are deterministic.  The `lpt`-gated cases instead run the FULL temperature
+fallback ladder — their t>0 attempts replay the reference's exact
+std::mt19937 + discrete_distribution draws via decoding/stdrng.py.
 
 The mini models are DECISIVE (make_test_model.py --decisive): a plain
 random-weight model has near-uniform logits over 51864 tokens whose top-2
