@@ -76,7 +76,10 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
             return m + (xk.mean() * 1e-12).astype(m.dtype)
         return jax.lax.fori_loop(0, K, body, mel).mean()
 
-    enc_ms = _per_op_ms(enc_chain, 2, 6, lambda: (params, mel))
+    # reps=6 on the headline-critical rows: the tunnel adds run-to-run
+    # jitter and min-of-N converges on the true schedule time; reps are
+    # cheap next to compiles
+    enc_ms = _per_op_ms(enc_chain, 2, 6, lambda: (params, mel), reps=6)
 
     # device mel (audio/mel._log_mel_jax, the TPU 'auto' context path):
     # informational — the serving headline stays enc+decode for round-over-
@@ -199,7 +202,7 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
 
     xk8, xv8 = quantize_cross(xk, xv)
     dec_q8_ms = _per_op_ms(make_dec_chain(1, q8=True), 32, 128,
-                           lambda: (packed, xk8, xv8))
+                           lambda: (packed, xk8, xv8), reps=6)
 
     # ---- batched serving: W windows decoded in lockstep --------------------
     # Continuous batching (runtime/batching.py) amortizes the decoder weight
@@ -244,12 +247,14 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
 
     xkb = per_window(xk8)
     xvb = per_window(xv8)
-    dec_b_ms = _per_op_ms(batched_chain, 16, 64, lambda: (params, xkb, xvb))
+    dec_b_ms = _per_op_ms(batched_chain, 16, 64, lambda: (params, xkb, xvb),
+                          reps=6)
     dec_b_per_window_ms = dec_b_ms / W
     # packed Q5_0 serving: same W-window lockstep loop with block-quantized
     # decoder weights — the weight read already amortizes over windows, so
     # halving it (int8 vs bf16) moves the whole step
-    dec_bq_ms = _per_op_ms(batched_chain, 16, 64, lambda: (packed, xkb, xvb))
+    dec_bq_ms = _per_op_ms(batched_chain, 16, 64,
+                           lambda: (packed, xkb, xvb), reps=6)
     dec_bq_per_window_ms = dec_bq_ms / W
 
     # ---- batched encoder (informational): vmapping W encodes into one
@@ -272,7 +277,7 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     melb = jnp.broadcast_to(mel, (W,) + mel.shape) * (
         1.0 + jnp.arange(W, dtype=jnp.float32)[:, None, None] * 1e-3)
     enc_b_per_window_ms = _per_op_ms(enc_b_chain, 2, 6,
-                                     lambda: (params, melb)) / W
+                                     lambda: (params, melb), reps=6) / W
 
     # ---- 256-token prompt --------------------------------------------------
     @jax.jit
