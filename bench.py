@@ -85,13 +85,12 @@ def bench_model(name: str, hp, n_dec_tokens: int = 64):
     # informational — the serving headline stays enc+decode for round-over-
     # round comparability (the reference's bench is encoder-only too); the
     # host-numpy mel this replaced cost ~40 ms/30 s
-    from whisper_tpu.audio.mel import N_SAMPLES_PER_CHUNK as _NSPC
     from whisper_tpu.audio.mel import _log_mel_jax, hann_window, pad_audio
 
     pcm30 = np.random.default_rng(3).standard_normal(
         16000 * 30).astype(np.float32) * 0.1
     padded30 = jnp.asarray(pad_audio(pcm30))
-    n_len30 = (len(pad_audio(pcm30)) - 400) // 160
+    n_len30 = (padded30.shape[0] - 400) // 160
     filt_j = jnp.asarray(np.random.default_rng(4).standard_normal(
         (hp.n_mels, 201)).astype(np.float32) * 0.01)
     win_j = jnp.asarray(hann_window())

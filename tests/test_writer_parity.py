@@ -51,22 +51,29 @@ def writer_meta(dec_models_shared):
                               repeats=1)
     assert hashlib.sha256(st.read_bytes()).hexdigest() == \
         meta["stereo_sha256"], "stereo fixture drifted from the committed ref"
+    tdrz = FIXTURES / meta["tdrz_model"]
+    assert hashlib.sha256(tdrz.read_bytes()).hexdigest() == \
+        meta["tdrz_model_sha256"], "tdrz mini drifted from the committed ref"
     return meta
 
 
 @pytest.fixture(scope="session")
 def dec_models_shared():
-    """Build (or reuse) the decisive f16 mini model the refs were made on."""
+    """Build (or reuse) the decisive mini models the refs were made on."""
     from whisper_tpu.evals import text_parity as TP
 
-    path = FIXTURES / TP.model_filename("f16")
-    if not path.exists():
-        FIXTURES.mkdir(exist_ok=True)
-        donor, margs = TP.model_recipe("f16")
-        subprocess.run(
-            [sys.executable, str(REPO / "tools" / "make_test_model.py"),
-             "--header-from", donor, "--out", str(path), *margs], check=True)
-    return path
+    paths = {}
+    for base in ("f16", "tdrz-f16"):
+        path = FIXTURES / TP.model_filename(base)
+        if not path.exists():
+            FIXTURES.mkdir(exist_ok=True)
+            donor, margs = TP.model_recipe(base)
+            subprocess.run(
+                [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+                 "--header-from", donor, "--out", str(path), *margs],
+                check=True)
+        paths[base] = path
+    return paths
 
 
 def _run_ours(meta, run_name: str, tmp_path: pathlib.Path,
@@ -133,6 +140,31 @@ def test_wts_byte_identical(writer_meta, tmp_path_factory):
     ref = (REF_DIR / "wts.wts").read_bytes()
     ours = prefix.with_name(prefix.name + ".wts").read_bytes()
     assert ours == ref
+
+
+def test_tdrz_writers(writer_meta, tmp_path_factory):
+    """-tdrz: lrc/txt byte-identical; JSON carries speaker_turn_next for
+    EVERY segment, true and false (cli.cpp:803-805)."""
+    prefix = _run_ours(writer_meta, "tdrz", tmp_path_factory.mktemp("tdrz"))
+    for ext in ("txt", "lrc"):
+        assert prefix.with_name(prefix.name + f".{ext}").read_bytes() == \
+            (REF_DIR / f"tdrz.{ext}").read_bytes()
+    ref = (REF_DIR / "tdrz.json").read_text()
+    ours = prefix.with_name(prefix.name + ".json").read_text()
+    assert ref.count('"speaker_turn_next"') >= 2  # every segment has it
+    assert _drop_systeminfo(ours) == _drop_systeminfo(ref)
+
+
+def test_nt_negative_t0_writers(writer_meta, tmp_path_factory):
+    """-nt's tid-zero quirk produces NEGATIVE t0 — every time formatter
+    must reproduce the reference's C-truncation division output."""
+    prefix = _run_ours(writer_meta, "nt", tmp_path_factory.mktemp("nt"))
+    for ext in ("srt", "vtt", "csv", "lrc"):
+        assert prefix.with_name(prefix.name + f".{ext}").read_bytes() == \
+            (REF_DIR / f"nt.{ext}").read_bytes(), ext
+    ref = (REF_DIR / "nt.json").read_text()
+    ours = prefix.with_name(prefix.name + ".json").read_text()
+    assert _drop_systeminfo(ours) == _drop_systeminfo(ref)
 
 
 def test_full_json_identical_mod_p(writer_meta, tmp_path_factory):

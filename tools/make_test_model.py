@@ -179,7 +179,9 @@ def make_decisive(tensors, hp: WhisperHParams, seed: int,
         # script still wins decisively when the base mask bans it.
         # solm id 50359 is fixed for the 51864 en vocab (whisper.cpp:445);
         # multilingual shifts by dt (handled above when needed).
-        token_solm = 50359 if W.shape[0] < 51865 else 50361 + dt
+        # base solm id 50359 (whisper.cpp:445); multilingual shifts by dt
+        # (whisper.cpp:1633: token_solm += dt)
+        token_solm = 50359 if W.shape[0] < 51865 else 50359 + dt
         W[token_solm] *= boost
         # 8.0 > the 3.0 primary script because the positional direction
         # attenuates through the layer stack + final layernorm (measured:

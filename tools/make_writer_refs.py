@@ -54,6 +54,14 @@ RUNS = {
     # "(speaker N)" labels (cli.cpp write_txt/srt/vtt/csv/lrc + json)
     "diarize": (["-di", "-otxt", "-osrt", "-ovtt", "-ocsv", "-olrc", "-oj"],
                 ["txt", "srt", "vtt", "csv", "lrc", "json"]),
+    # -tdrz: JSON must carry speaker_turn_next for EVERY segment
+    # (cli.cpp:803-805), true and false (uses the tdrz mini model)
+    "tdrz": (["-tdrz", "-otxt", "-olrc", "-oj"], ["txt", "lrc", "json"]),
+    # -nt produces the reference's tid-zero NEGATIVE-t0 quirk — exercises
+    # C-truncation division in every time formatter (srt/vtt/csv/lrc/json);
+    # -nfa because that's the graph the committed -nt parity case pins
+    "nt": (["-nt", "-nfa", "-osrt", "-ovtt", "-ocsv", "-olrc", "-oj"],
+           ["srt", "vtt", "csv", "lrc", "json"]),
 }
 
 
@@ -61,13 +69,19 @@ def sha256(p: Path) -> str:
     return hashlib.sha256(p.read_bytes()).hexdigest()
 
 
-def main() -> None:
-    model = FIXTURES / TP.model_filename("f16")
+def ensure_model(base: str) -> Path:
+    model = FIXTURES / TP.model_filename(base)
     if not model.exists():
-        donor, margs = TP.model_recipe("f16")
+        donor, margs = TP.model_recipe(base)
         subprocess.run(
             [sys.executable, str(REPO / "tools" / "make_test_model.py"),
              "--header-from", donor, "--out", str(model), *margs], check=True)
+    return model
+
+
+def main() -> None:
+    model = ensure_model("f16")
+    model_tdrz = ensure_model("tdrz-f16")
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     (OUT_DIR / "mono.ttf").touch()
     jfkst = TP.make_stereo_audio(str(JFK), FIXTURES / "jfk-stereo.wav",
@@ -76,6 +90,8 @@ def main() -> None:
     meta = {
         "model": model.name,
         "model_sha256": sha256(model),
+        "tdrz_model": model_tdrz.name,
+        "tdrz_model_sha256": sha256(model_tdrz),
         "audio": str(JFK),
         "audio_sha256": sha256(JFK),
         "oracle": "whisper-cli (build-portable, GGML_NATIVE=OFF)",
@@ -86,7 +102,8 @@ def main() -> None:
     for name, (extra, exts) in RUNS.items():
         prefix = FIXTURES / f"writerref-{name}"
         wav = jfkst if name == "diarize" else JFK
-        args = ["-m", str(model.relative_to(REPO)), "-f", str(wav),
+        mdl = model_tdrz if name == "tdrz" else model
+        args = ["-m", str(mdl.relative_to(REPO)), "-f", str(wav),
                 *BASE, *extra, "-of", str(prefix)]
         r = subprocess.run([str(ORACLE_BIN / "whisper-cli"), *args],
                            cwd=REPO, capture_output=True, text=True)

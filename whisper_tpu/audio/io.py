@@ -3,8 +3,9 @@
 The reference uses miniaudio + stb_vorbis (examples/common-whisper.cpp:12-145);
 here 16-bit/float PCM WAV is decoded natively and other formats fall back to
 soundfile/torchaudio/ffmpeg when available.  Output: float32 mono PCM in
-[-1, 1] at 16 kHz, matching `read_audio_data` (stereo is downmixed by
-averaging; the original stereo pair is also returned for diarization).
+[-1, 1] at 16 kHz, matching `read_audio_data` (stereo is downmixed by the
+reference's plain channel SUM, common-whisper.cpp:64; the original stereo
+pair is also returned for diarization).
 """
 
 from __future__ import annotations
@@ -75,7 +76,8 @@ def _load_via_fallbacks(path: str) -> Tuple[np.ndarray, Optional[np.ndarray], in
 
         data, sr = sf.read(path, dtype="float32", always_2d=True)
         stereo = data if data.shape[1] == 2 else None
-        return data.mean(axis=1).astype(np.float32), stereo, sr
+        mono = data.sum(axis=1) if data.shape[1] == 2 else data.mean(axis=1)
+        return mono.astype(np.float32), stereo, sr
     except Exception:
         pass
     try:
@@ -84,7 +86,8 @@ def _load_via_fallbacks(path: str) -> Tuple[np.ndarray, Optional[np.ndarray], in
         wav, sr = torchaudio.load(path)
         data = wav.numpy().T
         stereo = data if data.shape[1] == 2 else None
-        return data.mean(axis=1).astype(np.float32), stereo, int(sr)
+        mono = data.sum(axis=1) if data.shape[1] == 2 else data.mean(axis=1)
+        return mono.astype(np.float32), stereo, int(sr)
     except Exception:
         pass
     if shutil.which("ffmpeg"):

@@ -15,14 +15,22 @@ import numpy as np
 SAMPLE_RATE = 16000
 
 
+def _cdiv(a: int, b: int) -> int:
+    """C++ integer division (truncates toward zero; Python // floors).
+    Matters for the negative-t0 segments the reference's greedy tid-zero
+    quirk can produce (src/whisper.cpp:7642)."""
+    return -(-a // b) if (a < 0) != (b < 0) else a // b
+
+
 def to_timestamp(t: int, comma: bool = False) -> str:
-    """10ms ticks -> 'HH:MM:SS.mmm' (examples/cli/cli.cpp to_timestamp)."""
+    """10ms ticks -> 'HH:MM:SS.mmm' (common-whisper.cpp:182 to_timestamp;
+    int64 C division semantics for negative ticks)."""
     msec = t * 10
-    hr = msec // (1000 * 60 * 60)
+    hr = _cdiv(msec, 1000 * 60 * 60)
     msec -= hr * 1000 * 60 * 60
-    mi = msec // (1000 * 60)
+    mi = _cdiv(msec, 1000 * 60)
     msec -= mi * 1000 * 60
-    s = msec // 1000
+    s = _cdiv(msec, 1000)
     msec -= s * 1000
     sep = "," if comma else "."
     return f"{hr:02d}:{mi:02d}:{s:02d}{sep}{msec:03d}"
@@ -104,11 +112,11 @@ def write_lrc(segments, f, diarize=False, stereo=None) -> None:
     for s in segments:
         t = s.t0
         msec = t * 10
-        mi = msec // (1000 * 60)
+        mi = _cdiv(msec, 1000 * 60)
         msec -= mi * 1000 * 60
-        ss = msec // 1000
+        ss = _cdiv(msec, 1000)
         msec -= ss * 1000
-        hund = msec // 10
+        hund = _cdiv(msec, 10)
         speaker = ""
         if diarize and stereo is not None:
             speaker = estimate_diarization_speaker(stereo, s.t0, s.t1)
@@ -240,8 +248,11 @@ def write_json(segments, f, ctx, params, language: str, full: bool = False,
             ]
         if diarize and stereo is not None:
             seg["speaker"] = estimate_diarization_speaker(stereo, s.t0, s.t1, True)
-        if getattr(s, "speaker_turn_next", False):
-            seg["speaker_turn_next"] = True
+        if getattr(params, "tdrz_enable", False):
+            # the reference emits the flag for EVERY segment when
+            # tinydiarize is on, true or false (cli.cpp:803-805)
+            seg["speaker_turn_next"] = bool(
+                getattr(s, "speaker_turn_next", False))
         out["transcription"].append(seg)
     # tab indentation matches the reference writer (cli.cpp output_json's
     # indent() emits \t) so -oj files are byte-comparable
