@@ -1575,6 +1575,11 @@ void add_str(std::string & out, const char * key, const char * v) {
     out += ',';
 }
 
+extern "C" {  // the definition below sits in an extern "C" block; the
+              // forward declaration must carry the same language linkage
+static std::string vparams_to_json(whisper_vad_params p);
+}
+
 // serialize the struct into the JSON object _params_from_json speaks
 std::string fparams_to_json(const struct whisper_full_params & p) {
     std::string out = "{";
@@ -1657,14 +1662,9 @@ std::string fparams_to_json(const struct whisper_full_params & p) {
     if (p.vad_model_path) {
         add_str(out, "vad_model_path", p.vad_model_path);
     }
-    out += "\"vad_params\":{";
-    add_float(out, "threshold", p.vad_params.threshold);
-    add_int(out, "min_speech_duration_ms", p.vad_params.min_speech_duration_ms);
-    add_int(out, "min_silence_duration_ms", p.vad_params.min_silence_duration_ms);
-    add_float(out, "max_speech_duration_s", p.vad_params.max_speech_duration_s);
-    add_int(out, "speech_pad_ms", p.vad_params.speech_pad_ms);
-    add_float(out, "samples_overlap", p.vad_params.samples_overlap);
-    out.back() = '}';  // replace trailing comma
+    // one serializer for whisper_vad_params (also used by the VAD API
+    // entry points) so the two paths cannot drift
+    out += "\"vad_params\":" + vparams_to_json(p.vad_params);
     out += '}';
     return out;
 }

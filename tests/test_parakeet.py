@@ -228,8 +228,9 @@ def test_full_batch_empty_and_state():
 
 
 def test_chunked_decode_matches_frame_loop():
-    """The chunked TDT loop (decode._tdt_greedy_decode_chunked, the
-    production default) must reproduce the per-frame reference loop
+    """The chunked TDT loop (decode._tdt_greedy_decode_chunked — probed
+    and REJECTED as the production default, which remains the chunk=1
+    frame loop; see decode.py) must reproduce the per-frame reference loop
     token-for-token: same tokens, frame indices, durations and LSTM state
     (p/plog/logits may differ at f32 ULP from the batched joint matmul's
     reduction order — bounded here)."""

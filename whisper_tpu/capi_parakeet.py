@@ -400,9 +400,16 @@ def pk_full(h: int, sh: int, params_json: Optional[str],
         p = _pk_params_from_json(params_json)
         keepalive: list = []
         _pk_install_c_callbacks(p, h, sh, cb_json, keepalive)
+        # capture for parakeet_get_logits, but restore afterwards: the flag
+        # is a jit static arg, and leaking True onto a shared context makes
+        # every later pure-Python decode recompile + allocate the buffer
+        prev = t.capture_logits
         t.capture_logits = True
-        return t.full(np.asarray(samples, np.float32)
-                      if samples is not None else None, p)
+        try:
+            return t.full(np.asarray(samples, np.float32)
+                          if samples is not None else None, p)
+        finally:
+            t.capture_logits = prev
     except Exception:
         return -2
 
@@ -417,11 +424,16 @@ def pk_chunk(h: int, sh: int, params_json: Optional[str],
         p = _pk_params_from_json(params_json)
         keepalive: list = []
         _pk_install_c_callbacks(p, h, sh, cb_json, keepalive)
+        prev = t.capture_logits
         t.capture_logits = True
         if p.no_context:
             t.reset_state()
-        return t.chunk(np.asarray(samples, np.float32)
-                       if samples is not None and len(samples) else None, p)
+        try:
+            return t.chunk(np.asarray(samples, np.float32)
+                           if samples is not None and len(samples) else None,
+                           p)
+        finally:
+            t.capture_logits = prev
     except Exception:
         return -2
 

@@ -201,8 +201,18 @@ class ParakeetContext:
         if self.mel is None or self.model.is_empty:
             return -1
         mel = self.mel[offset:]
+        # valid length BEFORE padding (mirrors chunk(); the stored
+        # n_len_org minus the skipped prefix)
+        n_len_org = min(max(self.n_len_org - offset, 0), mel.shape[0])
+        if not self.exact_shapes:
+            # same power-of-two bucketing as chunk() — without it every
+            # distinct utterance length traces a fresh encoder graph
+            bucket = max(64, 1 << (mel.shape[0] - 1).bit_length())
+            pad = bucket - mel.shape[0]
+            if pad:
+                mel = np.pad(mel, ((0, pad), (0, 0)))
         enc = self._encode_jit(self.params, jnp.asarray(mel, self.dtype),
-                               mel.shape[0], hp=self.hp, dtype=self.dtype)
+                               n_len_org, hp=self.hp, dtype=self.dtype)
         enc.block_until_ready()
         self._cached_enc = enc
         return 0
