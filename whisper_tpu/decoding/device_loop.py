@@ -176,15 +176,19 @@ def _token_stats(probs, tok, p, beg: int):
     return tid, pt, sum_ts
 
 
-def _sample(logprobs, probs, temperature, rng, beg: int):
+def _sample(logprobs, probs, temperature, rng, beg: int, keys=None):
     """whisper_sample_token: greedy at t=0, categorical at t>0.
-    Returns per-beam (id, p, plog, tid, pt, ptsum)."""
+    Returns per-beam (id, p, plog, tid, pt, ptsum).  `keys` (B, 2)
+    overrides the internal split (the native batch derives per-row keys
+    from each WINDOW's own seed so sampling is batch-composition-
+    independent)."""
     V = probs.shape[-1]
     B = probs.shape[0]
     idx = jnp.arange(V)
 
     greedy_id = jnp.argmax(probs, axis=-1)
-    keys = jax.random.split(rng, B)
+    if keys is None:
+        keys = jax.random.split(rng, B)
     sampled_id = jax.vmap(lambda k, lp: jax.random.categorical(k, lp))(keys, logprobs)
     tok = jnp.where(temperature < 1e-6, greedy_id, sampled_id).astype(jnp.int32)
 
@@ -253,9 +257,11 @@ def _beam_select_core(logprobs, live, sum_logprobs, seq_hash, step_i,
     rank = jnp.cumsum(elig.astype(jnp.int32)) - 1          # rank of eligible
     total = jnp.maximum(elig.astype(jnp.int32).sum(), 1)
 
-    # m-th live beam takes the m-th eligible candidate
+    # m-th live beam takes the m-th eligible candidate; surplus beams WRAP
+    # to the best candidate like the host loop (full.py cur_c = 0), not
+    # clamp to the worst
     m = jnp.cumsum(live.astype(jnp.int32)) - 1
-    m = jnp.minimum(jnp.where(live, m, 0), total - 1)
+    m = jnp.where(live, m, 0) % total
     # k_j = index in sorted order whose eligible-rank == m_j
     hit = (rank[None, :] == m[:, None]) & elig[None, :]    # (B, NC)
     k_sel = jnp.argmax(hit, axis=1)
@@ -344,6 +350,14 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
     # so trailing buckets whose entry point is past n_max would trace (and
     # compile) a full decode graph that can never execute.  The last kept
     # bucket always covers the max occupancy prompt_bucket + n_max.
+    # the NATIVE batch left-pads prompts to prompt_bucket and writes at
+    # cell prompt_bucket + i, so its max occupancy is prompt_bucket +
+    # n_max — which EXCEEDS n_text_ctx when the bucket's padding waste
+    # pushes past the cache end (e.g. 256 + 220 > 448; the reference
+    # writes at the true prompt length and fits by construction).  That
+    # path therefore allocates n_cells_native cache cells; decode_step
+    # reads the cell count from the cache itself.
+    n_cells_native = max(hp.n_text_ctx, prompt_bucket + n_max)
     seg_sizes, _entry = [], 0
     for _a in M.attn_ctx_buckets(hp.n_text_ctx):
         if _a <= prompt_bucket or _entry >= n_max:
@@ -352,20 +366,30 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         _entry = _a - prompt_bucket
     if not seg_sizes:
         seg_sizes = [hp.n_text_ctx]
+    seg_sizes_native = [a for a in seg_sizes if a < n_cells_native]
+    if (not seg_sizes_native or
+            seg_sizes_native[-1] - prompt_bucket < n_max):
+        seg_sizes_native.append(n_cells_native)
 
-    def segmented_loop(cond, body, st):
-        """while_loop(cond, body, st), split at attention-bucket
-        boundaries; `body(st, attn_ctx)` decodes with that static ctx."""
+    def _segmented_loop_over(sizes, cond, body, st):
         final = st
-        for a in seg_sizes:
+        for a in sizes:
             seg_body = (lambda _a: lambda s: body(s, _a))(a)
-            if a == seg_sizes[-1]:
+            if a == sizes[-1]:
                 c = cond
             else:
                 c = (lambda e: lambda s: cond(s) & (s.i < e))(
                     a - prompt_bucket)
             final = lax.while_loop(c, seg_body, final)
         return final
+
+    def segmented_loop(cond, body, st):
+        """while_loop(cond, body, st), split at attention-bucket
+        boundaries; `body(st, attn_ctx)` decodes with that static ctx."""
+        return _segmented_loop_over(seg_sizes, cond, body, st)
+
+    def segmented_loop_native(cond, body, st):
+        return _segmented_loop_over(seg_sizes_native, cond, body, st)
 
     def decode_window(params, prompt, prompt_len, xk, xv, base_mask,
                       initial_mask, temperature, seek, seek_end, max_tokens,
@@ -476,16 +500,20 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             failed = st.failed | fail_seek
 
             still = live & ~fail_seek
-            end_audio = has_ts & (seek + seek_delta + DELTA_MIN >= seek_end)
+            # end_window: the reference's inner zero-result_len acceptance
+            # uses the BARE window check (whisper.cpp:7409 — no has_ts);
+            # only the completion clause itself requires has_ts (:7406)
+            end_window = seek + seek_delta + DELTA_MIN >= seek_end
+            end_audio = has_ts & end_window
             complete_cond = still & (
                 (tok == eot) | ((max_tokens > 0) & (st.i >= max_tokens)) |
                 end_audio)
             if not no_timestamps:
                 zero_len = complete_cond & (result_len == 0)
-                accept = zero_len & end_audio
+                accept = zero_len & end_window
                 result_len = jnp.where(accept, st.i + 1, result_len)
-                failed = failed | (zero_len & ~end_audio)
-                complete_cond = complete_cond & ~(zero_len & ~end_audio)
+                failed = failed | (zero_len & ~end_window)
+                complete_cond = complete_cond & ~(zero_len & ~end_window)
             if single_segment or no_timestamps:
                 result_len = jnp.where(complete_cond, st.i + 1, result_len)
                 seek_delta = jnp.where(complete_cond, 100 * CHUNK_SIZE,
@@ -564,7 +592,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
         pos = jnp.clip(cells - shift[:, None], 0, hp.n_text_ctx - 1)
         # pad cells are never overwritten (the loop writes at bucket + i),
         # so one static additive mask hides them for the whole window
-        ctx_cells = jnp.arange(hp.n_text_ctx)
+        ctx_cells = jnp.arange(n_cells_native)
         is_pad = ctx_cells[None, :] < shift[:, None]              # (W, C)
         attn_mask = rep_lanes(jnp.where(is_pad, NEG_INF,
                                   0.0).astype(jnp.float32)[:, None, None, :])
@@ -583,7 +611,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
 
         # prompt pass on W rows only (lanes within a window share it), then
         # the cache/logits tile across each window's G lanes
-        cache = M.new_cache(hp, W, cache_dtype, itype=kv_itype)
+        cache = M.new_cache(hp, W, cache_dtype, itype=kv_itype, n_cells=n_cells_native)
         logits_all, cache = M.decode_step(
             params, prompt_lp, pos, jnp.int32(0), cache, xk, xv, hp,
             dtype=compute_dtype, unroll=unroll_layers, parity=parity,
@@ -600,7 +628,9 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
 
         st = LoopState(
             i=jnp.int32(0), cache=cache,
-            logits_row=last_row, rng=rngs[0],
+            # carry EVERY window's key (W, 2): sampling must depend only on
+            # the window's own rng_seed, not on batch composition/row order
+            logits_row=last_row, rng=rngs,
             seq_hash=jnp.zeros((R, 2), jnp.uint32),
             last_id=jnp.full((R,), -1, jnp.int32),
             penult_id=jnp.full((R,), -1, jnp.int32),
@@ -628,7 +658,11 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 st.logits_row, st.i, st.last_id, st.penult_id, st.has_ts,
                 st.seek_delta, base_mask, initial_mask, temp_vec,
                 max_tokens, eot, beg, no_timestamps, single_segment)
-            rng, sub = jax.random.split(st.rng)
+            # per-window split: (W, 2) carry -> (W, 2) next + per-row keys
+            splits = jax.vmap(jax.random.split)(st.rng)      # (W, 2, 2)
+            rng = splits[:, 0]
+            row_keys = jax.vmap(
+                lambda k: jax.random.split(k, G))(splits[:, 1]).reshape(R, 2)
             if strategy == "beam":
                 src, tok, score, seq_hash = _beam_select_grouped(
                     logprobs, st, beg, W, G)
@@ -652,7 +686,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 sum_logprobs = st.sum_logprobs  # score already cumulative
             else:
                 tok, p, plog, tid, pt, ptsum = _sample(
-                    logprobs, probs, temp_vec, sub, beg)
+                    logprobs, probs, temp_vec, None, beg, keys=row_keys)
                 sum_logprobs = jnp.where(live, st.sum_logprobs + plog,
                                          st.sum_logprobs)
 
@@ -683,17 +717,19 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
             failed = st.failed | fail_seek
 
             still = live & ~fail_seek
-            end_audio = has_ts & (seeks_r + seek_delta + DELTA_MIN >=
-                                  seek_ends_r)
+            # bare window check for zero-result_len acceptance
+            # (whisper.cpp:7409; has_ts only gates the completion clause)
+            end_window = (seeks_r + seek_delta + DELTA_MIN >= seek_ends_r)
+            end_audio = has_ts & end_window
             complete_cond = still & (
                 (tok == eot) | ((max_tokens > 0) & (st.i >= max_tokens)) |
                 end_audio)
             if not no_timestamps:
                 zero_len = complete_cond & (result_len == 0)
-                accept = zero_len & end_audio
+                accept = zero_len & end_window
                 result_len = jnp.where(accept, st.i + 1, result_len)
-                failed = failed | (zero_len & ~end_audio)
-                complete_cond = complete_cond & ~(zero_len & ~end_audio)
+                failed = failed | (zero_len & ~end_window)
+                complete_cond = complete_cond & ~(zero_len & ~end_window)
             if single_segment or no_timestamps:
                 result_len = jnp.where(complete_cond, st.i + 1, result_len)
                 seek_delta = jnp.where(complete_cond, 100 * CHUNK_SIZE,
@@ -726,7 +762,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 tok_plog=tok_plog, tok_pt=tok_pt, tok_ptsum=tok_ptsum,
                 n_tok=n_tok)
 
-        final = segmented_loop(cond, body, st)
+        final = segmented_loop_native(cond, body, st)
 
         def per_window(a):  # (W*G, ...) -> (W, G, ...) matching vmapped layout
             return a.reshape((W, G) + a.shape[1:])

@@ -236,11 +236,19 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 
     # device-loop eligibility: the whole token loop runs on-device unless a
     # host-side feature (grammar, logits callback) is requested.  Beam search
-    # runs on device at t=0 (deterministic top-k; the reference's stochastic
-    # candidate draws from the near-one-hot filtered distribution are
-    # equivalent there); at t>0 the reference itself degrades BEAM_SEARCH to
-    # best_of independent sampling decoders (src/whisper.cpp:7086-7091), so
-    # those attempts run the device loop's sampling path too.
+    # runs on device at t=0 with DETERMINISTIC top-k candidates — a
+    # deliberate divergence: the reference's t=0 "beam" DRAWS beam_size
+    # candidates from discrete_distribution(probs) (whisper.cpp:7262,
+    # :6600-6604), which on a peaked distribution returns beam_size COPIES
+    # of the argmax (near-greedy, occasionally exploring at random);
+    # deterministic top-k is OpenAI decoding.py's actual BeamSearchDecoder
+    # and matches the binary whenever the distribution is peaked (all
+    # committed beam parity cases).  The mt19937 positions those skipped
+    # draws would have consumed are accounted for below so faithful t>0
+    # fallbacks still replay the binary's exact stream.  At t>0 the
+    # reference itself degrades BEAM_SEARCH to best_of independent sampling
+    # decoders (src/whisper.cpp:7086-7091), so those attempts run the
+    # device loop's sampling path too.
     device_loop_ok = (
         not ctx.is_empty
         and params.grammar_rules is None
@@ -365,6 +373,16 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
                     d.has_ts = bool(res.has_ts[j])
                     d.failed = bool(res.failed[j])
                     d.completed = bool(res.completed[j])
+                    if (dl_strategy == "beam" and params.faithful_sampling
+                            and d.rng is not None):
+                        # the reference's t=0 BEAM attempt draws beam_size
+                        # candidates per step from slot j's mt19937
+                        # (whisper.cpp:7262, :6600-6604); the device attempt
+                        # consumed none, so advance the emulated stream to
+                        # keep any later host-replayed t>0 fallback at the
+                        # binary's exact position (one canonical per draw)
+                        d.rng.skip_draws(
+                            params.beam_search.beam_size * int(res.n_tok[j]))
             elif not ctx.is_empty:
                 # fresh KV; decode the prompt once (beam 0), tile across beams
                 cache1 = ctx.new_cache(1)

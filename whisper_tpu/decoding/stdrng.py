@@ -100,6 +100,16 @@ class StdRng:
         ret = (float(a) + float(b) * _TWO32) / _TWO64
         return _ONE_BELOW_1 if ret >= 1.0 else ret
 
+    def skip_draws(self, n: int) -> None:
+        """Advance the engine past `n` discrete-distribution draws (each
+        consumes exactly one generate_canonical = two engine words,
+        independent of the weights).  Used to account for draws the
+        reference binary makes in passes we execute on device (the t=0
+        BEAM attempt's k draws/step/decoder) so a later host-replayed
+        t>0 fallback samples from the same mt19937 stream position."""
+        for _ in range(2 * n):
+            self._eng.next_u32()
+
     def discrete(self, probs: np.ndarray) -> int:
         """One std::discrete_distribution<>(probs.begin(), probs.end()) draw.
 

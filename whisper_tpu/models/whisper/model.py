@@ -465,10 +465,11 @@ class KVCache(NamedTuple):
     kv: jax.Array
 
     @staticmethod
-    def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache":
+    def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32,
+              n_cells: int = 0) -> "KVCache":
         h = hp.n_text_head
-        shape = (hp.n_text_layer, n_beam, h, 2, hp.n_text_ctx,
-                 hp.n_text_state // h)
+        shape = (hp.n_text_layer, n_beam, h, 2,
+                 n_cells or hp.n_text_ctx, hp.n_text_state // h)
         return KVCache(jnp.zeros(shape, dtype))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache":
@@ -495,13 +496,15 @@ class KVCache8(NamedTuple):
     scale: jax.Array   # (L, B, 2, C) f32
 
     @staticmethod
-    def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32) -> "KVCache8":
+    def zeros(hp: WhisperHParams, n_beam: int, dtype=jnp.float32,
+              n_cells: int = 0) -> "KVCache8":
         h = hp.n_text_head
-        shape = (hp.n_text_layer, n_beam, h, 2, hp.n_text_ctx,
+        c = n_cells or hp.n_text_ctx
+        shape = (hp.n_text_layer, n_beam, h, 2, c,
                  hp.n_text_state // h)
         return KVCache8(jnp.zeros(shape, jnp.int8),
-                        jnp.zeros((hp.n_text_layer, n_beam, 2,
-                                   hp.n_text_ctx), jnp.float32))
+                        jnp.zeros((hp.n_text_layer, n_beam, 2, c),
+                                  jnp.float32))
 
     def reorder(self, beam_idx: jax.Array) -> "KVCache8":
         return KVCache8(self.kv[:, beam_idx], self.scale[:, beam_idx])
@@ -518,11 +521,13 @@ def _quantize_rows(x: jax.Array):
 
 
 def new_cache(hp: WhisperHParams, n_beam: int, dtype=jnp.float32,
-              itype: str = "f16"):
-    """kv_self allocation; itype 'f16' (dense, `dtype` storage) or 'q8'."""
+              itype: str = "f16", n_cells: int = 0):
+    """kv_self allocation; itype 'f16' (dense, `dtype` storage) or 'q8'.
+    n_cells overrides the cell count (0 -> hp.n_text_ctx); the native
+    window batcher passes prompt_bucket + n_max."""
     if itype == "q8":
-        return KVCache8.zeros(hp, n_beam, dtype)
-    return KVCache.zeros(hp, n_beam, dtype)
+        return KVCache8.zeros(hp, n_beam, dtype, n_cells)
+    return KVCache.zeros(hp, n_beam, dtype, n_cells)
 
 
 def decode_step(params: Dict[str, Any],
@@ -567,7 +572,11 @@ def decode_step(params: Dict[str, Any],
     dec = params["dec"]
     n_beam, n_tok = tokens.shape
     n_head = hp.n_text_head
-    n_ctx = hp.n_text_ctx
+    # cell count comes from the CACHE, not hparams: the natively batched
+    # window decoder allocates prompt_bucket + n_max cells (> n_text_ctx)
+    # so its left-pad shift can never overflow the write head
+    n_ctx = (cache.kv.shape[-2] if hasattr(cache, "kv")
+             else hp.n_text_ctx)
     n_state = hp.n_text_state
     n_layer = hp.n_text_layer
     eps = hp.eps

@@ -132,14 +132,17 @@ class WindowBatcher:
             return
         from ..decoding import device_loop as DL
 
-        (n_beams, bt, no_ts, single_seg, strategy) = key
+        (n_beams, bt, no_ts, single_seg, strategy) = key[:5]
         # ALL groups run NATIVELY batched: windows x lanes ride the
         # decode_step beam axis (in-place cache — the fast path), with
         # best-of sampling lanes independent and beam groups selecting
         # group-locally (device_loop._beam_select_grouped); the vmapped
         # mode remains only as an escape hatch
         native = True
-        vkey = (key, "native", len(reqs)) if native else (key, "vmap")
+        # graph cache keys off key[:5] (the digest tail only affects
+        # grouping, not the compiled graph)
+        vkey = ((key[:5], "native", len(reqs)) if native
+                else (key[:5], "vmap"))
         fn = ctx._window_jit.get(vkey)
         if fn is None:
             fn = DL.make_window_decoder(

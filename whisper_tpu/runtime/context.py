@@ -292,7 +292,18 @@ class WhisperContext:
         from ..decoding import device_loop as DL
 
         bt = _bucket(len(prompt))
-        key = (n_beams, bt, no_timestamps, params.single_segment, strategy)
+        # key[:5] selects the compiled graph; the trailing digest keeps the
+        # WindowBatcher from coalescing requests whose per-request ARGS
+        # differ in ways _run_group shares from reqs[0] (suppression masks,
+        # max_tokens) or that cannot stack (xk shapes under -ac) — without
+        # it, concurrent server users could silently decode with each
+        # other's suppression settings
+        digest = (params.suppress_blank, params.suppress_nst,
+                  params.suppress_regex, params.tdrz_enable,
+                  params.max_initial_ts, params.max_tokens,
+                  tuple(jax.tree.leaves(self.xk)[0].shape))
+        key = (n_beams, bt, no_timestamps, params.single_segment, strategy,
+               digest)
         base_mask, initial_mask = DL.build_masks(self.filter_tables, params)
         prompt_padded = np.zeros(bt, np.int32)
         prompt_padded[: len(prompt)] = prompt
@@ -317,15 +328,15 @@ class WhisperContext:
         """Execute one (unbatched) window decode for `key`."""
         from ..decoding import device_loop as DL
 
-        fn = self._window_jit.get(key)
+        fn = self._window_jit.get(key[:5])
         if fn is None:
-            n_beams, bt, no_timestamps, single_segment, strategy = key
+            n_beams, bt, no_timestamps, single_segment, strategy = key[:5]
             fn = DL.make_window_decoder(
                 self.hp, n_beams, bt, self.compute_dtype, no_timestamps,
                 single_segment, self.vocab.token_eot, self.vocab.token_beg,
                 kv_itype=self.kv_itype, strategy=strategy,
                 parity=self.parity)
-            self._window_jit[key] = fn
+            self._window_jit[key[:5]] = fn
         return jax.tree.map(np.asarray, fn(self.params, *args))
 
     def clone_state(self) -> "WhisperContext":
