@@ -49,7 +49,7 @@ def dec_models():
     if not JFK.exists():
         pytest.skip("reference samples not available")
     models = {}
-    for base in ("f16", "ml-f16", "tdrz-f16"):
+    for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16"):
         path = FIXTURES / TP.model_filename(base)
         if not path.exists():
             FIXTURES.mkdir(exist_ok=True)
@@ -59,14 +59,14 @@ def dec_models():
                  "--header-from", donor, "--out", str(path), *margs],
                 check=True, env=None)
         models[base] = path
-    f16 = models["f16"]
     from whisper_tpu.cli.quantize import quantize_model
     from whisper_tpu.formats import requant
 
-    for q in ("q5_0", "q8_0"):
+    for q, src in (("q5_0", "f16"), ("q8_0", "f16"), ("fd-q5_0", "fd-f16")):
         out = FIXTURES / TP.model_filename(q)
         if not out.exists():
-            quantize_model(str(f16), str(out), requant.parse_ftype(q),
+            quantize_model(str(models[src]), str(out),
+                           requant.parse_ftype(q.split("-")[-1]),
                            verbose=False)
         models[q] = out
     return models
@@ -156,8 +156,10 @@ def test_text_parity(case, dec_models, parity_audio):
         f"{stats['n_ref_segments']})\nref: {ref['segments']}\ngot: {got}")
 
 
-@pytest.mark.parametrize("seed", TP.STAT_SEEDS)
-def test_statistical_parity(seed, parity_audio):
+@pytest.mark.parametrize("tier,seed", [("stat", s) for s in TP.STAT_SEEDS]
+                         + [("fd-stat", s) for s in TP.FD_STAT_SEEDS],
+                         ids=lambda v: str(v))
+def test_statistical_parity(tier, seed, parity_audio):
     """Statistical tier (VERDICT r3 weak #4): NON-decisive-margin minis
     (--boost 3: top-2 gaps near cross-implementation rounding noise — the
     regime real models decode in).  Gate = text similarity >= 0.95 + equal
@@ -166,18 +168,22 @@ def test_statistical_parity(seed, parity_audio):
     timestamps MAY legitimately differ here, unlike the decisive tier."""
     from whisper_tpu.decoding.full import transcribe
 
-    ref_file = REF_DIR / f"stat-s{seed}.json"
+    if tier == "fd-stat":
+        mfile, margs = TP.fd_stat_model_filename(seed), TP.FD_STAT_MODEL_ARGS
+    else:
+        mfile, margs = TP.stat_model_filename(seed), TP.STAT_MODEL_ARGS
+    ref_file = REF_DIR / f"{tier}-s{seed}.json"
     assert ref_file.exists(), (
         f"missing committed reference {ref_file}; regenerate with "
         "tools/make_text_refs.py")
     ref = json.loads(ref_file.read_text())
 
-    model = FIXTURES / TP.stat_model_filename(seed)
+    model = FIXTURES / mfile
     if not model.exists():
         subprocess.run(
             [sys.executable, str(REPO / "tools" / "make_test_model.py"),
              "--header-from", TP.EN_DONOR, "--out", str(model),
-             *TP.STAT_MODEL_ARGS, "--seed", str(seed)], check=True)
+             *margs, "--seed", str(seed)], check=True)
     assert _sha(model) == ref["model_sha256"], (
         f"{model.name} differs from the file the reference transcribed")
     samples, wav_path = parity_audio["jfk"]
@@ -193,7 +199,7 @@ def test_statistical_parity(seed, parity_audio):
     stats = TP.compare(ref["segments"], got)
     assert stats["n_got_segments"] == stats["n_ref_segments"], stats
     assert stats["similarity"] >= TP.STAT_SIMILARITY_GATE, (
-        f"stat-s{seed}: similarity {stats['similarity']:.3f} below "
+        f"{tier}-s{seed}: similarity {stats['similarity']:.3f} below "
         f"{TP.STAT_SIMILARITY_GATE} gate\nref: {ref['segments']}\ngot: {got}")
 
 

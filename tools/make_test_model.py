@@ -97,7 +97,8 @@ def synth_tensors(hp: WhisperHParams, seed: int = 0):
 def make_decisive(tensors, hp: WhisperHParams, seed: int,
                   n_text_active: int = 64, ts_stride: int = 25,
                   boost: float = 25.0, eot_boost: float = 1.15,
-                  tdrz: bool = False) -> None:
+                  tdrz: bool = False, pos_mix: float = 3.0,
+                  ts_mix: float = 1.2, steep_ts: int = 0) -> None:
     """Rescale decoder token-embedding rows so greedy/beam decoding has
     LARGE argmax margins (gap >> any cross-implementation rounding noise).
 
@@ -160,9 +161,21 @@ def make_decisive(tensors, hp: WhisperHParams, seed: int,
     # it seeds segment t0), THIS row wins by a decisive margin instead of a
     # noise-level tie among the boosted timestamp rows.  Nondecreasing in p
     # keeps the monotonic-timestamp rule from suppressing the winner.
-    ts_choice = ts_active[np.clip(
-        (np.arange(n_pos) * len(ts_active)) // n_pos
-        + rng.integers(0, 3, n_pos), 0, len(ts_active) - 1)]
+    if steep_ts > 0:
+        # [FULL-DIMS] STRICTLY nondecreasing script: ts index = p // steep_ts
+        # with no jitter.  The legacy jittered scheme below is only locally
+        # nondecreasing; at full dims (384x6x4) a jitter dip puts the scripted
+        # row BELOW the last emitted timestamp, the monotonicity mask kills it
+        # (src/whisper.cpp:6330-6360 timestamp rules) and the forced-ts pick
+        # degenerates to noise-level margins — measured: scripted-row logit
+        # 163 masked, winner margin 0.78.  p//steep_ts can never decrease, so
+        # every forced-ts step keeps its decisive margin.
+        ts_choice = ts_active[np.clip(np.arange(n_pos) // steep_ts,
+                                      0, len(ts_active) - 1)]
+    else:
+        ts_choice = ts_active[np.clip(
+            (np.arange(n_pos) * len(ts_active)) // n_pos
+            + rng.integers(0, 3, n_pos), 0, len(ts_active) - 1)]
     pool = np.concatenate([
         rng.choice(active, size=n_pos),               # text filler
         ts_choice,                                    # timestamp positions
@@ -170,7 +183,15 @@ def make_decisive(tensors, hp: WhisperHParams, seed: int,
     ]).reshape(3, -1)
     kind = rng.choice(3, size=n_pos, p=[0.80, 0.17, 0.03])
     script = pool[kind, np.arange(n_pos)]
-    P += 3.0 * W[script] + 1.2 * W[ts_choice]
+    P += pos_mix * W[script] + ts_mix * W[ts_choice]
+    if steep_ts > 0:
+        # Window-2+ initial step: the prompt pushes positions deep into the
+        # steep script, so the scripted ts exceeds max_initial_ts (1.0 s,
+        # src/whisper.cpp:6378-6388) and gets masked on the window's first
+        # sampled token.  A weak constant mix of the 1.0 s row gives that
+        # step a decisive sub-cap winner; everywhere else it loses to the
+        # position's own ts (ts_mix > 0.5*ts_mix) or is monotonicity-masked.
+        P += (0.5 * ts_mix) * W[ts_active[2]]
     if tdrz:
         # [TDRZ] script the solm speaker-turn token at a few mid-segment
         # positions: boost its row and mix it ABOVE the primary script
@@ -212,6 +233,17 @@ def main():
                          "margins (exact-match tier), lower values give "
                          "REALISTIC margins for the statistical parity tier "
                          "(margins scale ~boost^2)")
+    ap.add_argument("--pos-mix", type=float, default=3.0,
+                    help="positional script mix strength (the 3.0 default is "
+                         "tuned for mini dims; full-dims models need more — "
+                         "the direction attenuates through the deeper stack)")
+    ap.add_argument("--ts-mix", type=float, default=1.2,
+                    help="secondary timestamp-row mix strength")
+    ap.add_argument("--steep-ts", type=int, default=0,
+                    help="strictly-monotone timestamp script: ts index = "
+                         "position // STEEP_TS, no jitter (full-dims models; "
+                         "0 keeps the legacy jittered scheme the committed "
+                         "mini fixtures are SHA-locked to)")
     ap.add_argument("--tdrz", action="store_true",
                     help="script the [_SOLM_] speaker-turn token at a few "
                          "positions (tinydiarize text-parity fixtures)")
@@ -234,7 +266,8 @@ def main():
     tensors = synth_tensors(hp, args.seed)
     if args.decisive:
         make_decisive(tensors, hp, args.seed, boost=args.boost,
-                      tdrz=args.tdrz)
+                      tdrz=args.tdrz, pos_mix=args.pos_mix,
+                      ts_mix=args.ts_mix, steep_ts=args.steep_ts)
     vocab_tokens = [vocab.id_to_token[i] for i in range(n_vocab_read)]
     write_model_file(args.out, hp, filters, vocab_tokens, tensors,
                      use_f16=not args.f32)

@@ -38,7 +38,7 @@ def sha256(p: Path) -> str:
 
 def ensure_models() -> dict:
     models = {}
-    for base in ("f16", "ml-f16", "tdrz-f16"):
+    for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16"):
         models[base] = FIXTURES / TP.model_filename(base)
         if not models[base].exists():
             donor, margs = TP.model_recipe(base)
@@ -46,7 +46,7 @@ def ensure_models() -> dict:
                 [sys.executable, str(REPO / "tools" / "make_test_model.py"),
                  "--header-from", donor,
                  "--out", str(models[base]), *margs], check=True)
-    for q in ("q5_0", "q8_0"):
+    for q, src in (("q5_0", "f16"), ("q8_0", "f16"), ("fd-q5_0", "fd-f16")):
         out = FIXTURES / TP.model_filename(q)
         if not out.exists():
             # quantized with the REFERENCE binary here; the pytest re-creates
@@ -54,7 +54,7 @@ def ensure_models() -> dict:
             # matches (the tools are byte-identical at file level)
             subprocess.run(
                 [str(ORACLE_BIN / "whisper-quantize"),
-                 str(models["f16"]), str(out), q],
+                 str(models[src]), str(out), q.split("-")[-1]],
                 check=True, capture_output=True)
         models[q] = out
     return models
@@ -69,17 +69,23 @@ def main() -> int:
     OUT_DIR.mkdir(parents=True, exist_ok=True)
 
     only = set(sys.argv[1:])  # optional case-name filter
-    # statistical tier: greedy -nf refs on the NON-decisive-margin minis
-    for seed in TP.STAT_SEEDS:
-        name = f"stat-s{seed}"
+    # statistical tiers: greedy -nf refs on NON-decisive-margin models
+    # (mini dims at --boost 3; full dims at --boost 4 — each sits just
+    # above its scale's measured noise floor)
+    stat_tiers = (
+        [(f"stat-s{s}", TP.stat_model_filename(s), TP.STAT_MODEL_ARGS, s)
+         for s in TP.STAT_SEEDS] +
+        [(f"fd-stat-s{s}", TP.fd_stat_model_filename(s),
+          TP.FD_STAT_MODEL_ARGS, s) for s in TP.FD_STAT_SEEDS])
+    for name, mfile, margs, seed in stat_tiers:
         if only and name not in only:
             continue
-        model = FIXTURES / TP.stat_model_filename(seed)
+        model = FIXTURES / mfile
         if not model.exists():
             subprocess.run(
                 [sys.executable, str(REPO / "tools" / "make_test_model.py"),
                  "--header-from", TP.EN_DONOR, "--out", str(model),
-                 *TP.STAT_MODEL_ARGS, "--seed", str(seed)], check=True)
+                 *margs, "--seed", str(seed)], check=True)
         out_base = FIXTURES / f"textref-{name}"
         args = ["-m", str(model), "-f", str(JFK), "-np", "-oj",
                 "-of", str(out_base), "-nf", "-bo", "1", "-bs", "1"]
@@ -89,7 +95,7 @@ def main() -> int:
             print(f"FAIL {name}: {r.stderr[-800:]}")
             return 1
         rows = TP.parse_cli_json(Path(f"{out_base}.json"))
-        doc = {"case": name, "model": TP.stat_model_filename(seed),
+        doc = {"case": name, "model": mfile,
                "model_sha256": sha256(model), "audio": "jfk",
                "audio_sha256": sha256(JFK), "cli_args": args[4:],
                "oracle": "whisper-cli (build-portable, GGML_NATIVE=OFF)",
