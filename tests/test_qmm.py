@@ -49,13 +49,49 @@ def test_dequantize_qweight_roundtrip():
     np.testing.assert_allclose(dense, w_ref, rtol=1e-6, atol=1e-6)
 
 
-def test_affine_rejected():
+@pytest.mark.parametrize("qtype", [quants.GGML_TYPE_Q4_1,
+                                   quants.GGML_TYPE_Q5_1,
+                                   quants.GGML_TYPE_Q4_K,
+                                   quants.GGML_TYPE_Q5_K,
+                                   quants.GGML_TYPE_Q6_K])
+def test_affine_packed_paths_match_dense(qtype):
+    """Affine/K-quant formats ride the packed path with their mins plane
+    (round-5; previously from_qtensor raised and the overlay silently fell
+    back to dense).  Every consumer — dense expand, XLA-fused qmm_auto,
+    interpreted Pallas qmmt, and the embedding gather — must reproduce the
+    reference dequantization."""
+    from whisper_tpu.ops.qmm import (QWeightT, embed_lookup, qmm_auto, qmmt)
+
     rng = np.random.default_rng(3)
-    w = rng.standard_normal((8, 32)).astype(np.float32)
-    packed = quants.quantize(w, quants.GGML_TYPE_Q4_1)
-    qt = quants.unpack_to_planes(packed, quants.GGML_TYPE_Q4_1, (8, 32))
-    with pytest.raises(ValueError):
-        from_qtensor(qt)
+    R, K = 16, 512
+    w = rng.standard_normal((R, K)).astype(np.float32)
+    packed = quants.quantize(w, qtype)
+    qt = quants.unpack_to_planes(packed, qtype, (R, K))
+    qw = from_qtensor(qt)
+    if qtype == quants.GGML_TYPE_Q6_K:
+        assert qw.mins is None
+    else:
+        assert qw.mins is not None
+    ref = quants.dequantize(packed, qtype, w.size).reshape(R, K)
+    np.testing.assert_allclose(np.asarray(dequantize_qweight(qw)), ref,
+                               rtol=1e-6, atol=1e-6)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    y_ref = x @ ref.T
+    tol = dict(rtol=2e-6, atol=2e-5 * np.abs(y_ref).max())
+    np.testing.assert_allclose(
+        np.asarray(qmm_auto(jnp.asarray(x), qw, dtype=jnp.float32)),
+        y_ref, **tol)
+    qwt = QWeightT(jnp.swapaxes(qw.codes, 0, 1),
+                   jnp.swapaxes(qw.scales, 0, 1),
+                   None if qw.mins is None
+                   else jnp.swapaxes(qw.mins, 0, 1))
+    np.testing.assert_allclose(
+        np.asarray(qmmt(jnp.asarray(x), qwt.codes_t, qwt.scales_t,
+                        mins_t=qwt.mins_t, dtype=jnp.float32,
+                        interpret=True)), y_ref, **tol)
+    np.testing.assert_allclose(
+        np.asarray(embed_lookup(qw, jnp.asarray([1, 5]))), ref[[1, 5]],
+        rtol=1e-6, atol=1e-6)
 
 
 def _random_qweight_t(rng, R, K, qtype=quants.GGML_TYPE_Q5_0):

@@ -49,7 +49,8 @@ def dec_models():
     if not JFK.exists():
         pytest.skip("reference samples not available")
     models = {}
-    for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16"):
+    for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16",
+                 "kq-f16"):
         path = FIXTURES / TP.model_filename(base)
         if not path.exists():
             FIXTURES.mkdir(exist_ok=True)
@@ -62,7 +63,8 @@ def dec_models():
     from whisper_tpu.cli.quantize import quantize_model
     from whisper_tpu.formats import requant
 
-    for q, src in (("q5_0", "f16"), ("q8_0", "f16"), ("fd-q5_0", "fd-f16")):
+    for q, src in (("q5_0", "f16"), ("q8_0", "f16"), ("fd-q5_0", "fd-f16"),
+                   ("kq-q5_k", "kq-f16")):
         out = FIXTURES / TP.model_filename(q)
         if not out.exists():
             quantize_model(str(models[src]), str(out),

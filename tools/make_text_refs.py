@@ -38,7 +38,8 @@ def sha256(p: Path) -> str:
 
 def ensure_models() -> dict:
     models = {}
-    for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16"):
+    for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16",
+                 "kq-f16"):
         models[base] = FIXTURES / TP.model_filename(base)
         if not models[base].exists():
             donor, margs = TP.model_recipe(base)
@@ -46,7 +47,8 @@ def ensure_models() -> dict:
                 [sys.executable, str(REPO / "tools" / "make_test_model.py"),
                  "--header-from", donor,
                  "--out", str(models[base]), *margs], check=True)
-    for q, src in (("q5_0", "f16"), ("q8_0", "f16"), ("fd-q5_0", "fd-f16")):
+    for q, src in (("q5_0", "f16"), ("q8_0", "f16"), ("fd-q5_0", "fd-f16"),
+                   ("kq-q5_k", "kq-f16")):
         out = FIXTURES / TP.model_filename(q)
         if not out.exists():
             # quantized with the REFERENCE binary here; the pytest re-creates

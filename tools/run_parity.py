@@ -34,6 +34,9 @@ ORACLE = REPO / ".oracle"
 FIXTURES = REPO / ".fixtures"
 JFK = Path("/root/reference/samples/jfk.wav")
 QTYPES = ["q8_0", "q5_0", "q5_1", "q4_0", "q4_1"]
+# K-quant super-blocks need row size % 256 == 0 (real whisper K-quants
+# apply to base and up); these rows quantize a 256-state mini instead
+KQTYPES = ["q4_k", "q5_k", "q6_k"]
 
 
 def ensure_models() -> dict:
@@ -56,6 +59,20 @@ def ensure_models() -> dict:
         out = FIXTURES / f"mini-{q}.bin"
         if not out.exists():
             subprocess.run([str(qbin), str(models["f16"]), str(out), q],
+                           check=True, capture_output=True)
+        models[q] = out
+    m256 = FIXTURES / "mini256-f16.bin"
+    if not m256.exists():
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "make_test_model.py"),
+             "--header-from",
+             "/root/reference/models/for-tests-ggml-tiny.en.bin",
+             "--out", str(m256), "--n-state", "256", "--n-head", "4",
+             "--n-layer", "3"], check=True)
+    for q in KQTYPES:
+        out = FIXTURES / f"mini256-{q}.bin"
+        if not out.exists():
+            subprocess.run([str(qbin), str(m256), str(out), q],
                            check=True, capture_output=True)
         models[q] = out
     return models

@@ -80,11 +80,27 @@ FD_MODEL_ARGS = ["--decisive", "--full-dims", "--steep-ts", "2",
 FD_ML_MODEL_ARGS = ["--decisive", "--full-dims", "--steep-ts", "2",
                     "--seed", "6"]
 
+# K-QUANT tier (round-5, VERDICT r4 #4): K-quant super-blocks need row
+# size % 256 == 0 (ggml_quantize_chunk asserts — real whisper K-quants
+# apply to base and up, n_state 512+), so this decisive mini runs
+# n_state 256.  The q5_k file is produced by OUR quantizer and transcribed
+# by the reference binary (also proving the K-quant writer is
+# ggml-compatible); the engine decodes it through the PACKED mins-aware
+# path on TPU (ops/qmm.py) and the dense path on CPU — both must match
+# the oracle exactly.
+MODEL_ARGS_KQ = ["--decisive", "--n-layer", "3", "--n-state", "256",
+                 "--n-head", "4", "--seed", "4"]
+# seed 4, not 2: q5_k's larger quantization error collapsed ONE of seed 2's
+# scripted margins to 0.59 (measured) — a genuine sub-GEMM-noise near-tie
+# where the binary and the engine legitimately disagree.  Seed 4 keeps
+# every step decisive under q5_k (fa==nfa on the oracle, 3 segments).
+
 
 def model_filename(quant: str) -> str:
     if quant.startswith("fd-"):
         return f"{quant}.bin"
-    if quant.startswith("ml-") or quant.startswith("tdrz-"):
+    if (quant.startswith("ml-") or quant.startswith("tdrz-")
+            or quant.startswith("kq-")):
         return f"mini-{quant}.bin"
     return f"mini-dec-{quant}.bin"
 
@@ -95,6 +111,8 @@ def model_recipe(quant: str):
         return ML_DONOR, FD_ML_MODEL_ARGS
     if quant.startswith("fd-"):
         return EN_DONOR, FD_MODEL_ARGS
+    if quant.startswith("kq-"):
+        return EN_DONOR, MODEL_ARGS_KQ
     if quant.startswith("ml-"):
         return ML_DONOR, MODEL_ARGS_ML
     if quant.startswith("tdrz-"):
@@ -312,6 +330,12 @@ CASES: Tuple[Case, ...] = (
     Case("fd-ml-es-greedy", "fd-ml-f16", language="es"),
     Case("fd-ml-auto", "fd-ml-f16", language="auto"),
     Case("fd-dtw", "fd-ml-f16", language="es", dtw="tiny", nfa=True),
+    # --- K-quant tier (round-5): q5_k file from OUR quantizer, decoded by
+    # both the reference binary and the engine (packed mins-aware path on
+    # TPU).  n_state 256 — the smallest decisive mini whose rows hold whole
+    # 256-wide K-quant super-blocks.
+    Case("kq-q5_k-greedy", "kq-q5_k"),
+    Case("kq-q5_k-beam5", "kq-q5_k", beam_size=5),
 )
 
 

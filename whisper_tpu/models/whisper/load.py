@@ -238,24 +238,43 @@ def build_qweight_overlay(qplanes: Dict[str, "quants.QTensor"],
                           hp: WhisperHParams) -> Dict[str, Any]:
     """Stacked packed planes for the decoder's hot weights + logits head.
 
-    Returns {"blocks": {key: (codes [L,R,K], scales [L,R,K//32])},
-             "tok_embd": (codes, scales)} — only for weights whose packed
-    planes exist (symmetric formats); missing entries keep the dense leaf.
-    """
+    Returns {"blocks": {key: (codes [L,R,K], scales [L,R,K//g],
+                              mins [L,R,K//g] | None)},
+             "tok_embd": (codes, scales, mins | None)} — for every weight
+    whose packed planes exist; missing entries keep the dense leaf.
+    Affine formats (q4_1/q5_1, K-quants) keep their mins plane — the qmm
+    kernels fold the per-block offset into the matmul (ops/qmm.py), so
+    these files decode block-quantized like the symmetric ones (the
+    reference runs every format natively in mul_mat,
+    ggml/src/ggml-cpu/quants.c + repack.cpp).  A key whose planes mix
+    grains or minsness (e.g. a file mixing q6_k and q4_k tensors) stays
+    dense — stacking would misalign the scale blocks."""
+    def planes(rows):
+        qs = [[qplanes[n] for n in row] for row in rows]
+        flat = [q for row in qs for q in row]
+        grains = {q.codes.shape[-1] // q.scales.shape[-1] for q in flat}
+        affine = {q.mins is not None for q in flat}
+        if len(grains) > 1 or len(affine) > 1:
+            return None
+        has_mins = affine.pop()
+        return (np.stack([np.concatenate([q.codes for q in row])
+                          for row in qs]),
+                np.stack([np.concatenate([q.scales for q in row])
+                          for row in qs]),
+                np.stack([np.concatenate([q.mins for q in row])
+                          for row in qs]) if has_mins else None)
+
     out: Dict[str, Any] = {"blocks": {}}
     for key, fnames in PACKED_DEC_KEYS.items():
         names = [[f"decoder.blocks.{i}.{f}" for f in fnames]
                  for i in range(hp.n_text_layer)]
-        if all(n in qplanes and qplanes[n].mins is None
-               for row in names for n in row):
-            out["blocks"][key] = (
-                np.stack([np.concatenate([qplanes[n].codes for n in row])
-                          for row in names]),
-                np.stack([np.concatenate([qplanes[n].scales for n in row])
-                          for row in names]))
+        if all(n in qplanes for row in names for n in row):
+            stacked = planes(names)
+            if stacked is not None:
+                out["blocks"][key] = stacked
     te = qplanes.get("decoder.token_embedding.weight")
-    if te is not None and te.mins is None:
-        out["tok_embd"] = (te.codes, te.scales)
+    if te is not None:
+        out["tok_embd"] = (te.codes, te.scales, te.mins)
     return out
 
 

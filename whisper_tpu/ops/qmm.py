@@ -29,10 +29,16 @@ QK = 32  # block size of the *_0 formats (ggml-common.h:180)
 
 
 class QWeight(NamedTuple):
-    """Packed quantized weight living on device; logical shape (R, K)."""
+    """Packed quantized weight living on device; logical shape (R, K).
+
+    `mins` (same shape as scales) carries the per-block offset of AFFINE
+    formats (q4_1/q5_1 and the K-quants' d*sc / -dmin*m decomposition,
+    formats/quants.py unpack_to_planes): dequant = codes*scale (+ min).
+    None for the symmetric *_0/IQ/MXFP4 formats."""
 
     codes: jax.Array   # (R, K) int8
     scales: jax.Array  # (R, K // QK) f32
+    mins: Optional[jax.Array] = None   # (R, K // QK) f32 | None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -51,6 +57,7 @@ class QWeightT(NamedTuple):
 
     codes_t: jax.Array   # (K, R) int8
     scales_t: jax.Array  # (K // qk, R) f32
+    mins_t: Optional[jax.Array] = None  # (K // qk, R) f32 | None (affine)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -162,12 +169,13 @@ def qmm(x: jax.Array, codes: jax.Array, scales: jax.Array,
     return out[:T, :R]
 
 
-def _qmmt_kernel(x_ref, codes_ref, scales_ref, out_ref, *, dtype):
+def _qmmt_kernel(*refs, dtype, has_mins):
     """One (T, BR) output tile, streaming codes per 32-block.
 
     x_ref:      (T, K)
     codes_ref:  (K, BR) int8
     scales_ref: (nb, BR) f32
+    mins_ref:   (nb, BR) f32 (affine formats only)
     out_ref:    (T, BR) f32
 
     int8 codes convert to `dtype` one block at a time and each block's
@@ -176,27 +184,40 @@ def _qmmt_kernel(x_ref, codes_ref, scales_ref, out_ref, *, dtype):
     tiles can be ~4x larger than the expand-first kernel and the grid loop
     stays DMA-bound (measured: the MXU scale-expansion matmul of the v1
     kernel cost +12us/tile; this per-block form costs ~+1us against the
-    scale-free convert+dot floor — tools/perf_ablate.py)."""
+    scale-free convert+dot floor — tools/perf_ablate.py).
+
+    Affine formats factor the per-block offset OUT of the dot:
+    x @ (q*s + m*1)^T per block == (x_blk @ q)*s + sum(x_blk)*m, so the
+    mins plane costs one row-sum per block instead of a second matmul."""
+    if has_mins:
+        x_ref, codes_ref, scales_ref, mins_ref, out_ref = refs
+    else:
+        x_ref, codes_ref, scales_ref, out_ref = refs
     nb = scales_ref.shape[0]
     K = codes_ref.shape[0]
     qk = K // nb
     xb = x_ref[:].astype(dtype)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for b in range(nb):
+        xblk = xb[:, b * qk:(b + 1) * qk]
         cb = codes_ref[b * qk:(b + 1) * qk, :].astype(dtype)
-        part = jnp.dot(xb[:, b * qk:(b + 1) * qk], cb,
-                       preferred_element_type=jnp.float32)
+        part = jnp.dot(xblk, cb, preferred_element_type=jnp.float32)
         acc = acc + part * scales_ref[b, :][None, :]
+        if has_mins:
+            xsum = jnp.sum(xblk.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + xsum * mins_ref[b, :][None, :]
     out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("block_r", "dtype", "interpret"))
 def qmmt(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
+         mins_t: Optional[jax.Array] = None,
          block_r: int = 4096, dtype=jnp.bfloat16,
          interpret: bool = False) -> jax.Array:
-    """y[T, R] = x[T, K] @ dequant(codes_t, scales_t) for TRANSPOSED planes
-    (codes_t (K, R), scales_t (nb, R)).  The serving path for the logits
-    head: R ~ n_vocab, weight traffic 1.125 B/elem."""
+    """y[T, R] = x[T, K] @ dequant(codes_t, scales_t[, mins_t]) for
+    TRANSPOSED planes (codes_t (K, R), scales_t/mins_t (nb, R)).  The
+    serving path for the logits head: R ~ n_vocab, weight traffic
+    1.125 B/elem (1.25 with an affine mins plane)."""
     T, K = x.shape
     Kc, R = codes_t.shape
     nb = scales_t.shape[0]
@@ -217,20 +238,28 @@ def qmmt(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
     if Rp != R:
         codes_t = jnp.pad(codes_t, ((0, 0), (0, Rp - R)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, Rp - R)))
+        if mins_t is not None:
+            mins_t = jnp.pad(mins_t, ((0, 0), (0, Rp - R)))
 
+    plane_spec = pl.BlockSpec((nb, block_r), lambda j: (0, j),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((T, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, block_r), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+        plane_spec,
+    ]
+    operands = [x, codes_t, scales_t]
+    if mins_t is not None:
+        in_specs.append(plane_spec)
+        operands.append(mins_t)
     out = pl.pallas_call(
-        functools.partial(_qmmt_kernel, dtype=dtype),
+        functools.partial(_qmmt_kernel, dtype=dtype,
+                          has_mins=mins_t is not None),
         out_shape=jax.ShapeDtypeStruct((T, Rp), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=(Rp // block_r,),
-            in_specs=[
-                pl.BlockSpec((T, K), lambda j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, block_r), lambda j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, block_r), lambda j: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((T, block_r), lambda j: (0, j),
                                    memory_space=pltpu.VMEM),
         ),
@@ -239,12 +268,12 @@ def qmmt(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
             bytes_accessed=K * Rp + nb * Rp * 4 + T * K * 4 + T * Rp * 4,
             transcendentals=0),
         interpret=interpret,
-    )(x, codes_t, scales_t)
+    )(*operands)
     return out[:, :R]
 
 
-def _qmmt_fused_kernel(*refs, dtype, nopt, has_ln, has_bias, act, has_res,
-                       eps):
+def _qmmt_fused_kernel(*refs, dtype, nopt, has_mins, has_ln, has_bias, act,
+                       has_res, eps):
     """qmmt with the surrounding elementwise ops folded in:
 
         out = act(LN(x) @ dequant(codes_t, scales_t) + bias) + residual
@@ -260,6 +289,7 @@ def _qmmt_fused_kernel(*refs, dtype, nopt, has_ln, has_bias, act, has_res,
     x_ref, codes_ref, scales_ref = refs[:3]
     opt = list(refs[3:3 + nopt])
     out_ref = refs[3 + nopt]
+    mins_ref = opt.pop(0) if has_mins else None
     ln_w = opt.pop(0) if has_ln else None
     ln_b = opt.pop(0) if has_ln else None
     bias = opt.pop(0) if has_bias else None
@@ -278,10 +308,13 @@ def _qmmt_fused_kernel(*refs, dtype, nopt, has_ln, has_bias, act, has_res,
     qk = K // nb
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for b in range(nb):
+        xblk = xb[:, b * qk:(b + 1) * qk]
         cb = codes_ref[b * qk:(b + 1) * qk, :].astype(dtype)
-        part = jnp.dot(xb[:, b * qk:(b + 1) * qk], cb,
-                       preferred_element_type=jnp.float32)
+        part = jnp.dot(xblk, cb, preferred_element_type=jnp.float32)
         acc = acc + part * scales_ref[b, :][None, :]
+        if has_mins:
+            xsum = jnp.sum(xblk.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + xsum * mins_ref[b, :][None, :]
     if has_bias:
         acc = acc + bias[:].astype(jnp.float32)
     if act == "gelu":
@@ -294,6 +327,7 @@ def _qmmt_fused_kernel(*refs, dtype, nopt, has_ln, has_bias, act, has_res,
 @functools.partial(jax.jit, static_argnames=("block_r", "dtype", "act",
                                              "eps", "interpret"))
 def qmmt_fused(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
+               mins_t: Optional[jax.Array] = None,
                ln_w=None, ln_b=None, bias=None, residual=None,
                act: Optional[str] = None, eps: float = 1e-5,
                block_r: int = 4096, dtype=jnp.bfloat16,
@@ -324,6 +358,8 @@ def qmmt_fused(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
     if Rp != R:
         codes_t = jnp.pad(codes_t, ((0, 0), (0, Rp - R)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, Rp - R)))
+        if mins_t is not None:
+            mins_t = jnp.pad(mins_t, ((0, 0), (0, Rp - R)))
         if bias is not None:
             bias = jnp.pad(bias, (0, Rp - R))
         if residual is not None:
@@ -337,6 +373,10 @@ def qmmt_fused(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
                      memory_space=pltpu.VMEM),
     ]
     operands = [x, codes_t, scales_t]
+    if mins_t is not None:
+        in_specs.append(pl.BlockSpec((nb, block_r), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mins_t)
     if ln_w is not None:
         in_specs += [pl.BlockSpec((1, K), lambda j: (0, 0),
                                   memory_space=pltpu.VMEM)] * 2
@@ -353,7 +393,8 @@ def qmmt_fused(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
     out = pl.pallas_call(
         functools.partial(
             _qmmt_fused_kernel, dtype=dtype, nopt=len(operands) - 3,
-            has_ln=ln_w is not None, has_bias=bias is not None, act=act,
+            has_mins=mins_t is not None, has_ln=ln_w is not None,
+            has_bias=bias is not None, act=act,
             has_res=residual is not None, eps=eps),
         out_shape=jax.ShapeDtypeStruct((T, Rp), jnp.float32),
         grid_spec=pl.GridSpec(grid=(Rp // block_r,), in_specs=in_specs,
@@ -382,7 +423,7 @@ def qmmt_fused_auto(x: jax.Array, qw: QWeightT, dtype=jnp.bfloat16, *,
     r2 = residual.reshape(-1, residual.shape[-1]) \
         if residual is not None else None
     if jax.default_backend() == "tpu" or interpret:
-        y = qmmt_fused(x2, qw.codes_t, qw.scales_t,
+        y = qmmt_fused(x2, qw.codes_t, qw.scales_t, mins_t=qw.mins_t,
                        ln_w=ln[0] if ln else None,
                        ln_b=ln[1] if ln else None,
                        bias=bias, residual=r2, act=act, eps=eps,
@@ -414,10 +455,13 @@ def qmmt_auto(x: jax.Array, qw: QWeightT, dtype=jnp.bfloat16) -> jax.Array:
         s_full = jnp.broadcast_to(
             qw.scales_t[:, None, :], (nb, qk, R)).reshape(K, R)
         w = qw.codes_t.astype(jnp.float32) * s_full
+        if qw.mins_t is not None:
+            w = w + jnp.broadcast_to(
+                qw.mins_t[:, None, :], (nb, qk, R)).reshape(K, R)
         y = jnp.matmul(x2.astype(dtype), w.astype(dtype),
                        preferred_element_type=jnp.float32)
     else:
-        y = qmmt(x2, qw.codes_t, qw.scales_t, dtype=dtype)
+        y = qmmt(x2, qw.codes_t, qw.scales_t, mins_t=qw.mins_t, dtype=dtype)
     return y.reshape(*lead, y.shape[-1])
 
 
@@ -430,7 +474,10 @@ def embed_lookup(qw: QWeight, tokens: jax.Array,
     s = qw.scales[tokens]                                # (..., K // qk)
     qk = qw.codes.shape[-1] // qw.scales.shape[-1]
     s_full = jnp.repeat(s, qk, axis=-1)
-    return (rows * s_full).astype(dtype)
+    out = rows * s_full
+    if qw.mins is not None:
+        out = out + jnp.repeat(qw.mins[tokens], qk, axis=-1)
+    return out.astype(dtype)
 
 
 def qmm_auto(x: jax.Array, qw: QWeight, dtype=jnp.bfloat16) -> jax.Array:
@@ -452,6 +499,9 @@ def qmm_auto(x: jax.Array, qw: QWeight, dtype=jnp.bfloat16) -> jax.Array:
     s_full = jnp.broadcast_to(
         qw.scales[:, :, None].astype(dtype), (R, nb, qk)).reshape(R, K)
     w = qw.codes.astype(dtype) * s_full
+    if qw.mins is not None:
+        w = w + jnp.broadcast_to(
+            qw.mins[:, :, None].astype(dtype), (R, nb, qk)).reshape(R, K)
     y = jax.lax.dot_general(
         x2.astype(dtype), w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -462,13 +512,16 @@ def dequantize_qweight(qw: QWeight, dtype=jnp.float32) -> jax.Array:
     """Dense fallback: expand to (R, K)."""
     qk = qw.codes.shape[-1] // qw.scales.shape[-1]
     scales = jnp.repeat(qw.scales, qk, axis=1)
-    return (qw.codes.astype(jnp.float32) * scales).astype(dtype)
+    out = qw.codes.astype(jnp.float32) * scales
+    if qw.mins is not None:
+        out = out + jnp.repeat(qw.mins, qk, axis=1)
+    return out.astype(dtype)
 
 
 def from_qtensor(qt, device=None) -> QWeight:
-    """Build a device QWeight from formats.quants.QTensor (symmetric formats
-    only — affine formats carry `mins` and must use the dense path)."""
-    if qt.mins is not None:
-        raise ValueError("affine quant formats use the dense path")
+    """Build a device QWeight from formats.quants.QTensor.  Affine formats
+    (q4_1/q5_1, K-quants) keep their mins plane; dequant = codes*scale+min."""
     return QWeight(jnp.asarray(qt.codes, jnp.int8),
-                   jnp.asarray(qt.scales, jnp.float32))
+                   jnp.asarray(qt.scales, jnp.float32),
+                   None if qt.mins is None
+                   else jnp.asarray(qt.mins, jnp.float32))

@@ -117,29 +117,32 @@ class WhisperContext:
             # occupy HBM alongside the planes.
             overlay = build_qweight_overlay(model.qparams, self.hp)
             n_layers = self.hp.n_text_layer
+
+            def _t(a, dt):
+                return (None if a is None else
+                        jnp.asarray(np.ascontiguousarray(a.T), dt))
+
             blocks_packed = [dict() for _ in range(n_layers)]
-            for key, (codes, scales) in overlay["blocks"].items():
+            for key, (codes, scales, mins) in overlay["blocks"].items():
                 for l in range(n_layers):
                     blocks_packed[l][key] = QWeightT(
-                        jnp.asarray(np.ascontiguousarray(codes[l].T),
-                                    jnp.int8),
-                        jnp.asarray(np.ascontiguousarray(scales[l].T),
-                                    jnp.float32))
+                        _t(codes[l], jnp.int8), _t(scales[l], jnp.float32),
+                        _t(None if mins is None else mins[l], jnp.float32))
                 del self.params["dec"]["blocks"][key]
             if any(blocks_packed[0]):
                 self.params["dec"]["blocks_packed"] = blocks_packed
             if "tok_embd" in overlay:
-                from ..ops.qmm import QWeightT
-
-                codes, scales = overlay["tok_embd"]
+                codes, scales, mins = overlay["tok_embd"]
                 self.params["dec"]["tok_embd"] = QWeight(
                     jnp.asarray(codes, jnp.int8),
-                    jnp.asarray(scales, jnp.float32))
+                    jnp.asarray(scales, jnp.float32),
+                    None if mins is None
+                    else jnp.asarray(mins, jnp.float32))
                 # transposed copy for the logits head's streaming kernel
                 # (ops/qmm.py qmmt); +n_vocab*n_state bytes of HBM
                 self.params["dec"]["tok_embd_t"] = QWeightT(
-                    jnp.asarray(np.ascontiguousarray(codes.T), jnp.int8),
-                    jnp.asarray(np.ascontiguousarray(scales.T), jnp.float32))
+                    _t(codes, jnp.int8), _t(scales, jnp.float32),
+                    _t(mins, jnp.float32))
         # mel backend: "auto" runs the batched-rfft DEVICE mel on TPU (the
         # host-numpy 30 s mel costs ~40 ms — comparable to the whole encode;
         # FFT rounding differs ~1e-6 rel from the oracle-exact numpy path)
