@@ -50,7 +50,7 @@ def dec_models():
         pytest.skip("reference samples not available")
     models = {}
     for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16",
-                 "kq-f16"):
+                 "kq-f16", "race-f16"):
         path = FIXTURES / TP.model_filename(base)
         if not path.exists():
             FIXTURES.mkdir(exist_ok=True)
@@ -241,3 +241,24 @@ def test_decisive_margins(dec_models, parity_audio):
         toks.append(TokenData(id=tok, tid=0, p=1.0, plog=0.0, pt=0.0,
                               ptsum=0.0))
     assert gaps and min(gaps) > 0.3, gaps
+
+
+def test_beam_race_discriminates(dec_models, parity_audio):
+    """The race-beam2-faithful case must DISCRIMINATE the two beam
+    policies: on the race fixture, beam_sampling="topk" (deterministic
+    top-k) must produce a transcript DIFFERENT from the committed oracle
+    ref (which beam_sampling="reference" reproduces exactly in
+    test_text_parity).  Guards the faithful case from going vacuous —
+    e.g. if the race step's scripted mass split ever collapses."""
+    from whisper_tpu.decoding.full import transcribe
+
+    case = next(c for c in TP.CASES if c.name == "race-beam2-faithful")
+    ref = json.loads((REF_DIR / "race-beam2-faithful.json").read_text())
+    samples, _ = parity_audio["jfk"]
+    p = TP.transcribe_params(case)
+    p.beam_sampling = "topk"
+    got = TP.segments_to_rows(
+        transcribe(_ctx_for(dec_models["race-f16"]), p, samples))
+    assert got != ref["segments"], (
+        "top-k and reference beam draws agreed on the race fixture — the "
+        "faithful-beam parity case no longer discriminates the policies")

@@ -98,7 +98,8 @@ def make_decisive(tensors, hp: WhisperHParams, seed: int,
                   n_text_active: int = 64, ts_stride: int = 25,
                   boost: float = 25.0, eot_boost: float = 1.15,
                   tdrz: bool = False, pos_mix: float = 3.0,
-                  ts_mix: float = 1.2, steep_ts: int = 0) -> None:
+                  ts_mix: float = 1.2, steep_ts: int = 0,
+                  race: float = 0.0) -> None:
     """Rescale decoder token-embedding rows so greedy/beam decoding has
     LARGE argmax margins (gap >> any cross-implementation rounding noise).
 
@@ -183,6 +184,27 @@ def make_decisive(tensors, hp: WhisperHParams, seed: int,
     ]).reshape(3, -1)
     kind = rng.choice(3, size=n_pos, p=[0.80, 0.17, 0.03])
     script = pool[kind, np.arange(n_pos)]
+    if race > 0.0:
+        # [BEAM-RACE] a SINGLE two-way candidate race at position 4 (the
+        # rest of the trajectory stays decisive): token B is mixed into
+        # P[4] slightly weaker than the scripted A, so the filtered probs
+        # split meaningful mass between exactly two STABLY-ordered tokens
+        # (the gap is far above rounding noise but small enough that both
+        # carry draw mass).  Deterministic top-k beam expands BOTH; the
+        # reference's beam policy draws beam_size iid samples from the
+        # distribution (whisper.cpp:7262) and can MISS one.  B's embedding
+        # is correlated with the NEXT scripted token's row, so the B-path's
+        # following step is MORE confident than the A-path's: whichever
+        # policy keeps B wins the beam ranking one step later, making the
+        # two policies' transcripts diverge whenever the draws drop B.
+        p_star = 4
+        kind[p_star] = 0
+        script[p_star] = pool[0, p_star]        # A = scripted text token
+        b_tok = int(active[(p_star * 13 + 5) % len(active)])
+        if b_tok == int(script[p_star]):
+            b_tok = int(active[(p_star * 13 + 6) % len(active)])
+        W[b_tok] += 0.5 * W[script[p_star + 1]]
+        P[p_star] += (pos_mix - race) * W[b_tok]
     P += pos_mix * W[script] + ts_mix * W[ts_choice]
     if steep_ts > 0:
         # Window-2+ initial step: the prompt pushes positions deep into the
@@ -239,6 +261,10 @@ def main():
                          "the direction attenuates through the deeper stack)")
     ap.add_argument("--ts-mix", type=float, default=1.2,
                     help="secondary timestamp-row mix strength")
+    ap.add_argument("--race", type=float, default=0.0,
+                    help="script a single two-way beam-candidate race at "
+                         "position 4 with this pos-mix deficit (0 = off; "
+                         "the faithful-stochastic-beam parity fixture)")
     ap.add_argument("--steep-ts", type=int, default=0,
                     help="strictly-monotone timestamp script: ts index = "
                          "position // STEEP_TS, no jitter (full-dims models; "
@@ -267,7 +293,8 @@ def main():
     if args.decisive:
         make_decisive(tensors, hp, args.seed, boost=args.boost,
                       tdrz=args.tdrz, pos_mix=args.pos_mix,
-                      ts_mix=args.ts_mix, steep_ts=args.steep_ts)
+                      ts_mix=args.ts_mix, steep_ts=args.steep_ts,
+                      race=args.race)
     vocab_tokens = [vocab.id_to_token[i] for i in range(n_vocab_read)]
     write_model_file(args.out, hp, filters, vocab_tokens, tensors,
                      use_f16=not args.f32)

@@ -39,7 +39,7 @@ def sha256(p: Path) -> str:
 def ensure_models() -> dict:
     models = {}
     for base in ("f16", "ml-f16", "tdrz-f16", "fd-f16", "fd-ml-f16",
-                 "kq-f16"):
+                 "kq-f16", "race-f16"):
         models[base] = FIXTURES / TP.model_filename(base)
         if not models[base].exists():
             donor, margs = TP.model_recipe(base)

@@ -343,9 +343,17 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 
             # t>0 attempts draw stochastically; faithful_sampling routes
             # them through the host loop whose StdRng replays the reference
-            # binary's exact mt19937 candidate sequence (stdrng.py)
+            # binary's exact mt19937 candidate sequence (stdrng.py).
+            # beam_sampling="reference" additionally routes t=0 BEAM
+            # attempts there: the host loop's sample_token_topk draws
+            # beam_size candidates per decoder per step exactly as the
+            # binary does (whisper.cpp:7262), instead of the device loop's
+            # deterministic top-k
+            faithful_beam = (params.strategy == SamplingStrategy.BEAM_SEARCH
+                             and params.beam_sampling == "reference")
             use_device_loop = device_loop_ok and (
-                t_cur == 0.0 or not params.faithful_sampling)
+                t_cur == 0.0 or not params.faithful_sampling) and not (
+                faithful_beam and t_cur == 0.0)
             dl_strategy = ("beam" if (params.strategy ==
                                       SamplingStrategy.BEAM_SEARCH and
                                       t_cur == 0.0) else "greedy")

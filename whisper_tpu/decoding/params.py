@@ -103,6 +103,20 @@ class TranscribeParams:
     # on long audio whose gates fail often, but not reference-identical.
     faithful_sampling: bool = True
 
+    # t=0 BEAM candidate policy.  "topk" (default): deterministic top-k on
+    # the device loop — OpenAI decoding.py's actual BeamSearchDecoder,
+    # matching the binary whenever the step distribution is peaked (every
+    # committed decisive beam parity case).  "reference": replay the
+    # binary's actual policy — beam_size iid draws from
+    # discrete_distribution(probs) per decoder per step through the
+    # emulated std::mt19937 (whisper_sample_token_topk,
+    # src/whisper.cpp:6543-6616; the partial_sort there is dead code — the
+    # draws ARE the candidates).  The two can pick DIFFERENT beams when a
+    # step's distribution carries real mass on runner-ups: the draws may
+    # miss a candidate top-k would expand (tests/test_text_parity.py
+    # fb-beam case).  Runs on the host loop; reference-identical, slower.
+    beam_sampling: str = "topk"
+
     greedy: GreedyParams = field(default_factory=GreedyParams)
     beam_search: BeamSearchParams = field(default_factory=BeamSearchParams)
 

@@ -90,17 +90,32 @@ FD_ML_MODEL_ARGS = ["--decisive", "--full-dims", "--steep-ts", "2",
 # the oracle exactly.
 MODEL_ARGS_KQ = ["--decisive", "--n-layer", "3", "--n-state", "256",
                  "--n-head", "4", "--seed", "4"]
-# seed 4, not 2: q5_k's larger quantization error collapsed ONE of seed 2's
-# scripted margins to 0.59 (measured) — a genuine sub-GEMM-noise near-tie
-# where the binary and the engine legitimately disagree.  Seed 4 keeps
-# every step decisive under q5_k (fa==nfa on the oracle, 3 segments).
+# kq seed 4, not 2: q5_k's larger quantization error collapsed ONE of seed
+# 2's scripted margins to 0.59 (measured) — a genuine sub-GEMM-noise
+# near-tie where the binary and the engine legitimately disagree.  Seed 4
+# keeps every step decisive under q5_k (fa==nfa on the oracle, 3 segments).
+
+# BEAM-RACE tier (round-5, VERDICT r4 #5): a decisive mini with ONE
+# scripted two-way candidate race at position 4 (make_test_model --race):
+# the filtered distribution there splits real mass between two stably
+# ordered tokens, and the loser's embedding is correlated with the next
+# scripted row so whichever policy KEEPS it wins the beam ranking a step
+# later.  Deterministic top-k expands both candidates; the reference's
+# t=0 beam policy draws beam_size iid samples from
+# discrete_distribution(probs) (whisper.cpp:7262) and — on this seed's
+# mt19937 stream — misses the top-k winner.  Verified: the oracle's own
+# fa/nfa graphs agree on this fixture, beam_sampling="reference" matches
+# the binary EXACTLY, and "topk" produces a different (also deterministic)
+# transcript — the one place the two policies provably diverge.
+MODEL_ARGS_RACE = ["--decisive", "--n-layer", "3", "--seed", "2",
+                   "--race", "0.1"]
 
 
 def model_filename(quant: str) -> str:
     if quant.startswith("fd-"):
         return f"{quant}.bin"
     if (quant.startswith("ml-") or quant.startswith("tdrz-")
-            or quant.startswith("kq-")):
+            or quant.startswith("kq-") or quant.startswith("race-")):
         return f"mini-{quant}.bin"
     return f"mini-dec-{quant}.bin"
 
@@ -113,6 +128,8 @@ def model_recipe(quant: str):
         return EN_DONOR, FD_MODEL_ARGS
     if quant.startswith("kq-"):
         return EN_DONOR, MODEL_ARGS_KQ
+    if quant.startswith("race-"):
+        return EN_DONOR, MODEL_ARGS_RACE
     if quant.startswith("ml-"):
         return ML_DONOR, MODEL_ARGS_ML
     if quant.startswith("tdrz-"):
@@ -189,6 +206,7 @@ class Case:
     duration_ms: int = 0         # -d: transcribe only this much audio
     max_context: int = -1        # -mc: cap carried cross-window context
     audio_ctx: int = 0           # -ac: truncate the encoder context
+    beam_sampling: str = "topk"  # "reference": faithful stochastic beam
 
 
 CASES: Tuple[Case, ...] = (
@@ -336,6 +354,13 @@ CASES: Tuple[Case, ...] = (
     # 256-wide K-quant super-blocks.
     Case("kq-q5_k-greedy", "kq-q5_k"),
     Case("kq-q5_k-beam5", "kq-q5_k", beam_size=5),
+    # --- beam-race tier (round-5): the scripted two-way candidate race
+    # where deterministic top-k and the reference's stochastic t=0 beam
+    # draws provably pick DIFFERENT beams; faithful mode must match the
+    # binary exactly (tests/test_text_parity.py::test_beam_race_discriminates
+    # asserts top-k differs, so this case can never go vacuous)
+    Case("race-beam2-faithful", "race-f16", beam_size=2,
+         beam_sampling="reference"),
 )
 
 
@@ -448,6 +473,7 @@ def transcribe_params(case: Case):
         p.n_max_text_ctx = case.max_context
     if case.audio_ctx:
         p.audio_ctx = case.audio_ctx
+    p.beam_sampling = case.beam_sampling
     return p
 
 
