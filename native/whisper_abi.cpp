@@ -1759,6 +1759,12 @@ struct whisper_full_params * whisper_full_default_params_by_ref(
     return p;
 }
 
+// [extension] ABI self-description for FFI consumers (bindings/java
+// asserts its hand-declared FFM layout against this at startup)
+size_t whisper_full_params_sizeof(void) {
+    return sizeof(struct whisper_full_params);
+}
+
 // whisper.h:640-666 — params by value, callbacks live for the whole run
 int whisper_full(struct whisper_context * ctx,
                  struct whisper_full_params params,

@@ -511,6 +511,11 @@ struct whisper_full_params whisper_full_default_params(
 struct whisper_full_params * whisper_full_default_params_by_ref(
         enum whisper_sampling_strategy strategy);
 
+/* [extension] compiled sizeof(struct whisper_full_params) — lets FFI
+ * consumers that hand-declare the layout (bindings/java) assert theirs
+ * matches this library's ABI at startup instead of corrupting fields */
+size_t whisper_full_params_sizeof(void);
+
 /* whisper.h:640-666 — exact reference signatures (params by value) */
 int whisper_full(struct whisper_context * ctx,
                  struct whisper_full_params params,

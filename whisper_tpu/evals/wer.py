@@ -2,15 +2,20 @@
 
 The reference evaluates with jiwer after OpenAI's EnglishTextNormalizer
 (reference tests/librispeech/eval.py:30-46, normalizers/english.py — MIT).
-Silent normalizer skew would poison every WER comparison, so the
-normalizer here is a faithful re-derivation of that exact algorithm —
-filler/contraction/title rewrites, symbol+diacritic folding, the
-spelled-out-number state machine (currency prefixers, percent suffixers,
-"double"/"triple"/"point"/"and a half", cents combining, nominal digit
-chains like "one oh one" -> 101), and the 1739-entry British->American
-spelling table (vendored data artifact, tools/gen_spelling_map.py) —
+Silent normalizer skew would poison every WER comparison: the exact
+behavior of that normalizer IS the WER-comparability contract, so the
+_NumberNormalizer state machine below is a branch-for-branch Python
+TRANSCRIPTION of `process_words` in the MIT-licensed OpenAI original
+(whisper/normalizers/english.py, Copyright (c) 2022 OpenAI — license
+carried in data/LICENSE next to the spelling table), not an independent
+re-derivation: filler/contraction/title rewrites, symbol+diacritic
+folding, the spelled-out-number branches (currency prefixers, percent
+suffixers, "double"/"triple"/"point"/"and a half", cents combining,
+nominal digit chains like "one oh one" -> 101), and the 1739-entry
+British->American spelling table (data/english_spellings.json, the
+original's english.json re-emitted by tools/gen_spelling_map.py) —
 differentially verified word-for-word against the reference's vendored
-normalizer in tests/test_wer_normalizer.py.  WER itself is a plain
+copy in tests/test_wer_normalizer.py.  WER itself is a plain
 Levenshtein distance over words (jiwer's corpus WER definition).
 """
 
@@ -66,7 +71,13 @@ def _is_numeric(w: Optional[str]) -> bool:
 class _NumberNormalizer:
     """State machine turning spelled-out numbers into digits while keeping
     ordinal/plural suffixes, folding currency words into prefix symbols, and
-    reading successive single digits as nominal chains."""
+    reading successive single digits as nominal chains.
+
+    `_walk` is a branch-for-branch transcription of the MIT-licensed OpenAI
+    NumberParser.process_words (whisper/normalizers/english.py; the
+    reference vendors it at tests/librispeech/normalizers/english.py:165-386)
+    — same branch order, same `value % 100 == 0` special cases, same
+    asserts.  See data/LICENSE for the carried MIT notice."""
 
     def __init__(self) -> None:
         self.zeros = {"o", "oh", "zero"}
