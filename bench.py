@@ -437,6 +437,14 @@ def main():
     name = os.environ.get("WTPU_BENCH_MODEL", "large-v3")
     hp = DIMS[name]
     r = bench_model(name, hp)
+    # large-v3-turbo rows in the SAME run (VERDICT r4 #6): the reference's
+    # flagship fast config (V100 turbo-q5_0: 79.6 ms enc, 1.03 ms/tok —
+    # BASELINE.md); its 4-layer decoder is where the single-stream and
+    # serving numbers move
+    tb = {}
+    if (os.environ.get("WTPU_BENCH_TURBO", "1") != "0"
+            and name != "large-v3-turbo"):
+        tb = bench_model("large-v3-turbo", DIMS["large-v3-turbo"])
     pk = (bench_parakeet()
           if os.environ.get("WTPU_BENCH_PARAKEET", "1") != "0" else {})
     dec_used = (min(r["dec_ms"], r["dec_q_ms"], r["dec_q8_ms"])
@@ -458,6 +466,14 @@ def main():
                   f"{r['rtf']}x; bch5 {r['bch5_ms']}/{r['bch5_q_ms']}ms/tok, "
                   f"prompt256 {r['prompt_ms']}ms; vmapped-enc "
                   f"{r['enc_b_ms']}ms/window"
+                  + ((lambda td: f"; large-v3-turbo: enc {tb['enc_ms']}ms, "
+                      f"single-stream {td}ms/tok [dense {tb['dec_ms']}, "
+                      f"packed {tb['dec_q_ms']}, packed+q8kv "
+                      f"{tb['dec_q8_ms']}] = {tb['rtf']}x, serving "
+                      f"{tb['rtf_batched']}x")(
+                         min(tb['dec_ms'], tb['dec_q_ms'], tb['dec_q8_ms'])
+                         if tb['dec_q_ms'] > 0 else tb['dec_ms'])
+                     if tb else "")
                   + (f"; parakeet-tdt-0.6b 30s: mel {pk['pk_mel_ms']}ms + "
                      f"enc {pk['pk_enc_ms']}ms bf16 / {pk['pk_enc_q5_ms']}ms "
                      f"packed-q5_0 + TDT decode {pk['pk_dec_ms']}ms -> "

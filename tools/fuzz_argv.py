@@ -1,0 +1,296 @@
+#!/usr/bin/env python
+"""Differential argv fuzzer vs the reference whisper-cli binary.
+
+The -ac max_initial_ts precision bug, the stereo downmix SUM bug, and the
+lrc speaker label were each found by hand-adding ONE new flag combination
+to the text-parity matrix (VERDICT r4 #3) — this tool automates that:
+sample valid flag combos over the decisive minis, run the REFERENCE
+binary and the engine on the identical inputs, diff segment text +
+timestamps, and SHRINK any failure to a minimal flag set.
+
+Combos are built as evals.text_parity.Case instances, so the oracle argv
+(cli_args) and the engine params (transcribe_params) come from the same
+single source of truth the committed matrix uses — a fuzzer hit is one
+`Case(...)` line away from becoming a committed regression fixture.
+
+Noise filter: decisive minis keep most steps' margins ~100x rounding
+noise, but some sampled combos shift positions enough to land near-ties
+(the committed -nt case needed -nfa for exactly this).  On a mismatch
+the oracle re-runs with -nfa: if the reference's OWN flash/non-flash
+graphs disagree on the combo, it is classified reference-unstable
+(sub-noise, skipped, counted) instead of failed.
+
+Usage:
+  python tools/fuzz_argv.py [--n 200] [--seed 0] [--report docs/FUZZ.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import random
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from whisper_tpu.evals import text_parity as TP  # noqa: E402
+
+FIXTURES = REPO / ".fixtures"
+ORACLE_BIN = REPO / ".oracle" / "build-portable" / "bin" / "whisper-cli"
+JFK = Path("/root/reference/samples/jfk.wav")
+
+
+def sample_case(rng: random.Random, i: int) -> TP.Case:
+    """One random-but-valid flag combo (examples/cli/cli.cpp:35-119)."""
+    model = rng.choice(["f16", "f16", "f16", "q5_0", "q8_0",
+                        "ml-f16", "tdrz-f16"])
+    kw = {}
+    if model.startswith("ml-"):
+        kw["language"] = rng.choice(["es", "es", "auto"])
+        if rng.random() < 0.3:
+            kw["translate"] = True
+    beam = rng.choice([0, 0, 0, 2, 5])
+    audio = rng.choice(["jfk", "jfk", "jfk", "jfk3"])
+    if model == "f16" and rng.random() < 0.10:
+        audio, kw["diarize"] = "jfk3st", True
+    # orchestrator seek-window flags
+    if rng.random() < 0.25:
+        kw["offset_ms"] = rng.choice([1000, 5000, 12000])
+    if rng.random() < 0.2:
+        kw["duration_ms"] = rng.choice([3000, 5000, 8000])
+    if rng.random() < 0.2:
+        kw["max_context"] = rng.choice([0, 1, 2])
+    if rng.random() < 0.15:
+        kw["audio_ctx"] = rng.choice([512, 768, 1024])
+    # token-timestamp segmentation
+    if rng.random() < 0.25:
+        kw["max_len"] = rng.choice([1, 6, 12])
+        if rng.random() < 0.5:
+            kw["split_on_word"] = True
+    # suppressions
+    if rng.random() < 0.2:
+        kw["suppress_nst"] = True
+    if rng.random() < 0.15:
+        kw["suppress_regex"] = rng.choice(
+            [" Taj", "ija", " [A-Z].*", "cases|nos"])
+    if rng.random() < 0.15:
+        kw["prompt"] = rng.choice(["The quick brown fox", "hello world"])
+    if rng.random() < 0.12:
+        # -nt shifts every scripted position; the reference's own graphs
+        # can near-tie (committed f16-greedy-nt runs -nfa) — let the
+        # instability filter handle it
+        kw["no_timestamps"] = True
+    if model.startswith("tdrz-") and rng.random() < 0.5:
+        kw["tdrz"] = True
+    if rng.random() < 0.10 and Path(TP.SILERO_MODEL).exists():
+        kw["vad"] = True
+    if rng.random() < 0.10:
+        kw["processors"] = 2
+    lpt = None
+    if rng.random() < 0.08:
+        lpt = 0.0          # full temperature-fallback ladder
+    return TP.Case(name=f"fuzz-{i}", model=model, beam_size=beam,
+                   audio=audio, lpt=lpt, **kw)
+
+
+def describe(case: TP.Case) -> str:
+    base = TP.Case(name=case.name, model=case.model)
+    diffs = []
+    for f in dataclasses.fields(TP.Case):
+        v = getattr(case, f.name)
+        if f.name != "name" and v != getattr(base, f.name):
+            diffs.append(f"{f.name}={v!r}")
+    return f"model={case.model} " + " ".join(diffs)
+
+
+class Runner:
+    def __init__(self):
+        self.models = {}
+        self.audio = {}
+        self.ctxs = {}
+
+    def model(self, name: str) -> Path:
+        if name not in self.models:
+            p = FIXTURES / TP.model_filename(name)
+            if not p.exists():
+                if name in ("q5_0", "q8_0"):
+                    from whisper_tpu.cli.quantize import quantize_model
+                    from whisper_tpu.formats import requant
+
+                    quantize_model(str(self.model("f16")), str(p),
+                                   requant.parse_ftype(name), verbose=False)
+                else:
+                    donor, margs = TP.model_recipe(name)
+                    subprocess.run(
+                        [sys.executable,
+                         str(REPO / "tools" / "make_test_model.py"),
+                         "--header-from", donor, "--out", str(p), *margs],
+                        check=True)
+            self.models[name] = p
+        return self.models[name]
+
+    def wav(self, name: str) -> Path:
+        if name not in self.audio:
+            self.audio[name] = {
+                "jfk": JFK,
+                "jfk3": TP.make_long_audio(str(JFK), FIXTURES / "jfk3.wav"),
+                "jfk3st": TP.make_stereo_audio(
+                    str(JFK), FIXTURES / "jfk3-stereo.wav"),
+            }[name]
+        return self.audio[name]
+
+    def oracle_rows(self, case: TP.Case, nfa: bool = False):
+        out_base = Path("/tmp") / f"fuzz-{case.name}{'-nfa' if nfa else ''}"
+        args = TP.cli_args(case, self.model(case.model),
+                           self.wav(case.audio), out_base)
+        if nfa and "-nfa" not in args:
+            args.append("-nfa")
+        r = subprocess.run([str(ORACLE_BIN), *args], capture_output=True,
+                           text=True, timeout=900)
+        if r.returncode != 0:
+            raise RuntimeError(f"oracle failed: {r.stderr[-500:]}")
+        return TP.parse_cli_json(out_base.with_suffix(".json"))
+
+    def engine_rows(self, case: TP.Case):
+        from whisper_tpu.audio.io import load_audio
+        from whisper_tpu.decoding.full import transcribe
+        from whisper_tpu.runtime.context import WhisperContext
+
+        key = (case.model, case.precision)
+        if key not in self.ctxs:
+            self.ctxs[key] = WhisperContext.from_file(
+                str(self.model(case.model)),
+                precision=case.precision or None)
+        ctx = self.ctxs[key]
+        samples, stereo = load_audio(str(self.wav(case.audio)))
+        if case.processors > 1:
+            from whisper_tpu.decoding.parallel import transcribe_parallel
+
+            segs = transcribe_parallel(ctx, TP.transcribe_params(case),
+                                       samples, case.processors)
+        else:
+            segs = transcribe(ctx, TP.transcribe_params(case), samples)
+        return TP.segments_to_rows(segs, tdrz=case.tdrz,
+                                   stereo=stereo if case.diarize else None)
+
+    def check(self, case: TP.Case) -> str:
+        """'ok' | 'unstable' | 'beam-policy' | 'FAIL'"""
+        ref = self.oracle_rows(case)
+        got = self.engine_rows(case)
+        if got == ref:
+            return "ok"
+        ref_nfa = self.oracle_rows(case, nfa=True)
+        if ref_nfa != ref:
+            return "unstable"
+        if case.beam_size > 0 and case.beam_sampling == "topk":
+            # the DOCUMENTED optional divergence (docs/VERIFICATION.md):
+            # the reference's t=0 beam draws candidates stochastically;
+            # if replaying its exact draws (beam_sampling="reference")
+            # reproduces the binary, the engine is correct and the combo
+            # is the known policy difference, not a bug.  (First observed
+            # organically by this fuzzer at beam_size=2 on the q8_0 mini:
+            # two draws miss the runner-up that top-k expands.)
+            faithful = dataclasses.replace(case,
+                                           beam_sampling="reference")
+            if self.engine_rows(faithful) == ref:
+                return "beam-policy"
+        return "FAIL"
+
+
+def shrink(runner: Runner, case: TP.Case) -> TP.Case:
+    """Reset fields to defaults one at a time while the combo still FAILs."""
+    cur = case
+    base = TP.Case(name=case.name, model=case.model)
+    changed = True
+    while changed:
+        changed = False
+        for f in dataclasses.fields(TP.Case):
+            if f.name in ("name", "model"):
+                continue
+            v, dflt = getattr(cur, f.name), getattr(base, f.name)
+            if v == dflt:
+                continue
+            trial = dataclasses.replace(cur, **{f.name: dflt})
+            try:
+                if runner.check(trial) == "FAIL":
+                    cur = trial
+                    changed = True
+            except Exception:  # noqa: BLE001 — invalid shrink, keep field
+                pass
+    return cur
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--report", default="")
+    args = ap.parse_args()
+
+    if not ORACLE_BIN.exists():
+        raise SystemExit("portable oracle not built; run "
+                         "tools/oracle/build_oracles.sh")
+    rng = random.Random(args.seed)
+    runner = Runner()
+    counts = {"ok": 0, "unstable": 0, "beam-policy": 0, "FAIL": 0,
+              "error": 0}
+    failures = []
+    t0 = time.time()
+    for i in range(args.n):
+        case = sample_case(rng, i)
+        try:
+            verdict = runner.check(case)
+        except Exception as e:  # noqa: BLE001
+            counts["error"] += 1
+            print(f"[{i:3d}] ERROR {describe(case)}: {e}", flush=True)
+            continue
+        counts[verdict] += 1
+        tag = "" if verdict == "ok" else f"  ** {verdict} **"
+        print(f"[{i:3d}] {verdict:8s} {describe(case)}{tag}", flush=True)
+        if verdict == "FAIL":
+            small = shrink(runner, case)
+            failures.append((case, small))
+            print(f"      shrunk -> {describe(small)}", flush=True)
+    dt = time.time() - t0
+
+    print(f"\n=== {args.n} combos in {dt:.0f}s: {counts['ok']} ok, "
+          f"{counts['unstable']} reference-unstable (sub-noise), "
+          f"{counts['beam-policy']} beam-policy (documented divergence, "
+          f"faithful mode matches), "
+          f"{counts['FAIL']} FAIL, {counts['error']} errors")
+    for orig, small in failures:
+        print(f"FAIL: {describe(small)}   (from {describe(orig)})")
+    if args.report:
+        lines = [
+            "# Differential argv fuzz sweep",
+            "",
+            f"`python tools/fuzz_argv.py --n {args.n} --seed {args.seed}` — "
+            "random valid whisper-cli flag combos on the decisive minis, "
+            "reference binary vs engine, segment text+timestamps diffed; "
+            "mismatches where the reference's own fa/nfa graphs disagree "
+            "count as reference-unstable (sub-noise), not failures.",
+            "",
+            f"Result: **{counts['ok']} ok / {counts['unstable']} "
+            f"reference-unstable / {counts['beam-policy']} beam-policy "
+            f"(documented t=0 draw divergence; beam_sampling='reference' "
+            f"reproduces the binary on each) / {counts['FAIL']} failing / "
+            f"{counts['error']} errors** in {dt:.0f}s.",
+            "",
+        ]
+        for orig, small in failures:
+            lines.append(f"- FAIL (shrunk): `{describe(small)}`")
+        Path(args.report).write_text("\n".join(lines) + "\n")
+        print(f"wrote {args.report}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
