@@ -253,3 +253,21 @@ def test_zero_result_len_final_window_accepted(dec_ctx):
         "text+EOT final window with no timestamp was failed into the ladder")
     assert bool(res.completed[0])
     assert int(res.result_len[0]) == n
+
+
+def test_parallel_offset_past_eof_returns_empty(dec_ctx):
+    """Fuzzer catch (tools/fuzz_argv.py): -p 2 with -ot past the end of
+    the audio produces empty/negative chunks; the batched path crashed
+    with 'call pcm_to_mel first' and the sequential path would re-decode
+    the previous chunk's still-loaded mel.  The reference's own splitting
+    arithmetic reads out of bounds there (whisper.cpp:7840-7852) —
+    undefined behavior; the engine returns no segments instead."""
+    from whisper_tpu.decoding.parallel import transcribe_parallel
+
+    ctx, samples = dec_ctx
+    for batched in (False, True):
+        p = _greedy_params()
+        p.offset_ms = 12000            # jfk.wav is 11 s
+        segs = transcribe_parallel(ctx.clone_state(), p, samples, 2,
+                                   batched=batched)
+        assert segs == [], (batched, segs)

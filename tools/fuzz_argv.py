@@ -94,6 +94,12 @@ def sample_case(rng: random.Random, i: int) -> TP.Case:
         kw["vad"] = True
     if rng.random() < 0.10:
         kw["processors"] = 2
+        # -p with offset_ms at/past the end of audio: the reference's
+        # chunk-splitting arithmetic goes negative and reads OUT OF BOUNDS
+        # (whisper.cpp:7840-7852) — undefined behavior, not a differential
+        # target (the engine returns no segments for the empty chunks)
+        if audio == "jfk" and kw.get("offset_ms", 0) >= 11000:
+            kw["offset_ms"] = 5000
     lpt = None
     if rng.random() < 0.08:
         lpt = 0.0          # full temperature-fallback ladder

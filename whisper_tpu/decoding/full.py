@@ -131,6 +131,14 @@ def full_with_state(ctx: WhisperContext, params: TranscribeParams,
 
     if samples is not None and len(samples) > 0:
         ctx.pcm_to_mel(samples)
+    if ctx.mel is None:
+        # zero-length input and no preset mel (whisper_set_mel): nothing to
+        # transcribe.  Hit by whisper_full_parallel-style chunk splitting
+        # when offset_ms lands at/past the end of audio — the reference's
+        # splitting arithmetic produces negative chunk sizes and reads out
+        # of bounds there (whisper.cpp:7840-7852), undefined behavior this
+        # engine deliberately does not reproduce (found by tools/fuzz_argv).
+        return []
 
     # language auto-detect
     language = params.language

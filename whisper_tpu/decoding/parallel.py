@@ -85,7 +85,10 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
             chunk = samples[start: start + n_cur]
             p = replace_params(params, clear_offset=True)
 
-        segs = full_with_state(ctx, p, chunk)
+        # empty chunk (offset at/past end of audio): nothing to decode —
+        # without this guard the shared ctx would re-decode the PREVIOUS
+        # chunk's still-loaded mel
+        segs = full_with_state(ctx, p, chunk) if len(chunk) else []
         # fresh rolling context between chunks
         ctx.prompt_past0, ctx.prompt_past1 = [], []
 
