@@ -182,3 +182,25 @@ public class Smoke {{
         env=env)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert proc.stdout.strip()
+
+
+def test_addon_node_binding(libwhisper_tpu, dec_models, pcm_file):
+    """N-API addon smoke test — runs when node + npm are present (same
+    policy as the Go/Ruby/Java tests: no toolchain on this host => skip).
+    Builds bindings/addon.node with node-gyp against libwhisper_tpu.so
+    and transcribes jfk.wav through the async whisper() surface."""
+    node, npm = shutil.which("node"), shutil.which("npm")
+    if node is None or npm is None:
+        pytest.skip("node toolchain not installed")
+    addon = REPO / "bindings" / "addon.node"
+    env = _run_env()
+    proc = subprocess.run([npm, "install"], cwd=str(addon),
+                          capture_output=True, text=True, timeout=900,
+                          env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    proc = subprocess.run(
+        [node, "index.js", str(dec_models["f16"]), str(JFK)],
+        cwd=str(addon), capture_output=True, text=True, timeout=900,
+        env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "-->" in proc.stdout
