@@ -21,6 +21,7 @@
 
 #include <napi.h>
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -105,7 +106,11 @@ class Worker : public Napi::AsyncWorker {
   public:
     Worker(Napi::Function & cb, Job job, Napi::Function progress)
         : Napi::AsyncWorker(cb), job_(std::move(job)) {
-        if (!progress.IsUndefined() && !progress.IsNull()) {
+        // progress may be DEFAULT-CONSTRUCTED (no env) when the params
+        // object carried no progress_callback — IsEmpty() must be
+        // checked before any Value method
+        if (!progress.IsEmpty() && !progress.IsUndefined()
+            && !progress.IsNull()) {
             tsfn_ = Napi::ThreadSafeFunction::New(
                 Env(), progress, "whisper_tpu_progress", 0, 1);
             has_tsfn_ = true;
