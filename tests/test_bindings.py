@@ -204,3 +204,17 @@ def test_addon_node_binding(libwhisper_tpu, dec_models, pcm_file):
         env=env)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "-->" in proc.stdout
+
+
+def test_full_params_sizeof_locks_java_layout(libwhisper_tpu):
+    """whisper_full_params_sizeof() must stay 304 (x86-64 SysV): the Java
+    FFM binding hand-declares the struct layout (bindings/java
+    WhisperTpu.java PARAMS_LAYOUT, byteSize 304, offsets verified against
+    gcc offsetof) and asserts against this export at class load.  If the
+    struct grows, this test flags that the Java layout (and the addon /
+    other FFI consumers) need the matching update."""
+    import ctypes
+
+    lib = ctypes.CDLL(str(libwhisper_tpu))
+    lib.whisper_full_params_sizeof.restype = ctypes.c_size_t
+    assert lib.whisper_full_params_sizeof() == 304
