@@ -38,15 +38,24 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
             return transcribe_joining(ctx, params, samples, batcher)[0]
         return transcribe(ctx, params, samples)
 
+    vad_mapping = None
     if params.vad:
         from ..models.vad.pipeline import filter_speech
 
         filtered = filter_speech(ctx, params, samples)
         if filtered is None:
             return []
-        samples, _, ctx.vad_segments_used = filtered
-        # parallel path drops the time remap (reference
-        # whisper_full_parallel also remaps only via chunk offsets)
+        samples, vad_mapping, ctx.vad_segments_used = filtered
+        # The reference VADs the WHOLE audio up front, chunks the filtered
+        # samples, merges worker segments with filtered-time chunk offsets,
+        # and the public accessors then remap the merged t0/t1 through the
+        # PARENT state's mapping table (whisper_full_parallel:7824 ->
+        # whisper_vad fills ctx->state->vad_mapping_table;
+        # whisper_full_get_segment_t0/t1:7999-8035) — so the remap applies
+        # after the merge below.  (The reference workers also re-run VAD on
+        # their already-filtered chunks — params_cur.vad is never cleared —
+        # which is a no-op on speech-only samples; this engine skips the
+        # second pass.)
 
     # lockstep continuous batching: one vmapped device call decodes all
     # chunks' windows together (runtime/batching.py) whenever the on-device
@@ -65,8 +74,9 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
     if batched and eligible:
         from ..runtime.batching import transcribe_batched
 
-        return transcribe_batched(ctx, params, samples, n_processors,
+        segs = transcribe_batched(ctx, params, samples, n_processors,
                                   batcher=batcher)
+        return _remap_vad(segs, vad_mapping)
 
     n_samples = len(samples)
     offset_samples = (SAMPLE_RATE * params.offset_ms) // 1000
@@ -104,7 +114,18 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
                 all_segments.append(s)
                 if params.new_segment_callback:
                     params.new_segment_callback(ctx, all_segments, 1)
-    return all_segments
+    return _remap_vad(all_segments, vad_mapping)
+
+
+def _remap_vad(segments, table):
+    """Filtered-time -> original-time remap of the MERGED segments
+    (whisper_full_get_segment_t0/t1 applied after whisper_full_parallel's
+    chunk-offset fix-up, src/whisper.cpp:7890-7894 + :7999-8035)."""
+    if table:
+        from ..models.vad.pipeline import remap_segment_times
+
+        remap_segment_times(segments, table)
+    return segments
 
 
 def replace_params(params: TranscribeParams, clear_offset: bool = False):

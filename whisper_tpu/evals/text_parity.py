@@ -361,6 +361,14 @@ CASES: Tuple[Case, ...] = (
     # asserts top-k differs, so this case can never go vacuous)
     Case("race-beam2-faithful", "race-f16", beam_size=2,
          beam_sampling="reference"),
+    # --- fuzzer catch (round-5, tools/fuzz_argv.py): VAD + -p 2.  The
+    # reference VADs the whole audio, chunks the FILTERED samples, merges
+    # with filtered-time offsets, and remaps the merged t0/t1 through the
+    # parent state's mapping table (whisper_full_parallel:7824,
+    # whisper_full_get_segment_t0/t1:7999-8035) — the engine's parallel
+    # path previously skipped that final remap (text matched, every
+    # timestamp was filtered-time).
+    Case("ml-vad-p2", "ml-f16", vad=True, processors=2, language="es"),
 )
 
 
