@@ -48,12 +48,18 @@ ORACLE_BIN = REPO / ".oracle" / "build-portable" / "bin" / "whisper-cli"
 JFK = Path("/root/reference/samples/jfk.wav")
 
 
-def sample_case(rng: random.Random, i: int) -> TP.Case:
-    """One random-but-valid flag combo (examples/cli/cli.cpp:35-119)."""
-    model = rng.choice(["f16", "f16", "f16", "q5_0", "q8_0",
-                        "ml-f16", "tdrz-f16"])
+def sample_case(rng: random.Random, i: int,
+                pool: str = "mini") -> TP.Case:
+    """One random-but-valid flag combo (examples/cli/cli.cpp:35-119).
+    pool="fd" fuzzes the FULL-DIMS (true tiny architecture) models —
+    ~10x slower per combo but the most realistic differential evidence."""
+    if pool == "fd":
+        model = rng.choice(["fd-f16", "fd-f16", "fd-q5_0", "fd-ml-f16"])
+    else:
+        model = rng.choice(["f16", "f16", "f16", "q5_0", "q8_0",
+                            "ml-f16", "tdrz-f16"])
     kw = {}
-    if model.startswith("ml-"):
+    if "ml-" in model:
         kw["language"] = rng.choice(["es", "es", "auto"])
         if rng.random() < 0.3:
             kw["translate"] = True
@@ -127,12 +133,14 @@ class Runner:
         if name not in self.models:
             p = FIXTURES / TP.model_filename(name)
             if not p.exists():
-                if name in ("q5_0", "q8_0"):
+                if name in ("q5_0", "q8_0", "fd-q5_0"):
                     from whisper_tpu.cli.quantize import quantize_model
                     from whisper_tpu.formats import requant
 
-                    quantize_model(str(self.model("f16")), str(p),
-                                   requant.parse_ftype(name), verbose=False)
+                    src = "fd-f16" if name.startswith("fd-") else "f16"
+                    quantize_model(str(self.model(src)), str(p),
+                                   requant.parse_ftype(name.split("-")[-1]),
+                                   verbose=False)
                 else:
                     donor, margs = TP.model_recipe(name)
                     subprocess.run(
@@ -280,6 +288,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--models", default="mini", choices=["mini", "fd"],
+                    help="fd = fuzz the full-dims (true tiny architecture) "
+                         "models; slower, most realistic")
     ap.add_argument("--report", default="")
     args = ap.parse_args()
 
@@ -304,7 +315,7 @@ def main() -> int:
             runner.ctxs.clear()
             jax.clear_caches()
             gc.collect()
-        case = sample_case(rng, i)
+        case = sample_case(rng, i, pool=args.models)
         try:
             verdict = runner.check(case)
         except Exception as e:  # noqa: BLE001
@@ -333,7 +344,8 @@ def main() -> int:
         lines = [
             "# Differential argv fuzz sweep",
             "",
-            f"`python tools/fuzz_argv.py --n {args.n} --seed {args.seed}` — "
+            f"`python tools/fuzz_argv.py --n {args.n} --seed {args.seed} "
+            f"--models {args.models}` — "
             "random valid whisper-cli flag combos on the decisive minis, "
             "reference binary vs engine, segment text+timestamps diffed; "
             "mismatches where the reference's own fa/nfa graphs disagree "

@@ -345,7 +345,9 @@ CASES: Tuple[Case, ...] = (
     Case("fd-f16-long", "fd-f16", audio="jfk3"),
     Case("fd-f16-fallback", "fd-f16", lpt=0.0),
     Case("fd-beam5-fallback", "fd-f16", beam_size=5, lpt=0.0),
+    Case("fd-vad", "fd-f16", vad=True),
     Case("fd-ml-es-greedy", "fd-ml-f16", language="es"),
+    Case("fd-ml-beam5", "fd-ml-f16", beam_size=5, language="es"),
     Case("fd-ml-auto", "fd-ml-f16", language="auto"),
     Case("fd-dtw", "fd-ml-f16", language="es", dtw="tiny", nfa=True),
     # --- K-quant tier (round-5): q5_k file from OUR quantizer, decoded by
