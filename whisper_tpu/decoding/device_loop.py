@@ -159,7 +159,23 @@ def _apply_filters(raw, st_i, last_id, penult_id, has_ts, seek_delta,
     return logits, logprobs, probs
 
 
-def _token_stats(probs, tok, p, beg: int):
+# expf underflows to +0.0 only below ln(2^-150) ~ -103.97: the reference's
+# probs stay NONZERO through the f32 DENORMAL range (whisper_compute_probs
+# uses expf — gradual underflow), but XLA CPU flushes denormals to zero, so
+# a `sum(probs) > 0` test flips to the all-zero branch ~36 logprob units
+# too early.  Condition the tid fallback on the max timestamp LOGPROB
+# instead (found by tools/fuzz_argv.py: an fd-ml -mc 2 --prompt combo put
+# the whole ts mass at ~3e-39 and the flushed sum tripped the tid
+# zero-init quirk, emitting t0 = -1007280 ms where the binary says 20 ms).
+_EXPF_ZERO_LP = -103.97
+
+
+def _ts_has_mass(logprobs, idx, beg: int):
+    ts_lp = jnp.where(idx >= beg, logprobs, NEG_INF)
+    return jnp.max(ts_lp, axis=-1) > _EXPF_ZERO_LP
+
+
+def _token_stats(probs, logprobs, tok, p, beg: int):
     """Timestamp stats (tid, pt, ptsum) for chosen tokens; rows of `probs`
     already correspond to each beam's (parent's) filtered distribution."""
     V = probs.shape[-1]
@@ -168,7 +184,12 @@ def _token_stats(probs, tok, p, beg: int):
     sum_ts = jnp.sum(ts_probs, axis=-1)
     tid = jnp.argmax(ts_probs, axis=-1).astype(jnp.int32)
     max_ts = jnp.take_along_axis(ts_probs, tid[:, None], axis=-1)[:, 0]
-    tid = jnp.where(sum_ts > 0, tid, beg)
+    # argmax over (possibly flushed-to-zero) probs ties at 0 in the
+    # denormal regime — recover the true argmax from the logprobs
+    ts_lp = jnp.where(idx >= beg, logprobs, NEG_INF)
+    tid_lp = jnp.argmax(ts_lp, axis=-1).astype(jnp.int32)
+    tid = jnp.where(sum_ts > 0, tid, tid_lp)
+    tid = jnp.where(_ts_has_mass(logprobs, idx, beg), tid, beg)
     pt = max_ts / (sum_ts + 1e-10)
     is_ts_tok = tok >= beg
     tid = jnp.where(is_ts_tok, tok, tid)
@@ -199,10 +220,17 @@ def _sample(logprobs, probs, temperature, rng, beg: int, keys=None):
     sum_ts = jnp.sum(ts_probs, axis=-1)
     tid = jnp.argmax(ts_probs, axis=-1).astype(jnp.int32)
     max_ts = jnp.take_along_axis(ts_probs, tid[:, None], axis=-1)[:, 0]
+    # denormal regime: flushed probs tie at 0 — true argmax from logprobs
+    ts_lp = jnp.where(idx >= beg, logprobs, NEG_INF)
+    tid_lp = jnp.argmax(ts_lp, axis=-1).astype(jnp.int32)
+    tid = jnp.where(sum_ts > 0, tid, tid_lp)
     # all-suppressed (no_timestamps): whisper_sample_token leaves tid at its
     # ZERO init (src/whisper.cpp:6489) — unlike the topk sampler's token_beg
-    # — giving greedy -nt segments their characteristic negative t0
-    tid = jnp.where(sum_ts > 0, tid, 0)
+    # — giving greedy -nt segments their characteristic negative t0.  The
+    # condition is the reference's `probs[i] > 0`, which under expf's
+    # GRADUAL underflow survives to logprob ~ -103.97 (_EXPF_ZERO_LP);
+    # XLA CPU's flushed sum would flip it ~36 logprob units early.
+    tid = jnp.where(_ts_has_mass(logprobs, idx, beg), tid, 0)
     pt = max_ts / (sum_ts + 1e-10)
 
     is_ts_tok = tok >= beg
@@ -454,7 +482,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 p = jnp.take_along_axis(probs_g, tok[:, None], axis=-1)[:, 0]
                 plog = jnp.take_along_axis(logprobs_g, tok[:, None],
                                            axis=-1)[:, 0]
-                tid, pt, ptsum = _token_stats(probs_g, tok, p, beg)
+                tid, pt, ptsum = _token_stats(probs_g, logprobs_g, tok, p, beg)
                 st = st._replace(
                     cache=cache_prev,
                     last_id=st.last_id[src], penult_id=st.penult_id[src],
@@ -672,7 +700,7 @@ def make_window_decoder(hp: WhisperHParams, n_beams: int, prompt_bucket: int,
                 p = jnp.take_along_axis(probs_g, tok[:, None], axis=-1)[:, 0]
                 plog = jnp.take_along_axis(logprobs_g, tok[:, None],
                                            axis=-1)[:, 0]
-                tid, pt, ptsum = _token_stats(probs_g, tok, p, beg)
+                tid, pt, ptsum = _token_stats(probs_g, logprobs_g, tok, p, beg)
                 st = st._replace(
                     cache=cache_prev,
                     last_id=st.last_id[src], penult_id=st.penult_id[src],

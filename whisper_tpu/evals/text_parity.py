@@ -371,6 +371,16 @@ CASES: Tuple[Case, ...] = (
     # path previously skipped that final remap (text matched, every
     # timestamp was filtered-time).
     Case("ml-vad-p2", "ml-f16", vad=True, processors=2, language="es"),
+    # --- fuzzer catch #2 (round-5): -mc 2 + --prompt at full dims puts the
+    # first step's ENTIRE timestamp mass at ~3e-39 — f32 DENORMAL range.
+    # The reference's expf keeps denormal probs (gradual underflow), so its
+    # greedy sampler still takes tid = argmax; XLA CPU flushes denormals to
+    # zero and the device loop's old `sum(probs) > 0` test tripped the tid
+    # ZERO-INIT quirk instead, emitting t0 = -1007280 ms where the binary
+    # says 20 ms.  The loop now conditions on the max ts LOGPROB
+    # (device_loop._EXPF_ZERO_LP).
+    Case("fd-ml-mc2", "fd-ml-f16", prompt="The quick brown fox",
+         max_context=2, language="es"),
 )
 
 
