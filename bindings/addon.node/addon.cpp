@@ -49,6 +49,7 @@ bool read_wav(const std::string & path, std::vector<float> & pcm) {
         uint32_t sz;
         memcpy(&sz, ck + 4, 4);
         if (!memcmp(ck, "fmt ", 4)) {
+            if (sz < 16) { fclose(f); return false; }  // truncated fmt chunk
             std::vector<uint8_t> fmt(sz);
             if (fread(fmt.data(), 1, sz, f) != sz) break;
             memcpy(&n_ch, fmt.data() + 2, 2);
@@ -62,7 +63,12 @@ bool read_wav(const std::string & path, std::vector<float> & pcm) {
         }
     }
     fclose(f);
-    if (bits != 16 || (n_ch != 1 && n_ch != 2) || data.empty()) return false;
+    // 16 kHz only: this minimal reader does not resample (the reference
+    // addon loads through miniaudio configured for WHISPER_SAMPLE_RATE and
+    // resamples) — reject instead of silently transcribing at the wrong
+    // rate; callers with other rates should pass pcmf32 directly
+    if (rate != 16000 || bits != 16 || (n_ch != 1 && n_ch != 2) ||
+        data.empty()) return false;
     const size_t n = data.size() / n_ch;
     pcm.resize(n);
     for (size_t i = 0; i < n; ++i) {

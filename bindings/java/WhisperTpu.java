@@ -364,8 +364,17 @@ public final class WhisperTpu implements AutoCloseable {
             }
             MemorySegment pcm = arena.allocateFrom(
                     ValueLayout.JAVA_FLOAT, samples);
-            int rc = (int) FULL_STRUCT.invoke(ctx, params.seg, pcm,
-                    samples.length);
+            int rc;
+            try {
+                rc = (int) FULL_STRUCT.invoke(ctx, params.seg, pcm,
+                        samples.length);
+            } finally {
+                // the upcall stub dies with this call's arena — clear it so
+                // a reused Params cannot carry a dangling function pointer
+                // into a later whisper_full
+                params.seg.set(ValueLayout.ADDRESS,
+                        off("new_segment_callback"), MemorySegment.NULL);
+            }
             if (rc != 0) {
                 throw new RuntimeException("whisper_full failed rc=" + rc);
             }

@@ -35,7 +35,7 @@ def kq_src_model(tmp_path_factory):
         [sys.executable, str(repo / "tools" / "make_test_model.py"),
          "--header-from", str(donor), "--out", str(out), "--decisive",
          "--n-state", "256", "--n-head", "4", "--n-layer", "3",
-         "--seed", "2"], check=True)
+         "--seed", "4"], check=True)
     return out
 
 

@@ -74,9 +74,8 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
     if batched and eligible:
         from ..runtime.batching import transcribe_batched
 
-        segs = transcribe_batched(ctx, params, samples, n_processors,
-                                  batcher=batcher)
-        return _remap_vad(segs, vad_mapping)
+        return transcribe_batched(ctx, params, samples, n_processors,
+                                  batcher=batcher, vad_mapping=vad_mapping)
 
     n_samples = len(samples)
     offset_samples = (SAMPLE_RATE * params.offset_ms) // 1000
@@ -120,7 +119,17 @@ def transcribe_parallel(ctx, params: TranscribeParams, samples: np.ndarray,
 def _remap_vad(segments, table):
     """Filtered-time -> original-time remap of the MERGED segments
     (whisper_full_get_segment_t0/t1 applied after whisper_full_parallel's
-    chunk-offset fix-up, src/whisper.cpp:7890-7894 + :7999-8035)."""
+    chunk-offset fix-up, src/whisper.cpp:7890-7894 + :7999-8035).
+
+    The remap must run AFTER the whole merge, exactly like the reference's
+    read-time accessors: the mapping table is sorted by PROCESSED time but
+    its original times can step BACKWARD across entries (speech-pad
+    overlap), so the non-overlap clamp must compare filtered-time values —
+    clamp-then-remap and remap-then-clamp genuinely differ (ml-vad-p2's
+    segment 9: binary t0 8410 only falls out of filtered-time clamping).
+    Known divergence: mid-merge new_segment_callbacks therefore observe
+    FILTERED-time stamps; the reference's mid-run consumers read remapped
+    values through the accessors."""
     if table:
         from ..models.vad.pipeline import remap_segment_times
 

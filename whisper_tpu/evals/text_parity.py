@@ -77,8 +77,9 @@ EN_DONOR = "/root/reference/models/for-tests-ggml-tiny.en.bin"
 # window-2+ initial steps (tools/make_test_model.py).
 FD_MODEL_ARGS = ["--decisive", "--full-dims", "--steep-ts", "2",
                  "--seed", "6"]
-FD_ML_MODEL_ARGS = ["--decisive", "--full-dims", "--steep-ts", "2",
-                    "--seed", "6"]
+# same recipe for the multilingual tier (only the donor differs); keep one
+# source of truth so the two fd tiers cannot silently desynchronize
+FD_ML_MODEL_ARGS = FD_MODEL_ARGS
 
 # K-QUANT tier (round-5, VERDICT r4 #4): K-quant super-blocks need row
 # size % 256 == 0 (ggml_quantize_chunk asserts — real whisper K-quants

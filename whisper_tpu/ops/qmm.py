@@ -8,11 +8,14 @@ right before hitting the MXU.  HBM weight traffic is 1.125 B/elem instead of
 bf16's 2 B/elem, which is the whole game for the bandwidth-bound decode
 matmuls (batch of a few tokens x large weight matrices).
 
-y = x @ W^T with W = codes * expand(scales):
+y = x @ W^T with W = codes * expand(scales) [+ expand(mins)]:
   x:      (T, K)   activation (any float dtype)
-  codes:  (R, K)   int8, centered codes (zero-point-free formats
-                   Q4_0/Q5_0/Q8_0; affine formats take the dense path)
+  codes:  (R, K)   int8 codes (centered for the zero-point-free formats
+                   Q4_0/Q5_0/Q8_0; raw unsigned for affine formats)
   scales: (R, K/QK) f32
+  mins:   (R, K/QK) f32 per-block offsets (affine q4_1/q5_1 + K-quants);
+                   the streaming kernels factor the offset out of the dot
+                   as sum(x_blk) * min per block
 """
 
 from __future__ import annotations
@@ -265,7 +268,8 @@ def qmmt(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * Rp * K,
-            bytes_accessed=K * Rp + nb * Rp * 4 + T * K * 4 + T * Rp * 4,
+            bytes_accessed=K * Rp + nb * Rp * 4 + T * K * 4 + T * Rp * 4
+            + (nb * Rp * 4 if mins_t is not None else 0),
             transcendentals=0),
         interpret=interpret,
     )(*operands)
@@ -403,7 +407,8 @@ def qmmt_fused(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
                                   memory_space=pltpu.VMEM)),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * Rp * K,
-            bytes_accessed=K * Rp + nb * Rp * 4 + T * K * 4 + T * Rp * 4,
+            bytes_accessed=K * Rp + nb * Rp * 4 + T * K * 4 + T * Rp * 4
+            + (nb * Rp * 4 if mins_t is not None else 0),
             transcendentals=T * Rp if act else 0),
         interpret=interpret,
     )(*operands)

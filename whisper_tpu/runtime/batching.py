@@ -174,7 +174,8 @@ class WindowBatcher:
 
 def transcribe_batched(ctx, params, samples: np.ndarray,
                        n_processors: int,
-                       batcher: Optional[WindowBatcher] = None):
+                       batcher: Optional[WindowBatcher] = None,
+                       vad_mapping=None):
     """Lockstep data-parallel transcription: N chunks, one device batch per
     decode round.  Same splitting/merge semantics as transcribe_parallel.
 
@@ -226,7 +227,11 @@ def transcribe_batched(ctx, params, samples: np.ndarray,
             raise e
 
     # merge with offset fix-up + non-overlap clamp (src/whisper.cpp:7900-7933)
-    # (note: with an external batcher, workers re-register next call)
+    # (note: with an external batcher, workers re-register next call).
+    # vad_mapping: the filtered->original remap runs AFTER the whole merge
+    # (the reference's read-time accessor semantics) — the mapping's
+    # original times can step backward across entries, so the non-overlap
+    # clamp must compare filtered-time values; see parallel._remap_vad.
     all_segments = list(results[0] or [])
     offset_t = params.offset_ms // 10
     for i in range(1, n_processors):
@@ -239,6 +244,10 @@ def transcribe_batched(ctx, params, samples: np.ndarray,
             all_segments.append(s)
             if params.new_segment_callback:
                 params.new_segment_callback(ctx, all_segments, 1)
+    if vad_mapping:
+        from ..models.vad.pipeline import remap_segment_times
+
+        remap_segment_times(all_segments, vad_mapping)
     return all_segments
 
 
