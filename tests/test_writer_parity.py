@@ -83,8 +83,13 @@ def _run_ours(meta, run_name: str, tmp_path: pathlib.Path,
     of = args.index("-of")
     prefix = tmp_path / f"ours-{run_name}"
     args[of + 1] = str(prefix)
+    # -ng: force the CPU backend in the child.  The axon sitecustomize
+    # force-registers the tunneled-TPU plugin and OVERRIDES the
+    # JAX_PLATFORMS env var, so without the flag these byte-parity children
+    # silently depend on the tunnel — and hang the whole suite for the
+    # 900 s timeout apiece when it wedges (observed 2026-08-21).
     r = subprocess.run(
-        [sys.executable, "-m", "whisper_tpu.cli.transcribe", *args],
+        [sys.executable, "-m", "whisper_tpu.cli.transcribe", *args, "-ng"],
         cwd=REPO, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     return prefix
