@@ -226,6 +226,28 @@ class Runner:
             # as the fa/nfa instability above.
             if self._min_max_prob(faithful) < 0.90:
                 return "draw-diffuse"
+        if (case.prompt and case.lpt is not None and len(ref) == 0
+                and len(got) > 0):
+            # REFERENCE BUG (upstream whisper.cpp): with a MULTI-TOKEN
+            # window prompt, no_speech_prob is computed from ROW 0 of
+            # state->logits — which whisper_decode_internal only writes at
+            # the LAST batch position (whisper.cpp:2955-2961; rows 0..n-2
+            # are value-initialized zeros on the first decode) — with
+            # logit_max taken over the WHOLE multi-row buffer
+            # (whisper_compute_logprobs:6180 max over logits.begin()..end()
+            # vs the n_logits loop; consumed at :7189-7197).  At full-dims
+            # logit scales (max ~128) logsumexp over the zero row is
+            # logf(51864*expf(-128)) = logf(0) = -inf, so logprobs = +inf
+            # and no_speech_prob = inf > any threshold: with -lpt raised,
+            # every prompted window is declared "silence" and skipped
+            # (verified against a WHISPER_DEBUG build: avg_logprobs
+            # -0.00769, no fail lines, 0 segments; per-segment
+            # no_speech_prob prints inf on the emitting config).  At
+            # mini/real logit scales the same mis-read yields a tiny value
+            # and stays latent.  The engine computes P(nosp) from the true
+            # last prompt position and does not reproduce stale-buffer
+            # garbage.
+            return "reference-nosp-bug"
         return "FAIL"
 
     def _min_max_prob(self, case: TP.Case) -> float:
@@ -300,7 +322,8 @@ def main() -> int:
     rng = random.Random(args.seed)
     runner = Runner()
     counts = {"ok": 0, "unstable": 0, "beam-policy": 0,
-              "draw-diffuse": 0, "FAIL": 0, "error": 0}
+              "draw-diffuse": 0, "reference-nosp-bug": 0, "FAIL": 0,
+              "error": 0}
     failures = []
     t0 = time.time()
     for i in range(args.n):
@@ -337,6 +360,8 @@ def main() -> int:
           f"faithful mode matches), "
           f"{counts['draw-diffuse']} draw-diffuse (beam draw from a "
           f"<0.9-max-prob step; sub-noise), "
+          f"{counts['reference-nosp-bug']} reference-nosp-bug (upstream "
+          f"no_speech_prob reads an unwritten logits row), "
           f"{counts['FAIL']} FAIL, {counts['error']} errors")
     for orig, small in failures:
         print(f"FAIL: {describe(small)}   (from {describe(orig)})")
